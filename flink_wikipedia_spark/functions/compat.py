@@ -1,0 +1,116 @@
+"""Oracle-deterministic expression builders.
+
+The driver's correctness gate compares Spark results against DuckDB by
+order-insensitive value hash, so every computed column must be
+**bit-identical** across two independent engines. Three rules make that
+true:
+
+1. **Never sum raw doubles.** Floating-point addition is not
+   associative; two engines (or two partitionings of the same engine!)
+   accumulate in different orders. All double aggregation goes through
+   ``DECIMAL(28,6)`` — exact, order-independent — and casts the final
+   value back to double. This is also the right call at 100 TB: a
+   partial/final HashAggregate over decimals is deterministic across
+   reruns, retries, and AQE re-partitioning.
+2. **Bucket timestamps via integer epoch arithmetic**, not engine
+   window structs (FIXTURES.md oracle-compat notes).
+3. **Derive hashes from md5**, which both engines implement identically,
+   never from engine-native ``hash()`` (Spark=Murmur3, DuckDB=custom).
+
+Each helper documents its DuckDB twin; oracle SQL strings in
+``__spark_entry__.py`` are built from the same templates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+# Scale 6 is load-bearing, not cosmetic: source money columns carry 2
+# decimal digits, so any product of ≤3 of them has ≤6 true decimal digits
+# and the double→decimal cast is EXACT — no rounding ever happens. At a
+# smaller scale the cast must round, and Spark rounds the double's
+# shortest-string repr (HALF_UP on "x.45065") while DuckDB rounds the
+# binary value — an off-by-1e-4 divergence on midpoint-printing doubles.
+# 22 integer digits of headroom cover 100 TB-scale sums. Both engines
+# widen the sum to decimal(38,6); the final cast to double erases the
+# metadata difference.
+DEC = "decimal(28,6)"
+
+
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Pin session confs that change result values.
+
+    The driver passes us *its* SparkSession; we cannot assume our
+    factory's config. Timezone affects epoch↔timestamp rendering; ANSI
+    affects overflow/cast semantics (we want errors, matching DuckDB,
+    not silent wraps).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    # events.parquet stores TIMESTAMP(NANOS), which Spark 4 refuses to map
+    # to TimestampType; read the raw int64 nanos and derive the timestamp
+    # ourselves (schemas.load_table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def dec_sum(col: Column | str) -> Column:
+    """Order-independent double sum.
+
+    DuckDB twin: ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)``
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def dec_avg(col: Column | str) -> Column:
+    """Order-independent double mean: exact decimal sum, then one double
+    division (identical operands ⇒ identical quotient on both engines).
+
+    DuckDB twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x)``
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def ts_bucket(col: Column | str, seconds: int) -> Column:
+    """Tumbling-window start as a timestamp, via integer epoch bucketing.
+
+    ``floor(unix_timestamp(ts)/N)*N`` — equal to
+    ``floor(floor(epoch(ts))/N)*N`` because N divides into integers, so
+    DuckDB's fractional ``epoch()`` and Spark's floored
+    ``unix_timestamp`` agree.
+
+    DuckDB twin: ``to_timestamp(CAST(floor(epoch(ts)/N)*N AS BIGINT))``
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(c) / seconds) * seconds).cast("long")
+    )
+
+
+def stable_token_hash(col: Column | str) -> Column:
+    """Engine-portable 60-bit token hash: first 15 hex chars of md5.
+
+    DuckDB twin: ``CAST('0x' || substring(md5(t),1,15) AS BIGINT)``
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# SQL-text twins, for building oracle strings from one template.
+def sql_dec_sum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def sql_dec_avg(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({expr})"
+
+
+def sql_ts_bucket_duckdb(expr: str, seconds: int) -> str:
+    return f"to_timestamp(CAST(floor(epoch({expr})/{seconds})*{seconds} AS BIGINT))"
+
+
+def sql_token_hash_duckdb(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}),1,15) AS BIGINT)"

@@ -1,0 +1,256 @@
+"""Deduplication operators (north star E1 family): exact, MinHash+LSH,
+SimHash, n-gram Jaccard. Embedding near-dup lives in similarity.py.
+
+Every hash derives from md5 (engine-portable, compat.stable_token_hash),
+reduced below 2^20 so all MinHash arithmetic stays inside int64 under
+ANSI overflow checking on both engines.
+
+Scale shape, common to MinHash and SimHash: explode(tokens) → narrow map
+→ ONE groupBy(doc) shuffle to fold signatures. Signatures are tiny
+(8 longs / 1 long per doc) regardless of document size, so the candidate
+-pair join operates on a table ~1000× smaller than the corpus — that
+compression is the whole point at 100 TB (never pairwise-compare raw
+documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_wikipedia_spark.functions.compat import stable_token_hash
+from flink_wikipedia_spark.functions.constants import (
+    HM_MOD,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_NUM_HASHES,
+    MINHASH_P,
+    MINHASH_ROWS_PER_BAND,
+    SIMHASH_BITS,
+)
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, distinct token-hash) pairs — the set representation both
+    sketches consume. hm < HM_MOD ≈ 2^20."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(id_col, (stable_token_hash("token") % HM_MOD).alias("hm"))
+        .distinct()
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash signature per document: sig_i = min over tokens of
+    (A[i]·hm + B[i]) mod P, i < 8."""
+    toks = _doc_tokens(df, id_col, text_col)
+    aggs = [
+        F.min((F.col("hm") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"sig_{i}")
+        for i in range(MINHASH_NUM_HASHES)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_col(band: int) -> Column:
+    """Collapse one band (2 consecutive signature slots) into a single
+    int64 bucket key: sig_{2b}·P + sig_{2b+1} (< 2^63 since P < 2^31.5)."""
+    lo = band * MINHASH_ROWS_PER_BAND
+    c = F.col(f"sig_{lo}")
+    for i in range(lo + 1, lo + MINHASH_ROWS_PER_BAND):
+        c = c * MINHASH_P + F.col(f"sig_{i}")
+    return c
+
+
+def minhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair
+    (doc_a < doc_b, distinct). The self-join runs per (band, bucket) —
+    an equi-join over the small signature table."""
+    from flink_wikipedia_spark.functions.constants import MINHASH_BANDS
+
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        minhash_band_col(b).alias("bucket"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("band"), F.col("bucket")
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("band"), F.col("bucket")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def sql_minhash_signatures_duckdb(table: str = "documents",
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> str:
+    """DuckDB twin of :func:`minhash_signatures` (same constants)."""
+    aggs = ",\n           ".join(
+        f"MIN((hm * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS sig_{i}"
+        for i in range(MINHASH_NUM_HASHES)
+    )
+    return f"""
+    SELECT {id_col}, {aggs}
+    FROM (
+        SELECT DISTINCT {id_col},
+               CAST('0x' || substring(md5(token),1,15) AS BIGINT) % {HM_MOD} AS hm
+        FROM (SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS token
+              FROM {table})
+        WHERE token <> ''
+    )
+    GROUP BY {id_col}
+    """
+
+
+def sql_minhash_pairs_duckdb(table: str = "documents", id_col: str = "doc_id") -> str:
+    from flink_wikipedia_spark.functions.constants import MINHASH_BANDS
+
+    def band_expr(b: int) -> str:
+        lo = b * MINHASH_ROWS_PER_BAND
+        expr = f"sig_{lo}"
+        for i in range(lo + 1, lo + MINHASH_ROWS_PER_BAND):
+            expr = f"({expr} * {MINHASH_P} + sig_{i})"
+        return expr
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, {band_expr(b)} AS bucket FROM sigs"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH sigs AS ({sql_minhash_signatures_duckdb(table, id_col)}),
+    bands AS ({band_rows})
+    SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+    """
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash: per bit j, S_j = Σ_tokens (±1 by bit j of hm);
+    fingerprint = Σ_j [S_j > 0]·2^j. Token multiplicity weights the vote
+    (no distinct — frequency matters for SimHash)."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(id_col, (stable_token_hash("token") % HM_MOD).alias("hm"))
+    )
+    sums = [
+        F.sum(
+            F.shiftright(F.col("hm"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*sums)
+    fp: Column = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"s_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def sql_simhash_duckdb(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    sums = ",\n           ".join(
+        f"SUM(((hm >> {j}) & 1) * 2 - 1) AS s_{j}" for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {id_col},
+               CAST('0x' || substring(md5(token),1,15) AS BIGINT) % {HM_MOD} AS hm
+        FROM (SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS token
+              FROM {table})
+        WHERE token <> ''
+    ), sums AS (
+        SELECT {id_col}, {sums} FROM toks GROUP BY {id_col}
+    )
+    SELECT {id_col}, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_id: int = 100,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard over a bounded candidate set:
+    |A∩B| via token equi-join, |A∪B| = |A|+|B|−|A∩B|.
+
+    The max_id bound models the real pattern: exact Jaccard only ever
+    runs on candidate pairs (e.g. MinHash survivors), never all-pairs.
+    jaccard = int/int division — deterministic double."""
+    toks = _doc_tokens(df.filter(F.col(id_col) < max_id), id_col, text_col)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.select(F.col(id_col).alias("doc_a"), "hm")
+    b = toks.select(F.col(id_col).alias("doc_b"), "hm")
+    inter = (
+        a.join(b, "hm")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def sql_jaccard_pairs_duckdb(table: str = "documents", id_col: str = "doc_id",
+                             text_col: str = "text", max_id: int = 100,
+                             threshold: float = 0.3) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT {id_col},
+               CAST('0x' || substring(md5(token),1,15) AS BIGINT) % {HM_MOD} AS hm
+        FROM (SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS token
+              FROM {table} WHERE {id_col} < {max_id})
+        WHERE token <> ''
+    ), sizes AS (
+        SELECT {id_col}, COUNT(*) AS n_tok FROM toks GROUP BY {id_col}
+    ), inter AS (
+        SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, COUNT(*) AS n_inter
+        FROM toks a JOIN toks b ON a.hm = b.hm AND a.{id_col} < b.{id_col}
+        GROUP BY a.{id_col}, b.{id_col}
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.{id_col} = doc_a
+    JOIN sizes sb ON sb.{id_col} = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= {threshold}
+    """

@@ -1,0 +1,90 @@
+"""Multimodal column handling (north star E12).
+
+Policy: image/audio/video ride through the engine as opaque ``binary``
+payloads with typed metadata (schemas.MULTIMODAL_SCHEMA); Spark never
+interprets the bytes. Decode / feature-extraction / resize /
+frame-sampling run as **Arrow-batched Python** (mapInPandas), the only
+sanctioned Python↔JVM crossing in the engine: payload batches move as
+Arrow buffers, never row-at-a-time pickles.
+
+The actual codec step is STUBBED — image/audio libraries are not in
+this container. ``_decode_payload`` is the seam: it raises
+NotImplementedError for real codecs and provides a deterministic fake
+("byte-statistics decode") so the surrounding Spark plumbing — schema,
+batching, partition sizing — is real and testable.
+
+Scale notes: payload partitions should be sized by *bytes* not rows
+(``spark.sql.files.maxPartitionBytes``); feature extraction is
+embarrassingly parallel, so the only design question is batch shape —
+mapInPandas yields per-batch DataFrames, keeping peak memory to one
+Arrow batch of payloads per core.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", LongType()),
+        StructField("mean_byte", DoubleType()),
+    ]
+)
+
+
+def _decode_payload(payload: bytes, modality: str) -> dict:
+    """Decode seam. Real codecs (PIL/libsndfile/ffmpeg) are unavailable
+    here — ``real_decode=False`` callers get a deterministic
+    byte-statistics fake; wiring a real codec means replacing this
+    function body only."""
+    # Deterministic fake "decode": byte statistics of the payload.
+    n = len(payload)
+    checksum = sum(payload[:64]) if n else 0
+    mean = (sum(payload) / n) if n else 0.0
+    return {"n_bytes": n, "checksum": checksum, "mean_byte": mean}
+
+
+def real_decode(payload: bytes, modality: str) -> dict:  # pragma: no cover
+    """Placeholder for codec-backed decode (image resize, audio
+    resample, video frame-sample)."""
+    raise NotImplementedError(
+        "codec libraries (PIL / soundfile / av) are not installed in this "
+        "environment; _decode_payload provides the deterministic stub"
+    )
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over (asset_id, modality,
+    payload). One pass, no shuffle; output is a narrow feature table."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_payload(p, m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "modality": pdf["modality"].values,
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "checksum": [f["checksum"] for f in feats],
+                    "mean_byte": [f["mean_byte"] for f in feats],
+                }
+            )
+            yield out
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,154 @@
+"""Text-analysis operators for LLM-corpus pipelines (north star E3+):
+tokenization/word-count, heuristic language ID, quality scoring, token
+counting, and document fingerprinting.
+
+All pure built-in expressions — whole-stage codegen end to end, no
+Python in any hot path. At 100 TB, per-document string work is the
+dominant cost of corpus prep; keeping it JVM-side is the difference
+between CPU-bound and serialization-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_wikipedia_spark.functions.compat import stable_token_hash
+from flink_wikipedia_spark.functions.constants import (
+    HM_MOD,
+    LANG_STOPWORDS,
+    QUALITY_STOPWORDS,
+)
+
+# BPE-ish word/number segmentation: runs of letters or digits (a cheap,
+# deterministic stand-in for a learned tokenizer's pre-tokenization).
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word count: explode tokens → hash-aggregate.
+
+    explode is generate-style (no shuffle); the single shuffle is the
+    groupBy(token), with map-side partial counting absorbing the heavy
+    hitters (stopwords) before the wire — the skew answer for Zipfian
+    token distributions."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+def token_count_cols(text_col: str = "text") -> list[Column]:
+    """Per-document token counts: whitespace tokens + BPE-ish regex
+    tokens (regexp_count stays in codegen)."""
+    # cast to long: DuckDB's len()/regexp counts are BIGINT, Spark's size()
+    # is int — widths must agree for the oracle's schema/hash compare
+    return [
+        F.size(tokens(text_col)).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    ]
+
+
+def lang_score_expr(text_col: str, lang: str) -> Column:
+    """Stopword hits for one language: |distinct(tokens) ∩ stopwords|."""
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    lits = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(toks, lits))
+
+
+def lang_id_expr(text_col: str = "text") -> Column:
+    """Heuristic language ID: argmax of per-language stopword-hit scores,
+    ties resolved by fixed language order (sorted codes, first wins) —
+    the same CASE chain the DuckDB oracle evaluates.
+
+    A narrow map over documents: no shuffle, no UDF; stopword lists are
+    plan literals."""
+    langs = sorted(LANG_STOPWORDS)
+    scores = {lg: lang_score_expr(text_col, lg) for lg in langs}
+    expr: Column = F.lit(langs[-1])
+    # Build the when-chain back to front so earlier languages win ties.
+    for lg in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other == lg:
+                continue
+            c = scores[lg] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def sql_lang_id_duckdb(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`lang_id_expr` (same chain, same tie-break)."""
+    langs = sorted(LANG_STOPWORDS)
+
+    def score(lg: str) -> str:
+        lits = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lg])
+        return (
+            f"len(list_intersect(list_distinct(string_split(lower({text_col}), ' ')), "
+            f"[{lits}]))"
+        )
+
+    cases = []
+    for lg in langs[:-1]:
+        conds = " AND ".join(
+            f"{score(lg)} >= {score(other)}" for other in langs if other != lg
+        )
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+
+
+def quality_score_cols(text_col: str = "text") -> list[Column]:
+    """Corpus quality signals: token count, mean token length, stopword
+    ratio, and a composite 0/1 keep flag — the standard cheap filters
+    applied before expensive model-based scoring.
+
+    Ratios are integer-count divisions (deterministic doubles)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n_toks = F.size(toks)
+    stop_lits = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_lits, t)))
+    mean_tok_len = (
+        (F.length(F.col(text_col)) - (n_toks - F.lit(1))).cast("double") / n_toks
+    )
+    stop_ratio = stop_hits.cast("double") / n_toks
+    keep = (
+        (n_toks >= 20) & (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)
+    ).cast("int")
+    return [
+        n_toks.cast("long").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        keep.alias("keep"),
+    ]
+
+
+def fingerprint_cols(text_col: str = "text") -> list[Column]:
+    """Document fingerprints:
+
+    - ``fp_md5``: md5 of whitespace-normalized lowercase text (exact-dup
+      key after normalization);
+    - ``fp_roll``: order-sensitive polynomial rolling hash over token
+      hashes, folded left-to-right — content-defined, engine-portable
+      (both engines reduce the token array sequentially).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    toks = tokens(norm)
+    roll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 1_000_003 + stable_token_hash(t) % HM_MOD)
+        % 2_147_483_647,
+    )
+    return [F.md5(norm).alias("fp_md5"), roll.alias("fp_roll")]

@@ -1,0 +1,17 @@
+"""Query plans — the engine's public query surface.
+
+``registry.py`` holds the name → (Spark builder, DuckDB oracle) mapping
+that ``__spark_entry__.py`` exposes to the driver. Importing this
+package populates the registry from every query module.
+"""
+
+from flink_wikipedia_spark.plans.registry import REGISTRY, QueryDef, query
+
+# Import for side effect: each module registers its queries.
+from flink_wikipedia_spark.plans import queries_core  # noqa: E402,F401
+from flink_wikipedia_spark.plans import queries_relational  # noqa: E402,F401
+from flink_wikipedia_spark.plans import queries_text  # noqa: E402,F401
+from flink_wikipedia_spark.plans import queries_dedup  # noqa: E402,F401
+from flink_wikipedia_spark.plans import queries_similarity  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QueryDef", "query"]

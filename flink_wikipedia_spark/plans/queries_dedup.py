@@ -1,0 +1,97 @@
+"""Deduplication queries (north star E1 family) over `events` and
+`documents`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_wikipedia_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+    sql_jaccard_pairs_duckdb,
+    sql_minhash_pairs_duckdb,
+    sql_minhash_signatures_duckdb,
+    sql_simhash_duckdb,
+)
+from flink_wikipedia_spark.operators.text import fingerprint_cols
+from flink_wikipedia_spark.plans.registry import query
+from flink_wikipedia_spark.schemas import load_table
+
+
+@query(
+    "q_dedup_events",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 (exact): distinct on a column subset — one hash shuffle on the
+    projected key; in streaming the same op is
+    dropDuplicatesWithinWatermark (streaming/pipeline.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "q_dedup_docs_exact",
+    oracle="""
+    SELECT fp_md5, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM (
+        SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5
+        FROM documents
+    )
+    GROUP BY fp_md5
+    """,
+)
+def q_dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 (exact, content-addressed): group documents by normalized-text
+    md5, keep min doc_id — the canonical exact-dedup reduce. At 100 TB
+    the md5 groupBy shuffles 16-byte keys, not documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", *fingerprint_cols())
+        .groupBy("fp_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query("q_minhash_signatures", oracle=sql_minhash_signatures_duckdb())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 (MinHash): 8-slot signature per doc from md5-derived token
+    hashes — the corpus compressed to 64 bytes/doc before any pairwise
+    work (operators/dedup.minhash_signatures)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs)
+
+
+@query("q_minhash_dedup_pairs", oracle=sql_minhash_pairs_duckdb())
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 (MinHash+LSH banding): candidate near-dup pairs = docs sharing
+    any of 4 band buckets. The join is equi on (band, bucket) over the
+    signature table — no document ever meets another document
+    (operators/dedup.minhash_candidate_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(minhash_signatures(docs))
+
+
+@query("q_simhash", oracle=sql_simhash_duckdb())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 (SimHash): 16-bit frequency-weighted fingerprint per doc;
+    equal fingerprints ⇒ near-dup candidates
+    (operators/dedup.simhash_fingerprints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)
+
+
+@query("q_ngram_jaccard_pairs", oracle=sql_jaccard_pairs_duckdb())
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 (exact Jaccard on a bounded candidate set): token-set overlap
+    via equi-join on token hash; integer-ratio similarity
+    (operators/dedup.jaccard_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs)

@@ -1,0 +1,540 @@
+"""Relational-breadth queries (SURVEY.md §2.2 / E4–E10): joins, sorts,
+set ops, rollup/cube, analytic windows, sessionization, as-of and range
+joins, TPC-H-style multi-join aggregates.
+
+None of these exist in the reference (its repo greps clean for
+join/union/sort, SURVEY.md §2.2); this is the surface a user of any
+real analytics engine expects, expressed so Catalyst picks the physical
+strategy (broadcast vs sort-merge, AQE skew splitting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_wikipedia_spark.functions.compat import dec_sum
+from flink_wikipedia_spark.operators.relational import (
+    asof_join,
+    range_join_count,
+    topk_per_group,
+)
+from flink_wikipedia_spark.plans.registry import query
+from flink_wikipedia_spark.schemas import load_table
+
+
+@query(
+    "q_join_orders_customer",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: fact⋈dim equi-join + aggregate. `customer` is explicitly
+    broadcast — at 100 TB the orders side never shuffles for this join;
+    only the 5-row result's aggregate exchange remains."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy single-table aggregate — the canonical
+    partial-aggregate / whole-stage-codegen benchmark. 6 aggregates over
+    ~600k rows at sf0.1 collapse to 6 output rows; the shuffle carries
+    only partials. Per-row products (price×(1-disc)×(1+tax)) are
+    left-associated identically in Spark and the oracle, so the
+    decimal-cast of each product is bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(charge).alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+             / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(F.col("l_discount").cast("decimal(28,6)")).cast("double")
+             / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_disc", "count_order",
+        )
+    )
+
+
+@query(
+    "q_tpch_q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-10.
+    customer(filtered) broadcasts into orders; orders⋈lineitem is the
+    one real shuffle (both sides hash on orderkey — at scale, bucketing
+    both tables by orderkey makes it shuffle-free). Top-10 via
+    TakeOrderedAndProject: no global sort ever materializes."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5_regional_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. All four dims (region, nation,
+    customer, supplier) broadcast; the only shuffle joins orders to
+    lineitem on orderkey. Catalyst + AQE order the join tree; we only
+    declare it."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "q_semijoin_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+    )
+    """,
+)
+def q_semijoin_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 (semi): customers with ≥1 large order. left_semi join — probe
+    side streams, no fact columns survive the join, no duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_antijoin_quiet_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_antijoin_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 (anti): customers with no URGENT orders. left_anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_top_events_by_value",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY value DESC, event_id ASC
+    LIMIT 100
+    """,
+)
+def q_top_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: global top-k. Spark executes orderBy().limit(k) as
+    TakeOrderedAndProject — per-partition top-k then a k-row merge at
+    the driver; the full sort never happens. event_id tiebreak makes the
+    cut deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "q_setops_users",
+    oracle="""
+    SELECT user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        UNION
+        SELECT user_id FROM events WHERE event_type = 'signup'
+    )
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def q_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: UNION (distinct) + EXCEPT. Set ops are aggregates in
+    disguise — each is one hash shuffle on the full row."""
+    ev = load_table(spark, sf_dir, "events")
+    u = lambda t: ev.filter(F.col("event_type") == t).select("user_id")  # noqa: E731
+    return u("purchase").union(u("signup")).distinct().subtract(u("error"))
+
+
+@query(
+    "q_rollup_event_value",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP(event_type)
+    """,
+)
+def q_rollup_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: rollup — per-type subtotals + grand total in one pass
+    (Spark expands grouping sets before the single shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total_value")
+    )
+
+
+@query(
+    "q_cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 (cube): all 2^2 grouping sets in one aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice").alias("revenue")
+    )
+
+
+@query(
+    "q_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 (exact twin): per-type distinct users. Spark plans
+    count(distinct) as a two-phase expand+aggregate. The approximate
+    HLL path is `q_approx_distinct_users` (rows-only check — estimates
+    differ across engines by construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("q_approx_distinct_users", oracle=None)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 (HLL): approx_count_distinct at 2% rsd. At 100 TB this is the
+    only viable distinct-count: fixed-size sketch, one pass, partials
+    merge associatively. No oracle — HLL estimates are
+    engine-specific; the driver's rows-only check pins shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx")
+    )
+
+
+@query(
+    "q_topk_docs_per_lang",
+    oracle="""
+    SELECT doc_id, lang, n_chars, rk FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM documents
+    ) WHERE rk <= 3
+    """,
+)
+def q_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: top-k per group via ranked window — one shuffle on the
+    partition key, per-partition sort, early filter on rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    return topk_per_group(
+        docs.select("doc_id", "lang", "n_chars"),
+        ["lang"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        3,
+    ).select("doc_id", "lang", "n_chars", F.col("rk").cast("long").alias("rk"))
+
+
+@query(
+    "q_user_event_gaps",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           CAST(SUM(gap_s) AS BIGINT) AS total_gap_s,
+           MAX(gap_s) AS max_gap_s
+    FROM (
+        SELECT user_id,
+               tss - LAG(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS gap_s
+        FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events)
+    ) WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (lag): inter-event gaps per user. Timestamps are reduced to
+    whole epoch seconds *before* arithmetic so ns-vs-µs parquet
+    precision can't leak into values (FIXTURES.md oracle notes)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("tss")
+    )
+    w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    gaps = ev.withColumn("gap_s", F.col("tss") - F.lag("tss").over(w)).filter(
+        F.col("gap_s").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("total_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+@query(
+    "q_running_total",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (frames): cumulative per-user spend. The running sum is decimal
+    so every prefix is exact — order-dependence of FP addition can't
+    diverge from the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, tss,
+               CASE WHEN tss - LAG(tss) OVER w > 1800 OR LAG(tss) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+    ), sess AS (
+        SELECT user_id, event_id, tss,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(tss) AS session_start_s, MAX(tss) AS session_end_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the reference's tumbling windows generalized
+    to gap-based sessions, cf. session_window in streaming/): new
+    session when >30 min idle; session id = running count of session
+    starts. Two analytic windows over ONE shuffle (same partition+order
+    key reused — Spark plans a single Exchange+Sort)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("tss")
+    )
+    w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("tss") - F.lag("tss").over(w) > 1800)
+            | F.lag("tss").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wc).cast("long"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("tss").alias("session_start_s"),
+        F.max("tss").alias("session_end_s"),
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss, value
+        FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss,
+               arg_max(value, event_id) AS view_value
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+    )
+    SELECT p.event_id, p.user_id, p.value, v.view_value
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.tss >= v.tss
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no Spark built-in; DuckDB's native ASOF JOIN is the
+    oracle): each purchase picks the user's latest prior-or-equal view's
+    value. Implemented as the union + last-ignoring-nulls merge —
+    one shuffle, no range nested-loop (operators/relational.asof_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("tss"), "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.unix_timestamp("ts").alias("tss"), "event_id", "value")
+        .groupBy("user_id", "tss")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    return asof_join(
+        purchases, views, on="user_id", left_ts="tss", right_ts="tss",
+        value_cols=["view_value"],
+    ).select("event_id", "user_id", "value", "view_value")
+
+
+@query(
+    "q_range_join_counts",
+    oracle="""
+    WITH errors AS (
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss
+        FROM events WHERE event_type = 'error'
+    ), purchases AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id,
+           COUNT(p.tss) AS n_in_range
+    FROM errors e LEFT JOIN purchases p
+      ON p.user_id = e.user_id AND p.tss > e.tss AND p.tss <= e.tss + 3600
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: purchases within 1h after each error, per
+    user. Bucket-equi-join implementation (2 candidate buckets per left
+    row) — Catalyst gets an equi-join it can hash; the oracle uses the
+    naive theta join DuckDB can afford at sf0.01
+    (operators/relational.range_join_count)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("tss")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp("ts").alias("tss")
+    )
+    return range_join_count(
+        errors, purchases, on="user_id", left_ts="tss", right_ts="tss",
+        range_sec=3600,
+    ).select("event_id", "user_id", "n_in_range")

@@ -1,0 +1,195 @@
+"""Similarity-search + multimodal queries (north star E2/E12) over
+`embeddings` and `documents`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_wikipedia_spark.operators.similarity import (
+    cosine_expr,
+    lsh_bucket_expr,
+    sql_cosine_duckdb,
+    sql_lsh_bucket_duckdb,
+    topk_cosine,
+)
+from flink_wikipedia_spark.plans.registry import query
+from flink_wikipedia_spark.schemas import load_table
+
+TOPK_K = 5
+N_QUERY_VECS = 5  # vec_id < 5 are the query vectors in the demo queries
+
+_COS = sql_cosine_duckdb("q.embedding", "c.embedding")
+
+
+@query(
+    "q_similarity_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, sim, rk FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rk
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({_COS}, 6) AS sim
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS}
+        )
+    ) WHERE rk <= {TOPK_K}
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (brute-force baseline): exact cosine top-5 for 5 query vectors
+    over all candidates; broadcast query set, windowed per-query rank
+    (operators/similarity.topk_cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return topk_cosine(queries, emb, TOPK_K)
+
+
+@query(
+    "q_similarity_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {sql_lsh_bucket_duckdb('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT query_id, neighbor_id, sim, rk FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rk
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({_COS}, 6) AS sim
+            FROM bucketed q JOIN bucketed c
+              ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS}
+        )
+    ) WHERE rk <= {TOPK_K}
+    """,
+)
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (scale path): random-hyperplane LSH bucketing; candidates are
+    only same-bucket vectors, so the join is equi on bucket id and the
+    cross product never exists. Recall < 1 by design — the oracle
+    computes the identical bucketed semantics
+    (operators/similarity.lsh_bucket_expr)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", lsh_bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        "bucket",
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOPK_K)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+@query(
+    "q_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({sql_cosine_duckdb('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 100 AND b.vec_id < 100
+      AND round({sql_cosine_duckdb('a.embedding', 'b.embedding')}, 6) >= 0.8
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1×E2 (embedding near-dup): cosine ≥ 0.8 pairs within a bounded
+    candidate set (in production: LSH-bucketed candidates, this exact
+    kernel)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.8)
+    )
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT modality, COUNT(*) AS n_assets,
+           CAST(SUM(payload_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(payload_bytes) AS BIGINT) AS max_bytes
+    FROM (
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               octet_length(encode(text)) AS payload_bytes
+        FROM documents
+    )
+    GROUP BY modality
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 (multimodal plumbing): documents as opaque binary payloads
+    with a modality tag — metadata aggregation over binary columns
+    without ever interpreting the bytes. Decode/feature extraction is
+    the Arrow-batched stub pipeline in operators/multimodal.py
+    (q_multimodal_features, rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = docs.select(
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return binary.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+        F.max(F.length("payload")).cast("long").alias("max_bytes"),
+    )
+
+
+@query("q_multimodal_features", oracle=None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 (decode stub pipeline): the real Spark plumbing for
+    binary-decode — mapInPandas over (asset_id, modality, payload) with
+    a deterministic fake feature extractor (real image/audio libs are
+    not in this container; operators/multimodal.py marks the seam).
+    Rows-only driver check: UDF output, not SQL-expressible."""
+    from flink_wikipedia_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return extract_features(assets)

@@ -1,0 +1,165 @@
+"""Text-analysis queries over the `documents` table (north star E3/E4 +
+language-ID, quality scoring, token counting, fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_wikipedia_spark.functions.compat import dec_avg, stable_token_hash
+from flink_wikipedia_spark.functions.constants import HM_MOD
+from flink_wikipedia_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    fingerprint_cols,
+    lang_id_expr,
+    quality_score_cols,
+    sql_lang_id_duckdb,
+    token_count_cols,
+    word_counts,
+)
+from flink_wikipedia_spark.plans.registry import query
+from flink_wikipedia_spark.schemas import load_table
+
+
+@query(
+    "q_word_count",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: the classic — explode + hash-aggregate (operators/text.word_counts)."""
+    return word_counts(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: per-language corpus stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dec_avg("n_chars").alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (token counting): whitespace + BPE-ish regex token
+    counts per document — the budget arithmetic of corpus curation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *token_count_cols())
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {sql_lang_id_duckdb('text')} AS predicted_lang
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (language ID): stopword-hit argmax with fixed
+    tie-break; Spark when-chain ≡ oracle CASE chain by construction
+    (operators/text.lang_id_expr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id_expr().alias("predicted_lang"))
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_tokens,
+           CAST(length(text) - (len(string_split(lower(text), ' ')) - 1) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS mean_token_len,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS stopword_ratio,
+           CAST(len(string_split(lower(text), ' ')) >= 20
+                AND (CAST(length(text) - (len(string_split(lower(text), ' ')) - 1) AS DOUBLE)
+                     / len(string_split(lower(text), ' '))) BETWEEN 2.0 AND 12.0
+                AS INT) AS keep
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (quality scoring): cheap-pass corpus filters — token
+    count, mean token length, stopword ratio, composite keep flag
+    (operators/text.quality_score_cols)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *quality_score_cols())
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                       t -> CAST('0x' || substring(md5(t),1,15) AS BIGINT) % {HM_MOD})),
+               (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp_roll
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (fingerprinting): md5-of-normalized-text exact-dup key
+    + left-fold polynomial rolling hash over md5-derived token hashes —
+    both engine-portable (operators/text.fingerprint_cols)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *fingerprint_cols())
+
+
+@query(
+    "q_top_tokens_per_lang",
+    oracle="""
+    SELECT lang, token, n, rk FROM (
+        SELECT lang, token, n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
+        FROM (
+            SELECT lang, token, COUNT(*) AS n
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+            WHERE token <> ''
+            GROUP BY lang, token
+        )
+    ) WHERE rk <= 5
+    """,
+)
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+E4 composed: per-language token frequency, then ranked top-5 —
+    explode → two-key aggregate → ranked window on the lang partition."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return counts.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= 5
+    )

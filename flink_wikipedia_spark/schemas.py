@@ -1,0 +1,248 @@
+"""Explicit schemas + testdata loaders.
+
+The reference's schema system is a reflection-derived POJO
+(``EditEvent.java:4-12``, ``JsonNodeDeserializationSchema.java:50-52``).
+Ours is explicit ``StructType`` constants — no inference in production
+paths: at 100 TB an accidental schema-inference pass over parquet
+footers (or worse, JSON) is a full extra scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ---------------------------------------------------------------------------
+# A. Wikipedia edit event — the reference's input record
+#    (EditEvent.java:4-12; sample payload DataStreamJob.java:51-59).
+#    `id` arrives as a JSON number but the reference stores it as string
+#    (JsonNodeDeserializationSchema.java:27) — we preserve that: StringType
+#    with from_json doing the number→string coercion.
+# ---------------------------------------------------------------------------
+
+EDIT_EVENT_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("domain", StringType()),
+        StructField("namespace", StringType()),
+        StructField("title", StringType()),
+        StructField("timestamp", StringType()),  # ISO-8601; ts derived via to_timestamp
+        StructField("user_name", StringType()),
+        StructField("user_type", StringType()),
+        StructField("old_length", LongType()),
+        StructField("new_length", LongType()),
+    ]
+)
+
+# Output of the flagship aggregation (reference emits epoch-millis start/end,
+# DataStreamJob.java:101-106; we emit proper timestamps).
+EDIT_SIZE_RESULT_SCHEMA = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("edit_size", LongType()),
+        StructField("window_start", TimestampType()),
+        StructField("window_end", TimestampType()),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# B. Driver testdata tables (/root/testdata/sf*/; FIXTURES.md §B).
+#    Declared explicitly so reads never infer; verified against footers.
+# ---------------------------------------------------------------------------
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),  # JSON object, e.g. {"k": 87}
+    ]
+)
+
+# On-disk twin: events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot
+# map to TimestampType (PARQUET_TYPE_ILLEGAL). With
+# spark.sql.legacy.parquet.nanosAsLong the column reads as raw int64 nanos;
+# load_table derives the logical µs TimestampType from it (same sub-second
+# truncation DuckDB's µs timestamps apply — FIXTURES.md oracle notes).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+EMBEDDINGS_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+# Multimodal record shape (north-star E12): opaque payload + typed metadata.
+# Decode/feature-extraction operate on `payload` via Arrow-batched UDFs
+# (operators/multimodal.py); Spark never interprets the bytes.
+MULTIMODAL_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ]
+)
+
+TPCH_SCHEMAS: dict[str, StructType] = {
+    "lineitem": StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_partkey", LongType()),
+            StructField("l_suppkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_quantity", DoubleType()),
+            StructField("l_extendedprice", DoubleType()),
+            StructField("l_discount", DoubleType()),
+            StructField("l_tax", DoubleType()),
+            StructField("l_returnflag", StringType()),
+            StructField("l_linestatus", StringType()),
+            StructField("l_shipdate", TimestampType()),
+        ]
+    ),
+    "orders": StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    ),
+    "customer": StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", IntegerType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+        ]
+    ),
+    "supplier": StructType(
+        [
+            StructField("s_suppkey", LongType()),
+            StructField("s_name", StringType()),
+            StructField("s_nationkey", IntegerType()),
+            StructField("s_acctbal", DoubleType()),
+        ]
+    ),
+    "part": StructType(
+        [
+            StructField("p_partkey", LongType()),
+            StructField("p_name", StringType()),
+            StructField("p_brand", StringType()),
+            StructField("p_type", StringType()),
+            StructField("p_size", IntegerType()),
+            StructField("p_retailprice", DoubleType()),
+        ]
+    ),
+    "nation": StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    ),
+    "region": StructType(
+        [
+            StructField("r_regionkey", IntegerType()),
+            StructField("r_name", StringType()),
+        ]
+    ),
+}
+
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_EXTRA_SCHEMAS = {
+    "events": EVENTS_SCHEMA,
+    "documents": DOCUMENTS_SCHEMA,
+    "embeddings": EMBEDDINGS_SCHEMA,
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_schema(name: str) -> StructType:
+    return TPCH_SCHEMAS.get(name) or _EXTRA_SCHEMAS[name]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with its declared schema.
+
+    Explicit schema means the parquet scan does column pruning against a
+    known shape and never touches footers for inference; at cluster
+    scale, pair this with partitioned layouts so partition pruning also
+    fires. Parquet ns-precision timestamps land as microsecond
+    TimestampType — sub-second truncation is harmless for every bucketed
+    computation we do (second-granularity and coarser).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        # integer ns→µs division (`div`), NOT float division: int64 nanos
+        # exceed double's 53-bit mantissa
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select(*[f.name for f in EVENTS_SCHEMA.fields])
+    return spark.read.schema(table_schema(name)).parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (mirrors the DuckDB
+    oracle's pre-registered views, so ``spark.sql`` text can name the
+    same tables)."""
+    for name in ALL_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,87 @@
+"""SparkSession factory.
+
+The reference leaves every runtime knob at Flink defaults
+(``DataStreamJob.java:110-143`` sets no parallelism, no checkpointing,
+no state backend). We instead pin the configuration that matters for a
+large cluster up front:
+
+- **AQE on** — runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic join-strategy switching. At 100 TB, static
+  ``spark.sql.shuffle.partitions`` is always wrong for some stage; AQE
+  fixes it per-stage from map-output statistics.
+- **UTC session timezone** — windowing/bucketing must be
+  timezone-stable or the DuckDB oracle (and any cross-engine consumer)
+  diverges.
+- **Arrow enabled** — every Python↔JVM crossing (the few we allow) is
+  columnar-batched.
+- **Shuffle partitions** sized from the environment: tests run tiny SFs
+  on a laptop-shaped ``local[*]``; the same code on a 1000-executor
+  cluster should set ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` to ~2-3× total
+  cores (or rely on AQE coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults match the driver environment: local[$SPARK_GRAFT_CPUS] with 32
+# threads. On a real cluster, master/partitions come from spark-submit.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "flink-wikipedia-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Idempotent: Spark returns the active session if one exists, so tests
+    and the driver can call this freely.
+    """
+    if master is None:
+        master = f"local[{_DEFAULT_CPUS}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", _DEFAULT_CPUS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- correctness-critical ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        # --- scale posture (SURVEY.md §4.3(4)) ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # dim tables (region/nation/customer/supplier/part at our SFs) stay
+        # broadcastable; 64 MB is a deliberate bump over the 10 MB default —
+        # at 100 TB fact scale, broadcasting a 50 MB dim beats shuffling
+        # the fact side every time.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Python boundary: always Arrow, never row-at-a-time ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # parquet TIMESTAMP(NANOS) (events.ts) is illegal for Spark 4's
+        # reader; read the raw int64 and derive timestamps in load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # streaming state at scale: RocksDB spills to disk, heap does not
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

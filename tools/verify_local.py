@@ -1,0 +1,109 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at a given SF and
+compares row count, column names/order-insensitive values against the
+DuckDB oracle. Usage:
+
+    python tools/verify_local.py [sf_dir] [query ...]
+
+Exit code 0 iff every compared query matches.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from flink_wikipedia_spark.schemas import ALL_TABLES  # noqa: E402
+from flink_wikipedia_spark.session import get_spark  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sorted, value-normalized, row-sorted frame for
+    order-insensitive comparison (approximates the driver's hash)."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            # strip tz (DuckDB returns tz-aware for to_timestamp) and
+            # truncate to seconds
+            try:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            except TypeError:
+                pass
+            df[c] = s.dt.floor("s").astype("datetime64[ns]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.round(9)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures: list[str] = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {el:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append(name)
+            print(
+                f"FAIL {name}: columns differ spark={sorted(sdf.columns)} "
+                f"oracle={sorted(odf.columns)}"
+            )
+            continue
+        if len(sdf) != len(odf):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        if not a.equals(b):
+            failures.append(name)
+            diff_cols = [
+                c for c in a.columns if not a[c].equals(b[c])
+            ]
+            print(f"FAIL {name}: values differ in {diff_cols}")
+            mask = ~(a[diff_cols].eq(b[diff_cols]).all(axis=1))
+            print("  spark:", a[mask].head(3).to_dict("records"))
+            print("  oracle:", b[mask].head(3).to_dict("records"))
+            continue
+        print(f"ok   {name}: {len(sdf)} rows match ({el:.1f}s)")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
