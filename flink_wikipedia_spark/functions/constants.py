@@ -22,8 +22,12 @@ def _lcg(seed: int):
 # engines (Spark runs ANSI mode: overflow is an error, not a wrap).
 # ---------------------------------------------------------------------------
 
+# 2 bands × 4 rows: candidate threshold ≈ (1/b)^(1/r) = 0.84 Jaccard —
+# a real near-dup bar. Looser banding (4×2 ⇒ ~0.5) floods the candidate
+# join on high-overlap corpora (the synthetic docs share a ~31-word
+# vocabulary, so ~all pairs collide — 12.5M candidates at sf0.1).
 MINHASH_NUM_HASHES = 8
-MINHASH_BANDS = 4          # 4 bands × 2 rows; band match ⇒ candidate pair
+MINHASH_BANDS = 2
 MINHASH_ROWS_PER_BAND = MINHASH_NUM_HASHES // MINHASH_BANDS
 HM_MOD = 1_000_003         # token hash reduced below ~2^20
 MINHASH_P = 999_999_937    # prime modulus; A*hm + B ≤ ~1e12+1e9 < 2^63

@@ -39,7 +39,13 @@ def decode_edit_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
     column is added (the reference parses the ISO timestamp never — its
     declared watermark strategy is dead code, SURVEY.md §4.3).
     """
-    schema = EDIT_EVENT_SCHEMA.add(CORRUPT_COL, "string")
+    # copy-construct: StructType.add mutates in place, which would grow the
+    # shared schema constant on every call
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(EDIT_EVENT_SCHEMA.fields) + [StructField(CORRUPT_COL, StringType())]
+    )
     parsed = raw.select(
         F.from_json(
             F.col(value_col).cast("string"),

@@ -56,22 +56,22 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def minhash_band_col(band: int) -> Column:
-    """Collapse one band (2 consecutive signature slots) into a single
-    int64 bucket key: sig_{2b}·P + sig_{2b+1} (< 2^63 since P < 2^31.5)."""
+    """Collapse one band (ROWS_PER_BAND signature slots) into a single
+    bucket key: md5 of the '_'-joined slots (strings sidestep int64
+    overflow for r > 2 and are engine-portable)."""
     lo = band * MINHASH_ROWS_PER_BAND
-    c = F.col(f"sig_{lo}")
-    for i in range(lo + 1, lo + MINHASH_ROWS_PER_BAND):
-        c = c * MINHASH_P + F.col(f"sig_{i}")
-    return c
+    return F.md5(
+        F.concat_ws("_", *[F.col(f"sig_{i}") for i in range(lo, lo + MINHASH_ROWS_PER_BAND)])
+    )
 
 
-def minhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """LSH banding: docs sharing any band bucket become a candidate pair
-    (doc_a < doc_b, distinct). The self-join runs per (band, bucket) —
-    an equi-join over the small signature table."""
+MAX_BUCKET_FOR_PAIRS = 64
+
+
+def _band_rows(sigs: DataFrame, id_col: str) -> DataFrame:
     from flink_wikipedia_spark.functions.constants import MINHASH_BANDS
 
-    bands = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -85,17 +85,61 @@ def minhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFram
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a = bands.select(
-        F.col(id_col).alias("doc_a"), F.col("band"), F.col("bucket")
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_bucket: int = MAX_BUCKET_FOR_PAIRS
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair
+    (doc_a < doc_b, distinct). The self-join runs per (band, bucket) —
+    an equi-join over the small signature table.
+
+    **Bucket-size cap**: buckets holding > max_bucket docs are skipped —
+    pairwise enumeration inside a dense bucket is O(n²) by definition
+    and tells you nothing pairwise Jaccard wouldn't; dense buckets are
+    whole dup-clusters and are handled as units by
+    :func:`minhash_dedup_clusters`. This cap is what keeps the operator
+    sub-quadratic on corpora with giant near-dup families (at 100 TB a
+    single boilerplate page can have millions of copies)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    # One shuffle on (band, bucket) computes bucket sizes as a window
+    # count; persist the pruned band table because the self-join scans it
+    # twice (a plain plan would recompute the signature explode+groupBy
+    # per scan — 3× the real work). At 100 TB the equivalent move is
+    # checkpointing the signature table to parquet between stages.
+    bands = _band_rows(sigs, id_col)
+    w = Window.partitionBy("band", "bucket")
+    pruned = (
+        bands.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    b = bands.select(
-        F.col(id_col).alias("doc_b"), F.col("band"), F.col("bucket")
-    )
+    a = pruned.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = pruned.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def minhash_dedup_clusters(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Cluster-level dedup: every band-0 bucket with ≥2 docs is a
+    near-dup cluster; keep min(doc_id), count the rest. Linear in corpus
+    size regardless of cluster fan-out — the 100 TB companion to the
+    pair view."""
+    bands = _band_rows(sigs, id_col).filter(F.col("band") == 0)
+    return (
+        bands.groupBy("bucket")
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
     )
 
 
@@ -120,26 +164,46 @@ def sql_minhash_signatures_duckdb(table: str = "documents",
     """
 
 
-def sql_minhash_pairs_duckdb(table: str = "documents", id_col: str = "doc_id") -> str:
+def _sql_band_rows(table: str, id_col: str) -> str:
     from flink_wikipedia_spark.functions.constants import MINHASH_BANDS
 
     def band_expr(b: int) -> str:
         lo = b * MINHASH_ROWS_PER_BAND
-        expr = f"sig_{lo}"
-        for i in range(lo + 1, lo + MINHASH_ROWS_PER_BAND):
-            expr = f"({expr} * {MINHASH_P} + sig_{i})"
-        return expr
+        cols = ", ".join(f"sig_{i}" for i in range(lo, lo + MINHASH_ROWS_PER_BAND))
+        return f"md5(concat_ws('_', {cols}))"
 
-    band_rows = " UNION ALL ".join(
+    return " UNION ALL ".join(
         f"SELECT {id_col}, {b} AS band, {band_expr(b)} AS bucket FROM sigs"
         for b in range(MINHASH_BANDS)
     )
+
+
+def sql_minhash_pairs_duckdb(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_BUCKET_FOR_PAIRS,
+) -> str:
     return f"""
     WITH sigs AS ({sql_minhash_signatures_duckdb(table, id_col)}),
-    bands AS ({band_rows})
+    bands AS ({_sql_band_rows(table, id_col)}),
+    small AS (
+        SELECT band, bucket FROM bands GROUP BY band, bucket
+        HAVING COUNT(*) <= {max_bucket}
+    ),
+    pruned AS (SELECT bands.* FROM bands JOIN small USING (band, bucket))
     SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
-    FROM bands a JOIN bands b
+    FROM pruned a JOIN pruned b
       ON a.band = b.band AND a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+    """
+
+
+def sql_minhash_clusters_duckdb(table: str = "documents", id_col: str = "doc_id") -> str:
+    return f"""
+    WITH sigs AS ({sql_minhash_signatures_duckdb(table, id_col)}),
+    bands AS ({_sql_band_rows(table, id_col)})
+    SELECT bucket, MIN({id_col}) AS keeper_doc_id, COUNT(*) AS n_members
+    FROM bands WHERE band = 0
+    GROUP BY bucket HAVING COUNT(*) >= 2
     """
 
 

@@ -10,9 +10,11 @@ from pyspark.sql import functions as F
 from flink_wikipedia_spark.operators.dedup import (
     jaccard_pairs,
     minhash_candidate_pairs,
+    minhash_dedup_clusters,
     minhash_signatures,
     simhash_fingerprints,
     sql_jaccard_pairs_duckdb,
+    sql_minhash_clusters_duckdb,
     sql_minhash_pairs_duckdb,
     sql_minhash_signatures_duckdb,
     sql_simhash_duckdb,
@@ -72,11 +74,22 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_minhash_dedup_pairs", oracle=sql_minhash_pairs_duckdb())
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 (MinHash+LSH banding): candidate near-dup pairs = docs sharing
-    any of 4 band buckets. The join is equi on (band, bucket) over the
-    signature table — no document ever meets another document
-    (operators/dedup.minhash_candidate_pairs)."""
+    any band bucket, enumerated only inside buckets ≤64 docs (dense
+    buckets → q_minhash_dedup_clusters). The join is equi on
+    (band, bucket) over the signature table — no document ever meets
+    another document (operators/dedup.minhash_candidate_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(minhash_signatures(docs))
+
+
+@query("q_minhash_dedup_clusters", oracle=sql_minhash_clusters_duckdb())
+def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 (MinHash cluster dedup): band-0 buckets as whole dup-clusters
+    (keeper = min doc_id) — linear in corpus size however large the
+    clusters; the scale path when pair enumeration is quadratic
+    (operators/dedup.minhash_dedup_clusters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_clusters(minhash_signatures(docs))
 
 
 @query("q_simhash", oracle=sql_simhash_duckdb())

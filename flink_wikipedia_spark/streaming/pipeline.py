@@ -1,0 +1,162 @@
+"""The flagship pipeline as a Structured Streaming query — the
+reference job (``DataStreamJob.java:49-91``) re-expressed with the same
+injection seam: ``build_flagship_stream(spark, source_df, sink)``.
+
+Stage-by-stage parity (SURVEY.md §2.1):
+
+    reference                               here
+    ---------                               ----
+    KafkaSource JSON bytes (O1)             any sources.py frame of `value`
+    JsonNodeDeserializationSchema (O2)      decode_edit_events (from_json,
+                                            corrupt-record instead of NPE)
+    1 s bounded out-of-orderness (O3)       withWatermark("ts", "1 second")
+    watermark alignment (O4)                no equivalent — divergence
+                                            documented, SURVEY.md §4.3
+    filter human∧main (O5)                  filter_human_main
+    map to Tuple3 (O6)                      project_with_ts
+    keyBy(domain)+5min tumble (O7/O8)       groupBy(window(ts,"5 minutes"),
+                                            domain)
+    WindowFunction Σ|new−old| (O9)          sum(abs(new-old)) — with Spark's
+                                            partial aggregation, vs the
+                                            reference's buffer-all list state
+    Document.toJson (O10)                   to_json at the sink boundary
+    MongoSink at-least-once (O11)           foreachBatch sink + checkpoint
+
+The decision recorded in SURVEY.md §4.3: the reference windows on
+processing time while *declaring* an event-time watermark it never
+uses (dead code). We window on event time — replayable, testable, and
+what the declared watermark says the author meant.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from flink_wikipedia_spark.operators.core import (
+    decode_edit_events,
+    filter_human_main,
+    project_with_ts,
+)
+
+FLAGSHIP_WATERMARK = "1 second"  # DataStreamJob.java:63
+FLAGSHIP_WINDOW = "5 minutes"    # DataStreamJob.java:85
+
+
+def flagship_transform(
+    decoded: DataFrame,
+    watermark: str = FLAGSHIP_WATERMARK,
+    window_duration: str = FLAGSHIP_WINDOW,
+) -> DataFrame:
+    """O3+O5–O9 on an (already decoded) edit-event frame. Works for both
+    batch and streaming inputs — the core unification win."""
+    filtered = project_with_ts(filter_human_main(decoded))
+    windowed = filtered.withWatermark("ts", watermark) if filtered.isStreaming else filtered
+    w = F.window(F.col("ts"), window_duration)
+    return (
+        windowed.groupBy(w.alias("w"), F.col("domain"))
+        .agg(F.sum(F.abs(F.col("new_length") - F.col("old_length"))).alias("edit_size"))
+        .select(
+            "domain",
+            "edit_size",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        )
+    )
+
+
+def build_flagship_stream(
+    spark: SparkSession,
+    source_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Compose decode → flagship transform → foreachBatch sink and start
+    the query.
+
+    - ``append`` mode + watermark emits each window once, finalized —
+      what the correctness harness wants; ``update`` mode approximates
+      the reference's per-firing Mongo upserts (SURVEY.md §3.4).
+    - checkpointLocation is mandatory — the reference runs without
+      checkpoints and silently loses in-flight windows on failure
+      (SURVEY.md §4.2); we don't ship that mode.
+    """
+    result = flagship_transform(decode_edit_events(source_df))
+    trigger = trigger or {"availableNow": True}
+    return (
+        result.writeStream.outputMode(output_mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**trigger)
+        .start()
+    )
+
+
+def build_dedup_stream(
+    spark: SparkSession,
+    source_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    dedup_cols: list[str] | None = None,
+    watermark: str = "10 seconds",
+) -> StreamingQuery:
+    """Streaming exact dedup (north star E1, streaming form):
+    dropDuplicatesWithinWatermark keeps state only inside the watermark
+    horizon — bounded state at any input volume, the property plain
+    dropDuplicates lacks in streaming."""
+    decoded = decode_edit_events(source_df).withWatermark("ts", watermark)
+    deduped = decoded.dropDuplicatesWithinWatermark(dedup_cols or ["id"])
+    return (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sliding_window_counts(decoded: DataFrame, size: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """Sliding-window per-domain counts (reference has tumbling only,
+    ``DataStreamJob.java:85``; sliding generalizes it)."""
+    src = (
+        decoded.withWatermark("ts", FLAGSHIP_WATERMARK)
+        if decoded.isStreaming
+        else decoded
+    )
+    w = F.window(F.col("ts"), size, slide)
+    return (
+        src.groupBy(w.alias("w"), F.col("domain"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "domain",
+            "n_events",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        )
+    )
+
+
+def session_window_stats(decoded: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Gap-based session windows per domain (batch analog:
+    plans/queries_relational.q_sessionize)."""
+    src = (
+        decoded.withWatermark("ts", FLAGSHIP_WATERMARK)
+        if decoded.isStreaming
+        else decoded
+    )
+    w = F.session_window(F.col("ts"), gap)
+    return (
+        src.groupBy(w.alias("w"), F.col("domain"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "domain",
+            "n_events",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+        )
+    )

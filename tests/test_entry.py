@@ -1,0 +1,47 @@
+"""Driver-contract consistency checks + a fast oracle-parity smoke on a
+few representative queries at sf0.001 (the full gate is
+tools/verify_local.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from flink_wikipedia_spark.schemas import ALL_TABLES
+from tests.conftest import SF_SMOKE
+
+SMOKE_QUERIES = ["q_windowed_edit_size", "q_tpch_q1_pricing_summary", "q_minhash_signatures"]
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"domain", "edit_size", "window_start", "window_end"}
+
+
+def test_every_oracle_has_a_query():
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 40
+
+
+def test_oracles_are_valid_duckdb_sql():
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    for name, sql in entrymod.oracle_sql().items():
+        con.sql(sql)  # raises on syntax/semantic errors
+
+
+@pytest.mark.parametrize("name", SMOKE_QUERIES)
+def test_oracle_parity_smoke(spark, name):
+    import pandas as pd
+
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    sdf = entrymod.queries()[name](spark, SF_SMOKE).toPandas()
+    odf = con.sql(entrymod.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)

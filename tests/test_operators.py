@@ -1,0 +1,112 @@
+"""Micro-tests for the custom operators (as-of join, range join,
+similarity, dedup sketches) on hand-computable inputs — the batch oracle
+covers them at scale; these pin the semantics on corner cases."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_wikipedia_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+from flink_wikipedia_spark.operators.relational import (
+    asof_join,
+    range_join_count,
+    topk_per_group,
+)
+from flink_wikipedia_spark.operators.similarity import topk_cosine
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (2, 50)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 9.0), (1, 100, 10.0), (1, 200, 20.0), (2, 60, 6.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        (r.k, r.t): r.v
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", value_cols=["v"]
+        ).collect()
+    }
+    assert out[(1, 100)] == 10.0  # equal ts matches (ASOF >= semantics)
+    assert out[(1, 205)] == 20.0  # latest ≤ 205
+    assert out[(2, 50)] is None   # nothing at or before 50
+
+
+def test_range_join_counts_boundaries(spark):
+    left = spark.createDataFrame([(1, 1000, 7)], "k long, t long, tag int")
+    right = spark.createDataFrame(
+        [(1, 1000), (1, 1001), (1, 4600), (1, 4601), (2, 1200)], "k long, t long"
+    )
+    out = range_join_count(
+        left, right, on="k", left_ts="t", right_ts="t", range_sec=3600
+    ).collect()
+    # (t, t+3600]: 1000 excluded (strict >), 1001 and 4600 in, 4601 out,
+    # other key out
+    assert out[0].n_in_range == 2
+
+
+def test_range_join_left_rows_without_matches_survive(spark):
+    left = spark.createDataFrame([(5, 10)], "k long, t long")
+    right = spark.createDataFrame([(6, 11)], "k long, t long")
+    out = range_join_count(
+        left, right, on="k", left_ts="t", right_ts="t", range_sec=100
+    ).collect()
+    assert len(out) == 1 and out[0].n_in_range == 0
+
+
+def test_topk_per_group_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 5, 1), ("a", 5, 2), ("a", 3, 3), ("b", 1, 4)], "g string, v long, id long"
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id").asc()], 2)
+    got = [(r.g, r.id) for r in out.orderBy("g", "rk").collect()]
+    assert got == [("a", 1), ("a", 2), ("b", 4)]
+
+
+def test_topk_cosine_identical_vector_ranks_first(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<float>",
+    )
+    out = topk_cosine(emb.filter("vec_id = 0"), emb, k=2).collect()
+    assert [r.neighbor_id for r in out] == [1, 3]
+    assert out[0].sim == pytest.approx(1.0)
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: tuple(r[f"sig_{i}"] for i in range(8))
+            for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_simhash_is_frequency_sensitive_but_order_insensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "z y x"), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert fp[1] == fp[2]  # bag-of-words: order doesn't matter
+    assert fp[1] != fp[3]
+
+
+def test_jaccard_exact_value(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "zz yy")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r.jaccard
+           for r in jaccard_pairs(docs, max_id=10, threshold=0.0).collect()}
+    assert out[(1, 2)] == pytest.approx(3 / 5)  # |∩|=3, |∪|=5
+    assert (1, 3) not in out  # no shared tokens ⇒ no pair row at all

@@ -1,0 +1,170 @@
+"""Streaming semantics tests (SURVEY.md §5.2 layer 2): the flagship
+pipeline replayed from a file source under availableNow, watermark
+late-row dropping, streaming dedup, sliding/session windows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from flink_wikipedia_spark.streaming.pipeline import (
+    build_dedup_stream,
+    build_flagship_stream,
+    flagship_transform,
+    session_window_stats,
+    sliding_window_counts,
+)
+from flink_wikipedia_spark.streaming.sinks import MemorySink, ParquetSink
+from flink_wikipedia_spark.streaming.sources import file_source
+from flink_wikipedia_spark.operators.core import decode_edit_events
+
+
+def ev(i, domain="en.wikipedia.org", ts="2024-01-01T10:01:00Z", user_type="human",
+       namespace="main namespace", old=100, new=150):
+    return json.dumps(
+        {
+            "id": i,
+            "domain": domain,
+            "namespace": namespace,
+            "title": f"t{i}",
+            "timestamp": ts,
+            "user_name": "u",
+            "user_type": user_type,
+            "old_length": old,
+            "new_length": new,
+        }
+    )
+
+
+def write_file(dirpath, name, lines, mtime=None):
+    p = os.path.join(dirpath, name)
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    if mtime is not None:
+        os.utime(p, (mtime, mtime))
+    return p
+
+
+def run_stream(builder, tmp_path, lines_by_file, **kwargs):
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir, exist_ok=True)
+    base = time.time() - 600
+    for i, lines in enumerate(lines_by_file):
+        write_file(src_dir, f"{i:03d}.json", lines, mtime=base + i * 10)
+    sink = MemorySink()
+    spark = kwargs.pop("spark")
+    q = builder(
+        spark,
+        file_source(spark, src_dir, max_files_per_trigger=1),
+        sink,
+        str(tmp_path / "ckpt"),
+        **kwargs,
+    )
+    q.awaitTermination(120)
+    return sink
+
+
+def test_flagship_stream_happy_path(spark, tmp_path):
+    """FIXTURES.md generator guidance: non-human (b), non-main (a),
+    abs() case (d) — all in one replay; one finalized 5-min window."""
+    lines = [
+        ev(1, old=100, new=150),                       # +50
+        ev(2, old=150, new=120),                       # +30 (abs)
+        ev(3, user_type="bot"),                        # filtered O5
+        ev(4, namespace="talk"),                       # filtered O5
+        ev(5, domain="de.wikipedia.org", old=7, new=9) # other key, +2
+    ]
+    # second file far later so the watermark passes the first window
+    later = [ev(9, ts="2024-01-01T11:00:00Z", old=1, new=1)]
+    sink = run_stream(build_flagship_stream, tmp_path, [lines, later], spark=spark)
+    out = {(r.domain, r.window_start.minute): r.edit_size for r in sink.rows}
+    assert out[("en.wikipedia.org", 0)] == 80
+    assert out[("de.wikipedia.org", 0)] == 2
+
+
+def test_flagship_stream_drops_late_rows(spark, tmp_path):
+    """Watermark semantics (reference O3, 1 s bound): a row arriving
+    after the watermark passed its window is dropped (c)."""
+    # Spark finalizes a window in the first batch where the watermark has
+    # passed its end; rows arriving in batches AFTER that are dropped. So:
+    # advance the watermark (batch 1), let the window emit+evict (batch 2),
+    # THEN send the late row (batch 3).
+    on_time = [ev(1, ts="2024-01-01T10:01:00Z", old=0, new=10)]
+    advance = [ev(2, ts="2024-01-01T12:00:00Z", old=0, new=1)]
+    emit_tick = [ev(3, ts="2024-01-01T12:01:00Z", old=0, new=1)]
+    late = [ev(4, ts="2024-01-01T10:02:00Z", old=0, new=100)]  # window evicted
+    flush = [ev(5, ts="2024-01-01T13:00:00Z", old=0, new=1)]
+    sink = run_stream(
+        build_flagship_stream,
+        tmp_path,
+        [on_time, advance, emit_tick, late, flush],
+        spark=spark,
+    )
+    emissions = [
+        r.edit_size
+        for r in sink.rows
+        if (r.window_start.hour, r.window_start.minute) == (10, 0)
+    ]
+    assert emissions == [10]  # emitted once, late +100 never landed
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """North star E1 streaming: duplicate ids (e) collapse."""
+    lines = [ev(1), ev(1), ev(2), ev(1)]
+    sink = run_stream(build_dedup_stream, tmp_path, [lines], spark=spark)
+    ids = sorted(r.id for r in sink.rows)
+    assert ids == ["1", "2"]
+
+
+def test_parquet_sink_idempotent_epochs(spark, tmp_path):
+    sink = ParquetSink(str(tmp_path / "out"))
+    df = spark.range(3).toDF("x")
+    sink(df, 0)
+    sink(df, 0)  # replayed epoch overwrites, not duplicates
+    assert spark.read.parquet(str(tmp_path / "out/epoch=0")).count() == 3
+
+
+def _decoded_batch(spark):
+    lines = [
+        ev(1, ts="2024-01-01T10:01:00Z"),
+        ev(2, ts="2024-01-01T10:04:00Z"),
+        ev(3, ts="2024-01-01T10:20:00Z"),
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    return decode_edit_events(raw)
+
+
+def test_sliding_windows_double_count(spark):
+    """10-min windows sliding by 5: each event lands in exactly 2."""
+    out = sliding_window_counts(_decoded_batch(spark)).collect()
+    assert sum(r.n_events for r in out) == 2 * 3
+    starts = {(r.window_start.minute, r.n_events) for r in out}
+    assert (0, 2) in starts  # 10:00–10:10 holds events at 10:01 and 10:04
+
+
+def test_session_windows_gap_split(spark):
+    """5-min gap: 10:01+10:04 merge into one session; 10:20 is its own."""
+    out = session_window_stats(_decoded_batch(spark)).collect()
+    assert sorted(r.n_events for r in out) == [1, 2]
+
+
+def test_flagship_transform_batch_stream_parity(spark, tmp_path):
+    """The SAME transform runs in batch and streaming and agrees —
+    the unification the reference lacks (SURVEY.md §1.4)."""
+    lines = [ev(1, old=100, new=130), ev(2, old=10, new=0)]
+    batch = flagship_transform(
+        decode_edit_events(spark.createDataFrame([(l,) for l in lines], "value string"))
+    ).collect()
+    later = [ev(9, ts="2024-01-01T11:00:00Z", old=1, new=1)]
+    sink = run_stream(build_flagship_stream, tmp_path, [lines, later], spark=spark)
+    b = {(r.domain, r.window_start): r.edit_size for r in batch}
+    s = {
+        (r.domain, r.window_start): r.edit_size
+        for r in sink.rows
+        if r.window_start.hour == 10
+    }
+    assert b == s
