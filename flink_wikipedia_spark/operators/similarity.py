@@ -87,6 +87,60 @@ def sql_lsh_bucket_duckdb(vec: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+def dist2_expr(a: Column, b: Column) -> Column:
+    """Squared L2 distance, same deterministic fold as dot_expr."""
+    return _fold_sum(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        )
+    )
+
+
+def sql_dist2_duckdb(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(len({a})), "
+        f"i -> (CAST({a}[i+1] AS DOUBLE) - CAST({b}[i+1] AS DOUBLE)) * "
+        f"(CAST({a}[i+1] AS DOUBLE) - CAST({b}[i+1] AS DOUBLE)))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its n_probe nearest
+    centroid cells (rank by rounded squared-L2, centroid id tie-break).
+
+    The centroid table is tiny by construction (a real deployment trains
+    k-means offline; here the first NC corpus vectors serve as fixed
+    centroids) and broadcasts — assignment is a narrow map over the
+    corpus, one pass, no shuffle until the ranking window on vec_id
+    (which AQE keeps local since the join output is already keyed)."""
+    from pyspark.sql import Window
+
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        F.round(dist2_expr(F.col(vec_col), F.col("_cent")), 6).alias("_d2"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_probe)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
 def topk_cosine(
     queries: DataFrame,
     candidates: DataFrame,

@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 
 from flink_wikipedia_spark.operators.similarity import (
     cosine_expr,
+    ivf_assign,
     lsh_bucket_expr,
     sql_cosine_duckdb,
+    sql_dist2_duckdb,
     sql_lsh_bucket_duckdb,
     topk_cosine,
 )
@@ -98,6 +100,89 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOPK_K)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+IVF_NC = 16      # centroid count (vec_id < 16 serve as fixed centroids)
+IVF_NPROBE = 2   # cells probed per query vector
+
+_D2 = sql_dist2_duckdb("v.embedding", "c.embedding")
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id < {IVF_NC}
+    ),
+    assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT v.vec_id, v.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({_D2}, 6) ASC, c.centroid_id ASC) AS rk
+            FROM embeddings v CROSS JOIN centroids c
+        ) WHERE rk <= 1
+    ),
+    probes AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({_D2}, 6) ASC, c.centroid_id ASC) AS rk
+            FROM embeddings v CROSS JOIN centroids c
+            WHERE v.vec_id < {N_QUERY_VECS}
+        ) WHERE rk <= {IVF_NPROBE}
+    )
+    SELECT query_id, neighbor_id, sim, rk FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rk
+        FROM (
+            SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   round({sql_cosine_duckdb('q.embedding', 'a.embedding')}, 6) AS sim
+            FROM probes p
+            JOIN embeddings q ON q.vec_id = p.vec_id
+            JOIN assign a ON a.centroid_id = p.centroid_id
+                         AND a.vec_id <> p.vec_id
+        )
+    ) WHERE rk <= {TOPK_K}
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (IVF): inverted-file ANN — corpus vectors assigned to their
+    nearest centroid cell (coarse quantization), query vectors probe
+    their 2 nearest cells, exact cosine only within probed cells. The
+    candidate join is equi on centroid_id; with k-means-trained
+    centroids this is the classic IVF-Flat layout
+    (operators/similarity.ivf_assign)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVF_NC)
+    assign = ivf_assign(emb, centroids, n_probe=1)
+    probes = ivf_assign(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS), centroids, n_probe=IVF_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"), "centroid_id")
+    cands = assign.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        "centroid_id",
+    )
+    scored = (
+        probes.join(cands, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+        )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

@@ -132,6 +132,31 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *fingerprint_cols())
 
 
+@query("q_zscore_docs", oracle=None)
+def q_zscore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine UDF surface (SURVEY.md §2.2 'UDF/UDAF/UDTF'): per-language
+    z-score of document length via grouped applyInPandas — the
+    Arrow-batched grouped-map path for logic that genuinely wants a
+    dataframe per group (here it doesn't *need* it — the built-in
+    twin is mean/stddev window fns — which is exactly why it's the
+    safe demonstrator). Rows-only driver check: float reductions in
+    pandas are order-sensitive, so no SQL oracle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=0) or 1.0
+        out = pdf.copy()
+        out["z"] = (pdf["n_chars"] - mu) / sd
+        return out
+
+    return docs.groupBy("lang").applyInPandas(
+        zscore, "doc_id long, lang string, n_chars long, z double"
+    )
+
+
 @query(
     "q_top_tokens_per_lang",
     oracle="""

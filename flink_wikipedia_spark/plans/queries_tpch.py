@@ -1,0 +1,263 @@
+"""TPC-H-shaped relational queries beyond Q1/Q3/Q5 (which live in
+queries_relational.py): selective scan aggregates, conditional
+aggregation, correlated EXISTS, outer-join histograms, per-group scalar
+subqueries, LIKE filters, grouping sets — the relational idioms any
+engine user expects, adapted to the driver's star schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_wikipedia_spark.functions.compat import dec_sum
+from flink_wikipedia_spark.plans.registry import query
+from flink_wikipedia_spark.schemas import load_table
+
+
+@query(
+    "q_tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective conjunctive filter + global
+    aggregate. Every predicate reaches PushedFilters; on a
+    shipdate-partitioned layout the scan prunes to one year of
+    partitions before reading a byte."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q14_promo_share",
+    oracle="""
+    SELECT CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
+               AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside SUM) over a
+    fact⋈dim join — part broadcasts, the CASE folds in the partial
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dec_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).alias(
+                "promo_revenue"
+            ),
+            dec_sum(rev).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q4_priority_with_big_lines",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_priority_with_big_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated to a left-semi
+    join — the fact side is pre-filtered before the semi probe, and no
+    lineitem column survives the join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45.0)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q13_order_histogram",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join + two-level aggregation (count per
+    customer, then histogram of counts). The second aggregate's input is
+    one row per customer — the heavy lifting is all in level one."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'SMALL'
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-group scalar subquery (avg quantity per
+    part) consumed by the same fact table. Decorrelated to an aggregate
+    + self-join on partkey; at scale both sides hash on the same key so
+    AQE can plan a shuffled hash join with no extra exchange on the
+    reused side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    part_avg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+         / F.count("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, li.l_partkey == part_avg._pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dec_sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_like_filter_parts",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+    FROM part
+    WHERE p_name LIKE '%wid%' OR p_name LIKE 'red%'
+    GROUP BY p_brand
+    """,
+)
+def q_like_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String pattern matching (LIKE prefix + infix) — the Q9/Q13 idiom.
+    Prefix LIKE pushes down as a StringStartsWith scan filter."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%wid%") | F.col("p_name").like("red%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dec_sum("p_retailprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q_grouping_sets_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube): three
+    set layouts in one pass — Spark expands rows once, aggregates once.
+    Expressed via spark.sql over registered views (the engine's SQL
+    entry point, SURVEY.md §2.2 'SQL parser / catalog: free')."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_window_share_of_segment",
+    oracle="""
+    SELECT o_orderkey, mktsegment, o_totalprice,
+           o_totalprice / seg_total AS segment_share
+    FROM (
+        SELECT o.o_orderkey, c.c_mktsegment AS mktsegment, o.o_totalprice,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6)))
+                    OVER (PARTITION BY c.c_mktsegment) AS DOUBLE) AS seg_total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 450000.0
+    )
+    """,
+)
+def q_window_share_of_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ratio-to-group: each large order's share of its market
+    segment's total — unbounded window sum (decimal-exact) feeding a
+    per-row division."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", F.col("c_mktsegment").alias("mktsegment"), "o_totalprice"
+    )
+    w = Window.partitionBy("mktsegment")
+    return j.select(
+        "o_orderkey",
+        "mktsegment",
+        "o_totalprice",
+        (
+            F.col("o_totalprice")
+            / F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double")
+        ).alias("segment_share"),
+    )

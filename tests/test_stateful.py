@@ -1,0 +1,71 @@
+"""Custom stateful streaming operators: applyInPandasWithState running
+totals (the reference WindowFunction generalization) and stream-stream
+interval join."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from flink_wikipedia_spark.operators.core import decode_edit_events
+from flink_wikipedia_spark.streaming.sinks import MemorySink
+from flink_wikipedia_spark.streaming.sources import file_source
+from flink_wikipedia_spark.streaming.stateful import (
+    purchases_with_recent_views,
+    running_domain_totals,
+)
+from tests.test_streaming import ev, write_file
+
+
+def test_running_totals_accumulate_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = time.time() - 600
+    write_file(src, "000.json", [ev(1, old=0, new=10), ev(2, old=0, new=5)], base)
+    write_file(src, "001.json", [ev(3, old=0, new=7)], base + 10)
+    sink = MemorySink()
+    q = (
+        running_domain_totals(
+            decode_edit_events(file_source(spark, src, max_files_per_trigger=1))
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    per_batch = [
+        {r.domain: (r.n_edits, r.total_edit_size) for r in rows}
+        for _, rows in sink.batches
+        if rows
+    ]
+    # batch 1: two edits, size 15; batch 2: state carried → 3 edits, 22
+    assert per_batch[0]["en.wikipedia.org"] == (2, 15)
+    assert per_batch[-1]["en.wikipedia.org"] == (3, 22)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    lines = [
+        ev(1, ts="2024-01-01T10:00:00Z", old=0, new=1),   # "view" event
+        ev(2, ts="2024-01-01T10:30:00Z", old=0, new=2),   # edit ← joins to 10:00
+        ev(3, ts="2024-01-01T13:00:00Z", old=0, new=3),   # edit, view too old
+    ]
+    write_file(src, "000.json", lines, time.time() - 600)
+    decoded = decode_edit_events(file_source(spark, src))
+    joined = purchases_with_recent_views(decoded, decoded, within="1 hour")
+    sink = MemorySink()
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {(r.l_new_length, r.r_new_length) for r in sink.rows}
+    # only the 10:30 edit has a same-domain event in its preceding hour
+    assert pairs == {(2, 1)}
