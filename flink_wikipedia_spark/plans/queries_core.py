@@ -167,6 +167,55 @@ def q_to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sliding_window_counts",
+    oracle=f"""
+    SELECT domain,
+           to_timestamp(ws) AS window_start,
+           to_timestamp(ws + {2 * WINDOW_SEC}) AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ABS(value) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM (
+        SELECT e.event_type AS domain, e.value,
+               {_WS} - k.k * {WINDOW_SEC} AS ws
+        FROM events e CROSS JOIN (VALUES (0), (1)) AS k(k)
+    )
+    GROUP BY domain, ws
+    """,
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows in batch (10-min window, 5-min slide — the
+    reference has tumbling only, DataStreamJob.java:85): each event
+    belongs to exactly window_size/slide = 2 windows, expressed as an
+    explode over 2 bucket offsets — a generate (no join, no extra
+    shuffle) feeding the same single-exchange aggregate as the
+    flagship. Streaming twin: streaming/pipeline.sliding_window_counts
+    via window(ts, '10 minutes', '5 minutes')."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (F.floor(F.unix_timestamp("ts") / WINDOW_SEC) * WINDOW_SEC).cast("long")
+    return (
+        ev.select(
+            F.col("event_type").alias("domain"),
+            F.abs(F.col("value")).alias("abs_value"),
+            F.explode(
+                F.array(base, base - WINDOW_SEC)
+            ).alias("ws"),
+        )
+        .groupBy("domain", "ws")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("abs_value").alias("total_value"),
+        )
+        .select(
+            "domain",
+            F.timestamp_seconds("ws").alias("window_start"),
+            F.timestamp_seconds(F.col("ws") + 2 * WINDOW_SEC).alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
     "q_edit_event_decode",
     oracle="""
     SELECT CAST(event_id AS VARCHAR) AS id,

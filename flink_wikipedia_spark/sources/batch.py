@@ -1,0 +1,69 @@
+"""Batch readers/writers with explicit schemas.
+
+Schema inference is banned in production paths (schemas.py rationale:
+at 100 TB an inference pass is a full extra scan — or worse for JSON,
+a full parse). Every reader takes a StructType; the edit-event JSON
+reader reuses the streaming decode path so batch replay and live
+streams share one serde (SURVEY.md §1.4's batch/stream unification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from flink_wikipedia_spark.operators.core import decode_edit_events
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV with pinned schema + PERMISSIVE corrupt handling (malformed
+    rows null out instead of failing the job — the same policy as the
+    JSON decode path)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_json_events(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines edit events via the SAME decode stage the streaming
+    pipeline uses (text scan → from_json), so batch replays of captured
+    streams are bit-identical to live processing."""
+    raw = spark.read.text(path).select(F.col("value"))
+    return decode_edit_events(raw)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Scale-aware parquet layout: directory-partitioned on low-
+    cardinality columns (→ partition pruning at read) and sorted within
+    files on range-filter columns (→ row-group min/max skipping). This
+    is the write-time half of SCALE.md's scan story; bucketed-table
+    layouts (shuffle-free joins) additionally need a catalog
+    (`saveAsTable` with bucketBy) and are deployment-specific."""
+    writer = df.write.mode(mode)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+        writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

@@ -51,3 +51,44 @@ class ParquetSink:
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{self.path}/epoch={epoch_id}")
+
+
+class UpsertParquetSink:
+    """Upsert-keyed sink — the twin of the reference's Mongo writes
+    (``DataStreamJob.java:125-135``), which replace documents by key.
+    Each batch merges into the keyed store: existing rows with matching
+    keys are replaced, others kept (SURVEY.md §7 hard part (4): the
+    flagship keys on (domain, window_start), making at-least-once
+    replays invisible).
+
+    Implementation is read-merge-overwrite on parquet, fine for
+    window-aggregate volumes (output is |keys × windows|, not events);
+    a real deployment swaps in Delta/Iceberg MERGE or Mongo
+    replaceOne(upsert) through this same seam."""
+
+    def __init__(self, path: str, key_cols: list[str]) -> None:
+        self.path = path
+        self.key_cols = key_cols
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        batch = batch_df.cache()
+        try:
+            if os.path.exists(self.path):
+                existing = spark.read.parquet(self.path)
+                keep = existing.join(
+                    batch.select(*self.key_cols).distinct(),
+                    self.key_cols,
+                    "left_anti",
+                )
+                merged = keep.unionByName(batch)
+            else:
+                merged = batch
+            tmp = self.path + ".staging"
+            merged.write.mode("overwrite").parquet(tmp)
+            final = spark.read.parquet(tmp)
+            final.write.mode("overwrite").parquet(self.path)
+        finally:
+            batch.unpersist()

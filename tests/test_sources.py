@@ -1,0 +1,55 @@
+"""Batch source/sink surface: schema-pinned readers, partitioned writes
+with partition pruning, and the shared batch/stream JSON decode path."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_wikipedia_spark.schemas import EVENTS_SCHEMA, load_table
+from flink_wikipedia_spark.sources import (
+    read_csv,
+    read_json_events,
+    read_parquet,
+    write_partitioned,
+)
+from tests.conftest import SF_SMOKE
+from tests.test_core_ops import SAMPLE
+
+
+def test_read_parquet_with_schema(spark):
+    df = read_parquet(
+        spark, f"{SF_SMOKE}/documents.parquet",
+        load_table(spark, SF_SMOKE, "documents").schema,
+    )
+    assert df.count() == 500
+
+
+def test_read_json_events_shares_stream_decode(spark, tmp_path):
+    p = tmp_path / "events.jsonl"
+    p.write_text(SAMPLE + "\n" + "{broken\n")
+    df = read_json_events(spark, str(p))
+    rows = df.collect()
+    ok = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(ok) == 1 and ok[0].domain == "en.wikipedia.org"
+    assert len(bad) == 1  # malformed row survives as corrupt record
+
+
+def test_read_csv_permissive(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("a,b\n1,x\nnot_a_number,y\n")
+    df = read_csv(spark, str(p), "a long, b string")
+    vals = {(r.a, r.b) for r in df.collect()}
+    assert (1, "x") in vals and (None, "y") in vals
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "part")
+    write_partitioned(ev, out, partition_cols=["event_type"], sort_cols=["ts"])
+    back = spark.read.schema(EVENTS_SCHEMA).parquet(out)
+    q = back.filter(F.col("event_type") == "purchase")
+    # partition pruning: only the purchase directory is scanned
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert q.count() == ev.filter("event_type = 'purchase'").count()
+    assert "PartitionFilters: [isnotnull(event_type" in plan or "event_type=purchase" in plan

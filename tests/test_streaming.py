@@ -168,3 +168,24 @@ def test_flagship_transform_batch_stream_parity(spark, tmp_path):
         if r.window_start.hour == 10
     }
     assert b == s
+
+
+def test_upsert_sink_replay_invisible(spark, tmp_path):
+    from flink_wikipedia_spark.streaming.sinks import UpsertParquetSink
+
+    out = str(tmp_path / "upsert")
+    sink = UpsertParquetSink(out, key_cols=["domain", "window_start"])
+    b1 = spark.createDataFrame(
+        [("en", 100, 5), ("de", 100, 3)], "domain string, window_start long, edit_size long"
+    )
+    sink(b1, 0)
+    sink(b1, 0)  # at-least-once replay: same keys, no duplicates
+    b2 = spark.createDataFrame(
+        [("en", 100, 9), ("fr", 200, 1)], "domain string, window_start long, edit_size long"
+    )
+    sink(b2, 1)  # update en@100, insert fr@200
+    got = {
+        (r.domain, r.window_start): r.edit_size
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("en", 100): 9, ("de", 100): 3, ("fr", 200): 1}

@@ -40,7 +40,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 pass
             df[c] = s.dt.floor("s").astype("datetime64[ns]")
         elif pd.api.types.is_float_dtype(s):
-            df[c] = s.round(9)
+            # exact bit equality — the engine's determinism rules
+            # (decimal sums, mirrored folds) promise it, so hold them to it
+            df[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
