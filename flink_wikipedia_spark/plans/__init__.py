@@ -11,6 +11,7 @@ from flink_wikipedia_spark.plans.registry import REGISTRY, QueryDef, query
 from flink_wikipedia_spark.plans import queries_core  # noqa: E402,F401
 from flink_wikipedia_spark.plans import queries_relational  # noqa: E402,F401
 from flink_wikipedia_spark.plans import queries_tpch  # noqa: E402,F401
+from flink_wikipedia_spark.plans import queries_functions  # noqa: E402,F401
 from flink_wikipedia_spark.plans import queries_text  # noqa: E402,F401
 from flink_wikipedia_spark.plans import queries_dedup  # noqa: E402,F401
 from flink_wikipedia_spark.plans import queries_similarity  # noqa: E402,F401

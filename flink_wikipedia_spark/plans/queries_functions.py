@@ -1,0 +1,180 @@
+"""Scalar-function breadth + reshaping operators: pivot, moment-based
+statistics (deterministic stddev/correlation), string and date function
+coverage, array ops — the long tail of SURVEY.md §2.2's "scalar fn
+library" row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_wikipedia_spark.functions.compat import dec_sum
+from flink_wikipedia_spark.plans.registry import query
+from flink_wikipedia_spark.schemas import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot_user_event_values",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(SUM(CAST(CASE WHEN event_type = '{t}' THEN value ELSE 0.0 END "
+               f"AS DECIMAL(28,6))) AS DOUBLE) AS {t}"
+               for t in EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide reshape): per-user value totals, one column per
+    event type. The values list is explicit, so Spark skips the extra
+    distinct-values job and plans ONE aggregate pass — always give
+    pivot its values at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(dec_sum("value"))
+    )
+    # pivot leaves missing combinations null; the CASE oracle yields 0.0
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+@query(
+    "q_value_moment_stats",
+    oracle="""
+    SELECT event_type, n,
+           sum_v / n AS mean_value,
+           sqrt((sum_v2 - sum_v * sum_v / n) / n) AS stddev_pop_value
+    FROM (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v2
+        FROM events GROUP BY event_type
+    )
+    """,
+)
+def q_value_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment-based statistics: population stddev from exact decimal
+    moments (Σx, Σx²) instead of the built-in streaming stddev — the
+    pattern that makes second-order stats deterministic across engines,
+    retries, and repartitioning (built-in stddev accumulates doubles in
+    partition order; this doesn't)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_v"),
+        dec_sum(F.col("value") * F.col("value")).alias("sum_v2"),
+    )
+    n = F.col("n")
+    return base.select(
+        "event_type",
+        "n",
+        (F.col("sum_v") / n).alias("mean_value"),
+        F.sqrt((F.col("sum_v2") - F.col("sum_v") * F.col("sum_v") / n) / n).alias(
+            "stddev_pop_value"
+        ),
+    )
+
+
+@query(
+    "q_string_functions",
+    oracle="""
+    SELECT doc_id,
+           upper(lang) AS lang_upper,
+           length(text) AS text_len,
+           substring(text, 1, 10) AS head10,
+           replace(source, 'src', 'source-') AS source_renamed,
+           concat(lang, ':', source) AS lang_source,
+           CAST(contains(text, 'spark') AS INT) AS mentions_spark,
+           ltrim(rtrim(concat(' ', lang, ' '))) AS trimmed
+    FROM documents
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth in one pass: upper/length/substring/
+    replace/concat/contains/trim — all codegen'd, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.length("text").cast("long").alias("text_len"),
+        F.substring("text", 1, 10).alias("head10"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("source-")).alias(
+            "source_renamed"
+        ),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        F.contains(F.col("text"), F.lit("spark")).cast("int").alias("mentions_spark"),
+        F.ltrim(F.rtrim(F.concat(F.lit(" "), F.col("lang"), F.lit(" ")))).alias(
+            "trimmed"
+        ),
+    )
+
+
+@query(
+    "q_orders_by_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function coverage: calendar grouping (year/month extraction
+    — the batch analog of calendar-aligned windows)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(round(CAST(embedding[1] AS DOUBLE), 6) AS DOUBLE) AS first_component,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
+                 (a, b) -> a + b), 6) AS head8_sum,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(list_reverse(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE))))[1:3],
+                                x -> x)), (a, b) -> a + b), 6) AS top3_sum
+    FROM embeddings
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth over the embedding column: size, element
+    access, slice + fold, sort-desc + top-slice fold — the higher-order
+    toolkit (transform/aggregate/slice/sort_array) that keeps vector
+    math JVM-side (E12)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias(
+            "first_component"
+        ),
+        F.round(fold(F.slice(as_double, 1, 8)), 6).alias("head8_sum"),
+        F.round(
+            fold(F.slice(F.reverse(F.array_sort(as_double)), 1, 3)), 6
+        ).alias("top3_sum"),
+    )
