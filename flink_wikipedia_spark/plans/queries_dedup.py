@@ -101,6 +101,70 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(docs)
 
 
+@query(
+    "q_dedup_pipeline",
+    oracle=f"""
+    WITH pairs AS ({sql_minhash_pairs_duckdb()}),
+    toks AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substring(md5(token),1,15) AS BIGINT) % 1000003 AS hm
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN toks a ON a.doc_id = p.doc_a
+        JOIN toks b ON b.doc_id = p.doc_b AND b.hm = a.hm
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
+    """,
+)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline, composed end-to-end: MinHash+LSH
+    generates candidates (sub-quadratic), exact token-set Jaccard
+    verifies them, only pairs ≥ 0.8 survive — the sketch-then-verify
+    shape every 100 TB dedup runs (candidates are ~0.1% of all pairs;
+    exact Jaccard only ever touches those)."""
+    from flink_wikipedia_spark.operators.dedup import _doc_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(minhash_signatures(docs))
+    toks = _doc_tokens(docs, "doc_id", "text")
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "hm")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "hm")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "hm"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
 @query("q_ngram_jaccard_pairs", oracle=sql_jaccard_pairs_duckdb())
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 (exact Jaccard on a bounded candidate set): token-set overlap

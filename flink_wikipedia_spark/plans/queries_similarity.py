@@ -224,6 +224,48 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embedding_neardup_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {sql_lsh_bucket_duckdb('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({sql_cosine_duckdb('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({sql_cosine_duckdb('a.embedding', 'b.embedding')}, 6) >= 0.25
+    """,
+)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1×E2, the scale form: near-dup pairs over the WHOLE corpus with
+    candidates restricted to same-LSH-bucket vectors — the cross
+    product never exists, and the exact cosine runs only on colliding
+    pairs (same sketch-then-verify shape as q_dedup_pipeline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", lsh_bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.25)
+    )
+
+
+@query(
     "q_multimodal_meta",
     oracle="""
     SELECT modality, COUNT(*) AS n_assets,

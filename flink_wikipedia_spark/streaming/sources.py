@@ -44,6 +44,20 @@ def kafka_source(
     return reader.load().select(F.col("value").cast("string").alias("value"))
 
 
+def socket_source(spark: SparkSession, host: str = "localhost", port: int = 9999) -> DataFrame:
+    """TCP text socket — one JSON event per line (the north star's
+    named dev source; like the reference's Kafka value stream but with
+    no offsets, so no fault tolerance — dev/demo only, exactly as
+    Spark documents it)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+        .select(F.col("value").alias("value"))
+    )
+
+
 def file_source(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """Directory of JSON-lines text files — the replayable test twin of
     the Kafka source (each line = one event payload)."""
@@ -86,8 +100,10 @@ def streaming_source(spark: SparkSession, kind: str, **kwargs) -> DataFrame:
     """One factory for all source kinds (the engine's O1 surface)."""
     if kind == "kafka":
         return kafka_source(spark, **kwargs)
+    if kind == "socket":
+        return socket_source(spark, **kwargs)
     if kind == "file":
         return file_source(spark, **kwargs)
     if kind == "rate":
         return rate_source(spark, **kwargs)
-    raise ValueError(f"unknown source kind: {kind!r} (kafka|file|rate)")
+    raise ValueError(f"unknown source kind: {kind!r} (kafka|socket|file|rate)")

@@ -189,3 +189,52 @@ def test_upsert_sink_replay_invisible(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {("en", 100): 9, ("de", 100): 3, ("fr", 200): 1}
+
+
+def test_socket_source_live_pipeline(spark, tmp_path):
+    """Drive the flagship through a REAL TCP socket (the north star's
+    dev source): a local server feeds edit events, the stream decodes,
+    filters, and aggregates them."""
+    import socket
+    import threading
+
+    from flink_wikipedia_spark.streaming.sources import socket_source
+    from flink_wikipedia_spark.operators.core import decode_edit_events, filter_human_main
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def feed():
+        conn, _ = srv.accept()
+        payload = "\n".join(
+            [ev(1, old=0, new=10), ev(2, user_type="bot"), ev(3, old=0, new=5)]
+        ) + "\n"
+        conn.sendall(payload.encode())
+        # keep the connection open until the test closes the server
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+
+    sink = MemorySink()
+    decoded = filter_human_main(
+        decode_edit_events(socket_source(spark, "127.0.0.1", port))
+    ).select("id", "domain", "new_length")
+    q = (
+        decoded.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(sink.rows) < 2:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        srv.close()
+    got = {(r.id, r.new_length) for r in sink.rows}
+    assert got == {("1", 10), ("3", 5)}  # bot row filtered, humans pass
