@@ -1,0 +1,117 @@
+"""CLI — the reference's ``main()`` (``DataStreamJob.java:110-143``) as
+``python -m flink_wikipedia_spark``: wire a source and a sink to the
+flagship pipeline and run it.
+
+A user of the reference switches like-for-like:
+
+    # the reference's exact job (Kafka in, keyed 5-min windows out):
+    python -m flink_wikipedia_spark \
+        --source kafka --brokers 192.168.4.130:9092 --topic wikipedia-events \
+        --sink parquet --out /data/edits --checkpoint /data/ck
+
+    # dev twin with a socket (nc -lk 9999 and paste events):
+    python -m flink_wikipedia_spark --source socket --host localhost --port 9999 \
+        --sink console --checkpoint /tmp/ck
+
+    # bounded replay of captured events:
+    python -m flink_wikipedia_spark --source file --path /data/events \
+        --sink parquet --out /data/out --checkpoint /tmp/ck --once
+
+Differences from the reference, on purpose:
+- checkpointing is mandatory (the reference has none and loses
+  in-flight windows on failure, SURVEY.md §4.2);
+- failures PROPAGATE with a non-zero exit (the reference logs and
+  swallows, ``DataStreamJob.java:137-142``);
+- the Mongo sink's replace-by-key behavior is available as
+  ``--sink upsert`` (UpsertParquetSink keyed on domain+window_start);
+  a real Mongo deployment plugs mongo-spark-connector into the same
+  foreachBatch seam.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="flink_wikipedia_spark")
+    p.add_argument("--source", choices=["kafka", "socket", "file", "rate"], required=True)
+    p.add_argument("--brokers", help="kafka bootstrap servers")
+    p.add_argument("--topic", default="wikipedia-events")
+    p.add_argument("--starting-offsets", default="latest")
+    p.add_argument("--host", default="localhost")
+    p.add_argument("--port", type=int, default=9999)
+    p.add_argument("--path", help="input dir for --source file")
+    p.add_argument("--rate", type=int, default=100, help="rows/s for --source rate")
+    p.add_argument("--sink", choices=["parquet", "upsert", "console"], default="console")
+    p.add_argument("--out", help="output dir for parquet/upsert sinks")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--window", default="5 minutes")
+    p.add_argument("--watermark", default="1 second")
+    p.add_argument("--mode", choices=["append", "update"], default="append")
+    p.add_argument("--once", action="store_true", help="availableNow: drain and exit")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from flink_wikipedia_spark.session import get_spark
+    from flink_wikipedia_spark.streaming.pipeline import build_flagship_stream
+    from flink_wikipedia_spark.streaming.sinks import ParquetSink, UpsertParquetSink
+    from flink_wikipedia_spark.streaming.sources import streaming_source
+
+    spark = get_spark("flink-wikipedia-spark-cli")
+
+    source_kwargs: dict = {}
+    if args.source == "kafka":
+        if not args.brokers:
+            print("--brokers is required for --source kafka", file=sys.stderr)
+            return 2
+        source_kwargs = dict(
+            brokers=args.brokers,
+            topic=args.topic,
+            starting_offsets=args.starting_offsets,
+        )
+    elif args.source == "socket":
+        source_kwargs = dict(host=args.host, port=args.port)
+    elif args.source == "file":
+        if not args.path:
+            print("--path is required for --source file", file=sys.stderr)
+            return 2
+        source_kwargs = dict(path=args.path)
+    elif args.source == "rate":
+        source_kwargs = dict(rows_per_second=args.rate)
+
+    if args.sink in ("parquet", "upsert") and not args.out:
+        print("--out is required for parquet/upsert sinks", file=sys.stderr)
+        return 2
+    if args.sink == "parquet":
+        sink = ParquetSink(args.out)
+    elif args.sink == "upsert":
+        sink = UpsertParquetSink(args.out, key_cols=["domain", "window_start"])
+    else:
+        def sink(batch_df, epoch_id):  # console
+            print(f"--- epoch {epoch_id} ---")
+            batch_df.show(50, truncate=False)
+
+    trigger = {"availableNow": True} if args.once else {"processingTime": "5 seconds"}
+    query = build_flagship_stream(
+        spark,
+        streaming_source(spark, args.source, **source_kwargs),
+        sink,
+        checkpoint_dir=args.checkpoint,
+        trigger=trigger,
+        output_mode=args.mode,
+        watermark=args.watermark,
+        window_duration=args.window,
+    )
+    # Propagate failures (non-zero exit) — deliberately NOT the
+    # reference's swallow-and-exit-zero behavior.
+    query.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

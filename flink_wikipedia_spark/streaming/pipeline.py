@@ -75,6 +75,8 @@ def build_flagship_stream(
     checkpoint_dir: str,
     trigger: dict | None = None,
     output_mode: str = "append",
+    watermark: str = FLAGSHIP_WATERMARK,
+    window_duration: str = FLAGSHIP_WINDOW,
 ) -> StreamingQuery:
     """Compose decode → flagship transform → foreachBatch sink and start
     the query.
@@ -86,7 +88,11 @@ def build_flagship_stream(
       checkpoints and silently loses in-flight windows on failure
       (SURVEY.md §4.2); we don't ship that mode.
     """
-    result = flagship_transform(decode_edit_events(source_df))
+    result = flagship_transform(
+        decode_edit_events(source_df),
+        watermark=watermark,
+        window_duration=window_duration,
+    )
     trigger = trigger or {"availableNow": True}
     return (
         result.writeStream.outputMode(output_mode)

@@ -45,3 +45,20 @@ def test_oracle_parity_smoke(spark, name):
     odf = con.sql(entrymod.oracle_sql()[name]).df()
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
+
+
+def test_cli_arg_parsing():
+    from flink_wikipedia_spark.__main__ import parse_args
+
+    a = parse_args(
+        [
+            "--source", "kafka", "--brokers", "b:9092", "--sink", "upsert",
+            "--out", "/o", "--checkpoint", "/c", "--window", "10 minutes",
+            "--mode", "update",
+        ]
+    )
+    assert a.source == "kafka" and a.brokers == "b:9092"
+    assert a.sink == "upsert" and a.window == "10 minutes" and a.mode == "update"
+
+    b = parse_args(["--source", "file", "--path", "/p", "--checkpoint", "/c", "--once"])
+    assert b.once and b.sink == "console"
