@@ -110,3 +110,40 @@ def test_jaccard_exact_value(spark):
            for r in jaccard_pairs(docs, max_id=10, threshold=0.0).collect()}
     assert out[(1, 2)] == pytest.approx(3 / 5)  # |∩|=3, |∪|=5
     assert (1, 3) not in out  # no shared tokens ⇒ no pair row at all
+
+
+def test_pandas_udf_cosine_matches_builtin(spark):
+    """UDF surface (SURVEY.md §2.2): an Arrow-batched @pandas_udf cosine
+    agrees with the codegen higher-order-function kernel to 1e-12 —
+    the sanctioned escape hatch produces the same numbers as the fast
+    path it would replace."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from flink_wikipedia_spark.operators.similarity import cosine_expr
+    from flink_wikipedia_spark.schemas import load_table
+    from tests.conftest import SF_SMOKE
+
+# `from __future__ import annotations` stringifies hints, so pass the
+    # function explicitly instead of relying on type-hint inference
+    def _pd_cosine(a, b):
+        def cos(x, y):
+            x = np.asarray(x, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            return float(x @ y / (np.sqrt(x @ x) * np.sqrt(y @ y)))
+
+        return pd.Series([cos(x, y) for x, y in zip(a, b)])
+
+    pd_cosine = pandas_udf(_pd_cosine, DoubleType())
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib")).limit(200)
+    rows = pairs.select(
+        cosine_expr(F.col("ea"), F.col("eb")).alias("builtin"),
+        pd_cosine("ea", "eb").alias("udf"),
+    ).collect()
+    assert rows and all(abs(r.builtin - r.udf) < 1e-12 for r in rows)

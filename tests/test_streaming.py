@@ -238,3 +238,19 @@ def test_socket_source_live_pipeline(spark, tmp_path):
         srv.close()
     got = {(r.id, r.new_length) for r in sink.rows}
     assert got == {("1", 10), ("3", 5)}  # bot row filtered, humans pass
+
+
+def test_flagship_update_mode_emits_provisional_results(spark, tmp_path):
+    """`update` output mode approximates the reference's per-firing
+    Mongo upserts (SURVEY.md §3.4): the same window re-emits with a
+    refined value as new rows arrive, keyed for upsert."""
+    f1 = [ev(1, old=0, new=10)]
+    f2 = [ev(2, old=0, new=5)]   # same window, second batch
+    sink = run_stream(
+        build_flagship_stream, tmp_path, [f1, f2], spark=spark, output_mode="update"
+    )
+    emissions = [
+        r.edit_size for _, rows in sink.batches for r in rows
+        if r.domain == "en.wikipedia.org"
+    ]
+    assert emissions == [10, 15]  # provisional 10, then upserted 15
