@@ -30,6 +30,55 @@ def sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def stream_throughput(spark, sf_dir: str) -> tuple[int, float]:
+    """Flagship STREAMING throughput: render the events table as
+    edit-event JSON files, replay them through the real Structured
+    Streaming pipeline (file source → decode → filter → window agg →
+    parquet sink, availableNow), return (rows, events_per_sec).
+
+    This is the honest comparison against the reference's design point
+    (a live Flink job at ~10–100 events/s, BASELINE.md)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_wikipedia_spark.schemas import load_table
+    from flink_wikipedia_spark.streaming.pipeline import build_flagship_stream
+    from flink_wikipedia_spark.streaming.sinks import ParquetSink
+    from flink_wikipedia_spark.streaming.sources import file_source
+
+    tmp = tempfile.mkdtemp(prefix="bench-stream-")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    ev = load_table(spark, sf_dir, "events")
+    n_rows = ev.count()
+    payload = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.col("event_type").alias("domain"),
+                F.lit("main namespace").alias("namespace"),
+                F.lit("t").alias("title"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+                F.lit("u").alias("user_name"),
+                F.lit("human").alias("user_type"),
+                F.lit(0).alias("old_length"),
+                F.col("value").cast("long").alias("new_length"),
+            )
+        ).alias("value")
+    )
+    payload.coalesce(8).write.mode("overwrite").text(src)
+
+    t0 = time.perf_counter()
+    q = build_flagship_stream(
+        spark, file_source(spark, src), ParquetSink(out), checkpoint_dir=ck
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n_rows, round(n_rows / wall, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -44,6 +93,8 @@ def main() -> None:
         qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 3)
 
+    stream_rows, stream_eps = stream_throughput(spark, sf_dir)
+
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
@@ -53,6 +104,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf_from_dir(sf_dir),
+                "stream_events": stream_rows,
+                "stream_events_per_sec": stream_eps,
             }
         )
     )
