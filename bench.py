@@ -84,8 +84,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup outside timed region
+    # Warmup outside the timed region: JVM JIT, whole-stage-codegen
+    # compilation, parquet reader + timestamp decode paths. Bench numbers
+    # are steady-state (what a long-running cluster job sees), not
+    # first-query compile cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for warm in ("q_project", "q_windowed_edit_size", "q_tpch_q1_pricing_summary"):
+        REGISTRY[warm].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
     for name, qd in REGISTRY.items():
