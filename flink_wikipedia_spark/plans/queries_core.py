@@ -92,6 +92,39 @@ def q_keyby_agg_edit_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_salted_agg_edit_size",
+    oracle="""
+    SELECT event_type AS domain,
+           CAST(SUM(CAST(ABS(value) AS DECIMAL(28,6))) AS DOUBLE) AS edit_size,
+           COUNT(*) AS n_edits
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_salted_agg_edit_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted twin of q_keyby_agg_edit_size (SURVEY.md §4.3(4):
+    en.wikipedia.org-style hot keys): two-phase groupBy over a
+    deterministic row-hash salt. The oracle is the PLAIN group-by —
+    proving the salted plan changes only the shuffle distribution,
+    never the result (operators/skew.salted_sum)."""
+    from flink_wikipedia_spark.operators.skew import salted_sum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("domain"),
+        F.abs(F.col("value")).alias("abs_value"),
+    )
+    out = salted_sum(
+        ev,
+        ["domain"],
+        {"edit_size": F.col("abs_value").cast("decimal(28,6)")},
+        count_alias="n_edits",
+    )
+    return out.select(
+        "domain", F.col("edit_size").cast("double").alias("edit_size"), "n_edits"
+    )
+
+
+@query(
     "q_filter_events",
     oracle="""
     SELECT event_id, user_id, event_type, value
