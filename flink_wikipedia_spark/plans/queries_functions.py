@@ -85,6 +85,40 @@ def q_value_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_rank_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WHERE o_totalprice > 480000.0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-rank breadth: rank / dense_rank / percent_rank / ntile
+    over one window spec — one shuffle on the partition key serves all
+    four (Spark plans a single Window operator). percent_rank's
+    (rank−1)/(n−1) division is integer-derived ⇒ deterministic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000.0)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
     "q_string_functions",
     oracle="""
     SELECT doc_id,
