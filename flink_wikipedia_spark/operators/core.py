@@ -53,7 +53,12 @@ def decode_edit_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
             {"columnNameOfCorruptRecord": CORRUPT_COL},
         ).alias("e")
     ).select("e.*")
-    return parsed.withColumn("ts", F.to_timestamp("timestamp"))
+    # try_to_timestamp, not to_timestamp: under ANSI mode (which the
+    # engine runs for oracle-parity arithmetic) a plain cast THROWS on a
+    # malformed timestamp and kills the stream — the same
+    # poison-message fragility as the reference's NPE. try_ yields null;
+    # the row keeps flowing and windowing simply can't place it.
+    return parsed.withColumn("ts", F.try_to_timestamp("timestamp"))
 
 
 def filter_human_main(df: DataFrame) -> DataFrame:

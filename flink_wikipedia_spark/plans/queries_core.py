@@ -157,7 +157,7 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_json_extract",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
     FROM events
@@ -168,11 +168,13 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference O2 (JsonNodeDeserializationSchema.java:24-37): JSON
     field extraction — the reference's per-record Jackson walk becomes a
     codegen'd `get_json_object`. Null-safe where the reference NPEs on
-    missing fields (SURVEY.md §1.3)."""
+    missing fields (SURVEY.md §1.3); try_cast so a non-numeric value
+    nulls instead of throwing under ANSI (the NumberFormatException
+    twin, JsonNodeDeserializationSchema.java:34-35)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.get_json_object("props", "$.k").try_cast("long").alias("k"),
             F.col("value"),
         )
         .groupBy("k")

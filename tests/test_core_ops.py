@@ -100,3 +100,15 @@ def test_encode_json_round_trips(spark):
     df = _decode(spark, [SAMPLE])
     out = encode_json(df.select("domain", "new_length"), "domain", "new_length")
     assert out.collect()[0].json == '{"domain":"en.wikipedia.org","new_length":126151}'
+
+
+def test_decode_malformed_timestamp_survives_ansi(spark):
+    """Poison-message resilience under ANSI mode: a garbage timestamp
+    must null out (try_to_timestamp), not kill the job — the failure
+    mode the reference has for any malformed field (SURVEY.md §3.3)."""
+    rows = _decode(
+        spark, [SAMPLE.replace("2023-11-27T19:19:29Z", "not-a-timestamp")]
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].ts is None
+    assert rows[0].domain == "en.wikipedia.org"  # rest of the row intact
