@@ -17,6 +17,106 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 @query(
+    "q_having_active_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > 50
+    """,
+)
+def q_having_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING): heavy users only. Catalyst
+    plans it as a filter above the final HashAggregate — it never sees
+    pre-aggregated rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+        .filter(F.col("n_events") > 50)
+    )
+
+
+@query(
+    "q_union_all_actions",
+    oracle="""
+    SELECT kind, COUNT(*) AS n FROM (
+        SELECT 'big_purchase' AS kind FROM events
+        WHERE event_type = 'purchase' AND value > 150.0
+        UNION ALL
+        SELECT 'any_error' AS kind FROM events WHERE event_type = 'error'
+    )
+    GROUP BY kind
+    """,
+)
+def q_union_all_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union — no dedup shuffle, unlike q_setops_users'
+    distinct union): both branches scan-prune independently and
+    concatenate for free."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).select(
+        F.lit("big_purchase").alias("kind")
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.lit("any_error").alias("kind")
+    )
+    return a.unionAll(b).groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_median_value",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(quantile_cont(value, 0.9), 6) AS p90_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90): both engines sort
+    and linearly interpolate the same way, so values agree bit-for-bit
+    (rounded 6dp for belt-and-braces). At 100 TB the exact form needs a
+    per-group sort; approx_percentile (t-digest) is the sketch path —
+    kept oracle-less like HLL."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+    )
+
+
+@query(
+    "q_collect_user_lists",
+    oracle="""
+    SELECT event_type,
+           array_to_string(list_transform(list_sort(list(DISTINCT user_id)),
+                                          x -> CAST(x AS VARCHAR)), ',') AS users
+    FROM events
+    WHERE user_id < 30
+    GROUP BY event_type
+    """,
+)
+def q_collect_user_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-list aggregation made deterministic: collect_set is
+    unordered by contract, so sort before rendering — the only safe way
+    to emit collected collections from a distributed engine."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return ev.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("user_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("users")
+    )
+
+
+@query(
     "q_pivot_user_event_values",
     oracle=f"""
     SELECT user_id,

@@ -254,3 +254,29 @@ def test_flagship_update_mode_emits_provisional_results(spark, tmp_path):
         if r.domain == "en.wikipedia.org"
     ]
     assert emissions == [10, 15]  # provisional 10, then upserted 15
+
+
+def test_rate_source_generates_valid_events(spark, tmp_path):
+    """The rate source renders synthetic edit-event JSON the decode
+    stage accepts — the Kafka-free soak/throughput path."""
+    from flink_wikipedia_spark.streaming.sources import rate_source
+
+    sink = MemorySink()
+    q = (
+        decode_edit_events(rate_source(spark, rows_per_second=200))
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(sink.rows) < 10:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(sink.rows) >= 10
+    r = sink.rows[0]
+    assert r.user_type == "human" and r.domain.startswith("domain-")
+    assert r.ts is not None and r._corrupt_record is None
