@@ -69,13 +69,15 @@ def stream_throughput(spark, sf_dir: str) -> tuple[int, float]:
     )
     payload.coalesce(8).write.mode("overwrite").text(src)
 
-    t0 = time.perf_counter()
-    q = build_flagship_stream(
-        spark, file_source(spark, src), ParquetSink(out), checkpoint_dir=ck
-    )
-    q.awaitTermination()
-    wall = time.perf_counter() - t0
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        t0 = time.perf_counter()
+        q = build_flagship_stream(
+            spark, file_source(spark, src), ParquetSink(out), checkpoint_dir=ck
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return n_rows, round(n_rows / wall, 1)
 
 

@@ -99,18 +99,8 @@ def stable_token_hash(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-# SQL-text twins, for building oracle strings from one template.
-def sql_dec_sum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
-
-
-def sql_dec_avg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({expr})"
-
-
-def sql_ts_bucket_duckdb(expr: str, seconds: int) -> str:
-    return f"to_timestamp(CAST(floor(epoch({expr})/{seconds})*{seconds} AS BIGINT))"
-
-
-def sql_token_hash_duckdb(expr: str) -> str:
-    return f"CAST('0x' || substring(md5({expr}),1,15) AS BIGINT)"
+# The DuckDB twin of each helper is documented in its docstring; oracle
+# SQL that is structurally complex (MinHash, SimHash, LSH, lang-ID) is
+# generated from shared constants in operators/*.py `sql_*_duckdb`
+# builders, while simple aggregates spell the CAST(SUM(CAST(...)))
+# pattern inline at each oracle for readability.

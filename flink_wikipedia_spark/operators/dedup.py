@@ -91,8 +91,7 @@ def minhash_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", max_bucket: int = MAX_BUCKET_FOR_PAIRS
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become a candidate pair
-    (doc_a < doc_b, distinct). The self-join runs per (band, bucket) —
-    an equi-join over the small signature table.
+    (doc_a < doc_b, distinct).
 
     **Bucket-size cap**: buckets holding > max_bucket docs are skipped —
     pairwise enumeration inside a dense bucket is O(n²) by definition
@@ -100,29 +99,33 @@ def minhash_candidate_pairs(
     whole dup-clusters and are handled as units by
     :func:`minhash_dedup_clusters`. This cap is what keeps the operator
     sub-quadratic on corpora with giant near-dup families (at 100 TB a
-    single boilerplate page can have millions of copies)."""
-    from pyspark import StorageLevel
-    from pyspark.sql import Window
+    single boilerplate page can have millions of copies).
 
-    # One shuffle on (band, bucket) computes bucket sizes as a window
-    # count; persist the pruned band table because the self-join scans it
-    # twice (a plain plan would recompute the signature explode+groupBy
-    # per scan — 3× the real work). At 100 TB the equivalent move is
-    # checkpointing the signature table to parquet between stages.
+    Because buckets are capped, pairs are enumerated LOCALLY per bucket
+    (collect the ≤64 sorted ids, expand combinations with array
+    higher-order functions) — one shuffle on (band, bucket), no
+    self-join, no second scan of the signature subtree."""
     bands = _band_rows(sigs, id_col)
-    w = Window.partitionBy("band", "bucket")
-    pruned = (
-        bands.withColumn("_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    grouped = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids").between(2, max_bucket))
     )
-    a = pruned.select(F.col(id_col).alias("doc_a"), "band", "bucket")
-    b = pruned.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    n = F.size(F.col("_ids"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("_ids"), i + 1, n - i),
+                lambda b: F.struct(
+                    F.get(F.col("_ids"), i - 1).alias("doc_a"), b.alias("doc_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -164,7 +167,8 @@ def sql_minhash_signatures_duckdb(table: str = "documents",
     """
 
 
-def _sql_band_rows(table: str, id_col: str) -> str:
+def _sql_band_rows(id_col: str) -> str:
+    """Band rows over a CTE named ``sigs`` (callers define it)."""
     from flink_wikipedia_spark.functions.constants import MINHASH_BANDS
 
     def band_expr(b: int) -> str:
@@ -185,7 +189,7 @@ def sql_minhash_pairs_duckdb(
 ) -> str:
     return f"""
     WITH sigs AS ({sql_minhash_signatures_duckdb(table, id_col)}),
-    bands AS ({_sql_band_rows(table, id_col)}),
+    bands AS ({_sql_band_rows(id_col)}),
     small AS (
         SELECT band, bucket FROM bands GROUP BY band, bucket
         HAVING COUNT(*) <= {max_bucket}
@@ -200,7 +204,7 @@ def sql_minhash_pairs_duckdb(
 def sql_minhash_clusters_duckdb(table: str = "documents", id_col: str = "doc_id") -> str:
     return f"""
     WITH sigs AS ({sql_minhash_signatures_duckdb(table, id_col)}),
-    bands AS ({_sql_band_rows(table, id_col)})
+    bands AS ({_sql_band_rows(id_col)})
     SELECT bucket, MIN({id_col}) AS keeper_doc_id, COUNT(*) AS n_members
     FROM bands WHERE band = 0
     GROUP BY bucket HAVING COUNT(*) >= 2

@@ -45,11 +45,14 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _decode_payload(payload: bytes, modality: str) -> dict:
+def _decode_payload(payload: bytes | None, modality: str) -> dict:
     """Decode seam. Real codecs (PIL/libsndfile/ffmpeg) are unavailable
     here — ``real_decode=False`` callers get a deterministic
     byte-statistics fake; wiring a real codec means replacing this
     function body only."""
+    if payload is None:
+        # null payloads are data, not poison — never let one kill the job
+        return {"n_bytes": 0, "checksum": 0, "mean_byte": 0.0}
     # Deterministic fake "decode": byte statistics of the payload.
     n = len(payload)
     checksum = sum(payload[:64]) if n else 0

@@ -130,7 +130,9 @@ def range_join_count(
         F.col(right_ts).alias("_rts"),
         F.floor(F.col(right_ts) / range_sec).alias("_rb"),
     )
-    l2 = left.withColumn(
+    # per-row id so duplicate left rows each keep their own count (the
+    # groupBy below must not merge identical left rows)
+    l2 = left.withColumn("_rjid", F.monotonically_increasing_id()).withColumn(
         "_lb", F.explode(F.array(F.floor(F.col(left_ts) / range_sec),
                                  F.floor(F.col(left_ts) / range_sec) + 1))
     )
@@ -143,6 +145,7 @@ def range_join_count(
         "left",
     )
     return (
-        joined.groupBy(*left.columns)
+        joined.groupBy("_rjid", *left.columns)
         .agg(F.count("_rts").alias(count_alias))
+        .drop("_rjid")
     )

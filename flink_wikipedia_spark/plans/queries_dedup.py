@@ -101,13 +101,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(docs)
 
 
+from flink_wikipedia_spark.functions.constants import HM_MOD
+
+
 @query(
     "q_dedup_pipeline",
     oracle=f"""
     WITH pairs AS ({sql_minhash_pairs_duckdb()}),
     toks AS (
         SELECT DISTINCT doc_id,
-               CAST('0x' || substring(md5(token),1,15) AS BIGINT) % 1000003 AS hm
+               CAST('0x' || substring(md5(token),1,15) AS BIGINT) % {HM_MOD} AS hm
         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
               FROM documents)
         WHERE token <> ''

@@ -53,7 +53,12 @@ def flagship_transform(
 ) -> DataFrame:
     """O3+O5–O9 on an (already decoded) edit-event frame. Works for both
     batch and streaming inputs — the core unification win."""
-    filtered = project_with_ts(filter_human_main(decoded))
+    # drop rows whose timestamp failed to decode (ts null): streaming's
+    # watermark aggregate drops them implicitly; filtering explicitly
+    # keeps batch replays bit-identical to live runs
+    filtered = project_with_ts(filter_human_main(decoded)).filter(
+        F.col("ts").isNotNull()
+    )
     windowed = filtered.withWatermark("ts", watermark) if filtered.isStreaming else filtered
     w = F.window(F.col("ts"), window_duration)
     return (
@@ -88,6 +93,9 @@ def build_flagship_stream(
       checkpoints and silently loses in-flight windows on failure
       (SURVEY.md §4.2); we don't ship that mode.
     """
+    from flink_wikipedia_spark.functions.compat import ensure_session_conf
+
+    ensure_session_conf(spark)
     result = flagship_transform(
         decode_edit_events(source_df),
         watermark=watermark,
@@ -115,6 +123,9 @@ def build_dedup_stream(
     dropDuplicatesWithinWatermark keeps state only inside the watermark
     horizon — bounded state at any input volume, the property plain
     dropDuplicates lacks in streaming."""
+    from flink_wikipedia_spark.functions.compat import ensure_session_conf
+
+    ensure_session_conf(spark)
     decoded = decode_edit_events(source_df).withWatermark("ts", watermark)
     deduped = decoded.dropDuplicatesWithinWatermark(dedup_cols or ["id"])
     return (

@@ -61,23 +61,50 @@ class UpsertParquetSink:
     flagship keys on (domain, window_start), making at-least-once
     replays invisible).
 
-    Implementation is read-merge-overwrite on parquet, fine for
-    window-aggregate volumes (output is |keys × windows|, not events);
-    a real deployment swaps in Delta/Iceberg MERGE or Mongo
+    Implementation is read-merge-write-new-version + atomic pointer
+    swap: each epoch writes a fresh ``v=<epoch>`` directory and then
+    atomically republishes the ``_CURRENT`` pointer (os.replace). A
+    crash at ANY point leaves the previous version fully intact and
+    readable — replaying the epoch simply rebuilds the same new version.
+    Fine for window-aggregate volumes (output is |keys × windows|, not
+    events); a real deployment swaps in Delta/Iceberg MERGE or Mongo
     replaceOne(upsert) through this same seam."""
 
     def __init__(self, path: str, key_cols: list[str]) -> None:
         self.path = path
         self.key_cols = key_cols
 
-    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+    def _pointer(self) -> str:
         import os
 
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_version_path(self) -> str | None:
+        import os
+
+        try:
+            with open(self._pointer()) as f:
+                name = f.read().strip()
+        except FileNotFoundError:
+            return None
+        p = os.path.join(self.path, name)
+        return p if os.path.exists(p) else None
+
+    def read_current(self, spark):
+        cur = self.current_version_path()
+        return spark.read.parquet(cur) if cur else None
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+        import shutil
+        import tempfile
+
         spark = batch_df.sparkSession
+        os.makedirs(self.path, exist_ok=True)
         batch = batch_df.cache()
         try:
-            if os.path.exists(self.path):
-                existing = spark.read.parquet(self.path)
+            existing = self.read_current(spark)
+            if existing is not None:
                 keep = existing.join(
                     batch.select(*self.key_cols).distinct(),
                     self.key_cols,
@@ -86,9 +113,22 @@ class UpsertParquetSink:
                 merged = keep.unionByName(batch)
             else:
                 merged = batch
-            tmp = self.path + ".staging"
-            merged.write.mode("overwrite").parquet(tmp)
-            final = spark.read.parquet(tmp)
-            final.write.mode("overwrite").parquet(self.path)
+            # version dir is unique PER INVOCATION (uuid suffix), never
+            # reused on replay: the merge plan lazily reads the published
+            # version, so the write target must always be a fresh dir
+            import uuid
+
+            version = f"v={epoch_id}-{uuid.uuid4().hex[:8]}"
+            vpath = os.path.join(self.path, version)
+            merged.write.mode("overwrite").parquet(vpath)
+            # atomic publish: write-temp + os.replace
+            fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._CURRENT.")
+            with os.fdopen(fd, "w") as f:
+                f.write(version)
+            os.replace(tmp, self._pointer())
+            # old versions are garbage, not truth — safe to drop
+            for name in os.listdir(self.path):
+                if name.startswith("v=") and name != version:
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         finally:
             batch.unpersist()

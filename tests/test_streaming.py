@@ -186,7 +186,7 @@ def test_upsert_sink_replay_invisible(spark, tmp_path):
     sink(b2, 1)  # update en@100, insert fr@200
     got = {
         (r.domain, r.window_start): r.edit_size
-        for r in spark.read.parquet(out).collect()
+        for r in sink.read_current(spark).collect()
     }
     assert got == {("en", 100): 9, ("de", 100): 3, ("fr", 200): 1}
 
