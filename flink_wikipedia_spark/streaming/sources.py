@@ -106,4 +106,14 @@ def streaming_source(spark: SparkSession, kind: str, **kwargs) -> DataFrame:
         return file_source(spark, **kwargs)
     if kind == "rate":
         return rate_source(spark, **kwargs)
-    raise ValueError(f"unknown source kind: {kind!r} (kafka|socket|file|rate)")
+    if kind == "wikipedia_sim":
+        from flink_wikipedia_spark.sources.wikipedia_sim import register
+
+        register(spark)
+        reader = spark.readStream.format("wikipedia_sim")
+        for k, v in kwargs.items():
+            reader = reader.option(k, str(v))
+        return reader.load()
+    raise ValueError(
+        f"unknown source kind: {kind!r} (kafka|socket|file|rate|wikipedia_sim)"
+    )
