@@ -36,7 +36,11 @@ import sys
 
 def parse_args(argv: list[str]) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="flink_wikipedia_spark")
-    p.add_argument("--source", choices=["kafka", "socket", "file", "rate"], required=True)
+    p.add_argument(
+        "--source",
+        choices=["kafka", "socket", "file", "rate", "wikipedia_sim"],
+        required=True,
+    )
     p.add_argument("--brokers", help="kafka bootstrap servers")
     p.add_argument("--topic", default="wikipedia-events")
     p.add_argument("--starting-offsets", default="latest")
@@ -83,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
         source_kwargs = dict(path=args.path)
     elif args.source == "rate":
         source_kwargs = dict(rows_per_second=args.rate)
+    elif args.source == "wikipedia_sim":
+        source_kwargs = dict(rowsPerBatch=args.rate)
 
     if args.sink in ("parquet", "upsert") and not args.out:
         print("--out is required for parquet/upsert sinks", file=sys.stderr)
@@ -96,11 +102,20 @@ def main(argv: list[str] | None = None) -> int:
             print(f"--- epoch {epoch_id} ---")
             batch_df.show(50, truncate=False)
 
+    emitted = {"rows": 0, "batches": 0}
+    inner_sink = sink
+
+    def counting_sink(batch_df, epoch_id):
+        n = batch_df.count()
+        emitted["rows"] += n
+        emitted["batches"] += 1
+        inner_sink(batch_df, epoch_id)
+
     trigger = {"availableNow": True} if args.once else {"processingTime": "5 seconds"}
     query = build_flagship_stream(
         spark,
         streaming_source(spark, args.source, **source_kwargs),
-        sink,
+        counting_sink,
         checkpoint_dir=args.checkpoint,
         trigger=trigger,
         output_mode=args.mode,
@@ -110,6 +125,17 @@ def main(argv: list[str] | None = None) -> int:
     # Propagate failures (non-zero exit) — deliberately NOT the
     # reference's swallow-and-exit-zero behavior.
     query.awaitTermination()
+    print(
+        f"emitted {emitted['rows']} window rows over {emitted['batches']} batches",
+        file=sys.stderr,
+    )
+    if args.once and args.mode == "append" and emitted["rows"] == 0:
+        print(
+            "note: append mode only emits windows the watermark has passed; "
+            "a single drained batch finalizes nothing. Use --mode update to "
+            "see provisional results with --once.",
+            file=sys.stderr,
+        )
     return 0
 
 
