@@ -132,6 +132,48 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *fingerprint_cols())
 
 
+@query(
+    "q_bigram_counts",
+    oracle="""
+    SELECT lang, bigram, COUNT(*) AS n
+    FROM (
+        SELECT lang,
+               unnest(list_transform(
+                   range(len(string_split(lower(text), ' ')) - 1),
+                   i -> string_split(lower(text), ' ')[i+1] || ' ' ||
+                        string_split(lower(text), ' ')[i+2])) AS bigram
+        FROM documents
+    )
+    WHERE bigram <> '' AND bigram NOT LIKE ' %' AND bigram NOT LIKE '% '
+    GROUP BY lang, bigram
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram statistics (bigrams per language): adjacent-token pairs
+    built with array higher-order functions (zip of the token array with
+    its own tail), then the standard explode→count. The n-gram
+    construction is a narrow map — only the count shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
+    )
+    return (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .filter(
+            (F.col("bigram") != "")
+            & ~F.col("bigram").startswith(" ")
+            & ~F.col("bigram").endswith(" ")
+        )
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
 @query("q_zscore_docs", oracle=None)
 def q_zscore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine UDF surface (SURVEY.md §2.2 'UDF/UDAF/UDTF'): per-language
