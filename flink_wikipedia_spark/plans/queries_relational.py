@@ -322,6 +322,19 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_approx_percentile_value", oracle=None)
+def q_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family, percentile form: approx_percentile's
+    fixed-size mergeable summary next to the exact interpolated twin
+    q_median_value — at 100 TB the exact form needs per-group sorts,
+    the sketch is one pass. Rows-only check (estimates are
+    engine-specific by construction, like HLL)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9), 1000)").alias("p50_p90")
+    )
+
+
 @query("q_approx_distinct_users", oracle=None)
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E10 (HLL): approx_count_distinct at 2% rsd. At 100 TB this is the

@@ -28,6 +28,14 @@ class QueryDef:
 REGISTRY: dict[str, QueryDef] = {}
 
 
+def alias(new_name: str, existing: str) -> None:
+    """Register an additional name for an existing query (used where
+    SURVEY.md §2 names an inventory query differently than the primary
+    registration — the driver and judge key off names)."""
+    qd = REGISTRY[existing]
+    REGISTRY[new_name] = QueryDef(new_name, qd.fn, qd.oracle, qd.doc)
+
+
 def query(name: str, oracle: str | None = None):
     """Register a query builder. ``oracle`` is the DuckDB twin SQL."""
 
