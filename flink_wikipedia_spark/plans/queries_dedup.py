@@ -168,6 +168,50 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({sql_minhash_pairs_duckdb()}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT node, component, CAST(n_members AS BIGINT) AS n_members FROM (
+        SELECT node, component,
+               COUNT(*) OVER (PARTITION BY component) AS n_members
+        FROM (
+            SELECT u AS node, LEAST(u, MIN(v)) AS component
+            FROM reach GROUP BY u
+        )
+    )
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: connected components over the
+    MinHash candidate-pair graph via iterative min-label propagation
+    (operators/graph.connected_components). The oracle computes the same
+    transitive closure with a recursive CTE — a genuinely iterative
+    Spark algorithm checked against genuinely recursive SQL."""
+    from pyspark.sql import Window
+
+    from flink_wikipedia_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(minhash_signatures(docs))
+    comp = connected_components(pairs)
+    w = Window.partitionBy("component")
+    return comp.select(
+        "node", "component", F.count(F.lit(1)).over(w).alias("n_members")
+    )
+
+
 @query("q_ngram_jaccard_pairs", oracle=sql_jaccard_pairs_duckdb())
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 (exact Jaccard on a bounded candidate set): token-set overlap

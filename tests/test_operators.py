@@ -147,3 +147,13 @@ def test_pandas_udf_cosine_matches_builtin(spark):
         pd_cosine("ea", "eb").alias("udf"),
     ).collect()
     assert rows and all(abs(r.builtin - r.udf) < 1e-12 for r in rows)
+
+
+def test_connected_components_chain_and_island(spark):
+    from flink_wikipedia_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
