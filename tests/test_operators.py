@@ -126,7 +126,7 @@ def test_pandas_udf_cosine_matches_builtin(spark):
     from flink_wikipedia_spark.schemas import load_table
     from tests.conftest import SF_SMOKE
 
-# `from __future__ import annotations` stringifies hints, so pass the
+    # `from __future__ import annotations` stringifies hints, so pass the
     # function explicitly instead of relying on type-hint inference
     def _pd_cosine(a, b):
         def cos(x, y):
