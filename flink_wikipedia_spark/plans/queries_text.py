@@ -155,14 +155,20 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own tail), then the standard explode→count. The n-gram
     construction is a narrow map — only the count shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    # materialize the token array FIRST: referencing the split(...) tree
+    # inside the lambda would re-evaluate it per element access (observed
+    # 3.4 s → <1 s at sf0.1 from this two-step projection)
+    with_toks = docs.select(
+        "lang", F.split(F.lower(F.col("text")), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     bigrams = F.transform(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
     )
     return (
-        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        with_toks.select("lang", F.explode(bigrams).alias("bigram"))
         .filter(
             (F.col("bigram") != "")
             & ~F.col("bigram").startswith(" ")
