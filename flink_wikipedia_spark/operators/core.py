@@ -58,7 +58,15 @@ def decode_edit_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
     # malformed timestamp and kills the stream — the same
     # poison-message fragility as the reference's NPE. try_ yields null;
     # the row keeps flowing and windowing simply can't place it.
-    return parsed.withColumn("ts", F.try_to_timestamp("timestamp"))
+    # Range-clamp as well: inputs like "-1000" parse to year −1000, a
+    # valid Spark timestamp that Python-side collection cannot represent
+    # (found by the hypothesis decode-never-throws property).
+    ts = F.try_to_timestamp("timestamp")
+    sane = ts.between(
+        F.lit("0001-01-01 00:00:00").cast("timestamp"),
+        F.lit("9999-12-31 23:59:59").cast("timestamp"),
+    )
+    return parsed.withColumn("ts", F.when(sane, ts))
 
 
 def filter_human_main(df: DataFrame) -> DataFrame:
