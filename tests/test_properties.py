@@ -105,3 +105,85 @@ def test_flagship_matches_pandas_oracle(spark, rows):
         kept.groupby(["domain", "window_minute"])["size"].sum().to_dict()
     )
     assert got == {(d, int(m)): int(v) for (d, m), v in want.items()}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join vs pandas.merge_asof (backward) — an independent third
+    implementation of the semantics. Right side deduped to one row per
+    (key, ts) with max value-id, mirroring the operator's contract."""
+    from flink_wikipedia_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, t long, lid long"
+    )
+    rraw = pd.DataFrame(
+        [(k, t, float(i)) for i, (k, t) in enumerate(right)],
+        columns=["k", "t", "v"],
+    )
+    # unique per (k, t): keep the max-index row (max_by(v, idx) twin)
+    rpd = rraw.groupby(["k", "t"], as_index=False)["v"].max()
+    rdf = spark.createDataFrame(rpd, "k long, t long, v double")
+
+    got = {
+        r.lid: r.v
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="t", right_ts="t", value_cols=["v"]
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "t", "lid"]
+    ).sort_values("t", kind="stable")
+    want_df = pd.merge_asof(
+        lpd, rpd.sort_values("t"), on="t", by="k", direction="backward"
+    )
+    want = {
+        int(r.lid): (None if math.isnan(r.v) else r.v)
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=20
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=0, max_size=40
+    ),
+    range_sec=st.sampled_from([7, 60, 100]),
+)
+def test_range_join_matches_bruteforce(spark, left, right, range_sec):
+    """Bucketed range join vs brute-force python count over
+    (t, t+range] — including bucket-boundary cases the 2-bucket explode
+    must cover."""
+    from flink_wikipedia_spark.operators.relational import range_join_count
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, t long, lid long"
+    )
+    rdf = spark.createDataFrame(right or [(99, -1)], "k long, t long")
+    got = {
+        r.lid: r.n_in_range
+        for r in range_join_count(
+            ldf, rdf, on="k", left_ts="t", right_ts="t", range_sec=range_sec
+        ).collect()
+    }
+    want = {
+        i: sum(1 for (rk, rt) in (right or [(99, -1)])
+               if rk == k and t < rt <= t + range_sec)
+        for i, (k, t) in enumerate(left)
+    }
+    assert got == want
