@@ -185,6 +185,76 @@ def q_value_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+    )
+    """,
+)
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the inverse of q_pivot): one row per
+    (part, metric). Spark's unpivot/melt expands in the projection —
+    no shuffle, output is metrics× the input rows."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@query(
+    "q_hash_sample",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT) % 100 < 10
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content hash — the corpus-pipeline
+    sampling/sharding primitive (df.sample is seed-and-partitioning
+    dependent and can never be cross-engine reproducible; hash-mod
+    sampling is stable across engines, reruns, and repartitioning, and
+    composes into train/val/test splits by range)."""
+    from flink_wikipedia_spark.functions.compat import stable_token_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        stable_token_hash(F.col("event_id").cast("string")) % 100 < 10
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "q_posexplode_tokens",
+    oracle="""
+    SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split(text, ' '),
+                      (t, i) -> struct_pack(pos := i, token := t))) AS s
+        FROM documents WHERE doc_id < 50
+    ), LATERAL (SELECT s.pos AS pos, s.token AS token)
+    WHERE token <> ''
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode): tokens with their 1-based
+    position — the ordinality-preserving flatten that n-gram and
+    span-labeling pipelines need."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
+    )
+
+
+@query(
     "q_rank_functions",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
