@@ -61,13 +61,7 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
-    from flink_wikipedia_spark.session import get_spark
-    from flink_wikipedia_spark.streaming.pipeline import build_flagship_stream
-    from flink_wikipedia_spark.streaming.sinks import ParquetSink, UpsertParquetSink
-    from flink_wikipedia_spark.streaming.sources import streaming_source
-
-    spark = get_spark("flink-wikipedia-spark-cli")
-
+    # validate BEFORE paying JVM startup
     source_kwargs: dict = {}
     if args.source == "kafka":
         if not args.brokers:
@@ -93,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.sink in ("parquet", "upsert") and not args.out:
         print("--out is required for parquet/upsert sinks", file=sys.stderr)
         return 2
+
+    from flink_wikipedia_spark.session import get_spark
+    from flink_wikipedia_spark.streaming.pipeline import build_flagship_stream
+    from flink_wikipedia_spark.streaming.sinks import ParquetSink, UpsertParquetSink
+    from flink_wikipedia_spark.streaming.sources import streaming_source
+
+    spark = get_spark("flink-wikipedia-spark-cli")
+
     if args.sink == "parquet":
         sink = ParquetSink(args.out)
     elif args.sink == "upsert":

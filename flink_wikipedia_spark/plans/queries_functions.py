@@ -323,6 +323,61 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ship_latency_histogram",
+    oracle="""
+    SELECT latency_days, COUNT(*) AS n_lines FROM (
+        SELECT CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS INT) AS latency_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    GROUP BY latency_days
+    """,
+)
+def q_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic across a join: order→ship latency in days,
+    histogrammed. datediff is calendar-day subtraction on both engines
+    (integer, deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.datediff("l_shipdate", "o_orderdate").alias("latency_days"))
+        .groupBy("latency_days")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "q_edit_distance_pairs",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substring(a.text, 1, 20), substring(b.text, 1, 20)) AS INT) AS dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 40 AND b.doc_id < 40
+      AND levenshtein(substring(a.text, 1, 20), substring(b.text, 1, 20)) <= 8
+    """,
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (Levenshtein ≤ 8 on 20-char prefixes) over a
+    bounded candidate set — the edit-distance dedup primitive. Both
+    engines implement classic Levenshtein: integer, deterministic. At
+    scale this only ever runs on sketch-generated candidates (like
+    q_dedup_pipeline), never all pairs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 20).alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 20).alias("_tb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("_ta"), F.col("_tb")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 8)
+    )
+
+
+@query(
     "q_orders_by_month",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS y,
