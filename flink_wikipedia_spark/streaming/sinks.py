@@ -53,6 +53,35 @@ class ParquetSink:
         batch_df.write.mode("overwrite").parquet(f"{self.path}/epoch={epoch_id}")
 
 
+class RetrySink:
+    """Bounded-retry wrapper for transient sink failures — the twin of
+    the reference's ``MongoSink.setMaxRetries(3)``
+    (``DataStreamJob.java:131``). Retries the SAME batch in-process
+    (cheap, no state-store replay); if all attempts fail the error
+    propagates and Structured Streaming's checkpoint replays the epoch —
+    at-least-once either way, and exactly-once when the wrapped sink is
+    idempotent/upsert-keyed (ParquetSink / UpsertParquetSink)."""
+
+    def __init__(self, inner, max_retries: int = 3, backoff_s: float = 0.5) -> None:
+        self.inner = inner
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import time
+
+        last: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                self.inner(batch_df, epoch_id)
+                return
+            except Exception as e:  # noqa: BLE001 — sink errors are retryable
+                last = e
+                if attempt < self.max_retries:
+                    time.sleep(self.backoff_s * (2**attempt))
+        raise last  # propagate: the reference swallows; we do not
+
+
 class UpsertParquetSink:
     """Upsert-keyed sink — the twin of the reference's Mongo writes
     (``DataStreamJob.java:125-135``), which replace documents by key.

@@ -280,3 +280,88 @@ def test_rate_source_generates_valid_events(spark, tmp_path):
     r = sink.rows[0]
     assert r.user_type == "human" and r.domain.startswith("domain-")
     assert r.ts is not None and r._corrupt_record is None
+
+
+def test_retry_sink_retries_then_succeeds_and_propagates(spark):
+    from flink_wikipedia_spark.streaming.sinks import RetrySink
+
+    df = spark.range(3)
+    calls = {"n": 0}
+
+    def flaky(batch_df, epoch_id):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+
+    RetrySink(flaky, max_retries=3, backoff_s=0.01)(df, 0)
+    assert calls["n"] == 3  # two failures absorbed, third attempt wrote
+
+    def always_broken(batch_df, epoch_id):
+        raise RuntimeError("permanent")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="permanent"):
+        RetrySink(always_broken, max_retries=2, backoff_s=0.01)(df, 0)
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window in a LIVE stream: 5-min gap sessions finalize
+    once the watermark passes (availableNow over two files)."""
+    from flink_wikipedia_spark.streaming.pipeline import session_window_stats
+
+    f1 = [
+        ev(1, ts="2024-01-01T10:00:00Z"),
+        ev(2, ts="2024-01-01T10:03:00Z"),   # merges: gap 3 min
+        ev(3, ts="2024-01-01T10:30:00Z"),   # own session
+    ]
+    f2 = [ev(9, ts="2024-01-01T12:00:00Z")]  # watermark push
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    base = time.time() - 600
+    write_file(src_dir, "000.json", f1, base)
+    write_file(src_dir, "001.json", f2, base + 10)
+    sink = MemorySink()
+    q = (
+        session_window_stats(decode_edit_events(file_source(spark, src_dir, max_files_per_trigger=1)))
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sessions = {
+        (r.session_start.minute, r.n_events)
+        for r in sink.rows
+        if r.session_start.hour == 10
+    }
+    assert (0, 2) in sessions   # 10:00+10:03 merged
+    assert (30, 1) in sessions  # 10:30 alone
+
+
+def test_streaming_sliding_windows(spark, tmp_path):
+    from flink_wikipedia_spark.streaming.pipeline import sliding_window_counts
+
+    f1 = [ev(1, ts="2024-01-01T10:02:00Z")]
+    f2 = [ev(9, ts="2024-01-01T12:00:00Z")]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    base = time.time() - 600
+    write_file(src_dir, "000.json", f1, base)
+    write_file(src_dir, "001.json", f2, base + 10)
+    sink = MemorySink()
+    q = (
+        sliding_window_counts(decode_edit_events(file_source(spark, src_dir, max_files_per_trigger=1)))
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    starts = sorted(
+        r.window_start.minute for r in sink.rows if r.window_start.hour in (9, 10)
+    )
+    # 10:02 lands in [09:55,10:05) and [10:00,10:10)
+    assert starts == [0, 55]
