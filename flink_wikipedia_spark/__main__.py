@@ -48,6 +48,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--port", type=int, default=9999)
     p.add_argument("--path", help="input dir for --source file")
     p.add_argument("--rate", type=int, default=100, help="rows/s for --source rate")
+    p.add_argument(
+        "--rows-per-batch", type=int, default=500,
+        help="rows per micro-batch for --source wikipedia_sim",
+    )
     p.add_argument("--sink", choices=["parquet", "upsert", "console"], default="console")
     p.add_argument("--out", help="output dir for parquet/upsert sinks")
     p.add_argument("--checkpoint", required=True)
@@ -82,7 +86,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.source == "rate":
         source_kwargs = dict(rows_per_second=args.rate)
     elif args.source == "wikipedia_sim":
-        source_kwargs = dict(rowsPerBatch=args.rate)
+        source_kwargs = dict(rowsPerBatch=args.rows_per_batch)
 
     if args.sink in ("parquet", "upsert") and not args.out:
         print("--out is required for parquet/upsert sinks", file=sys.stderr)
@@ -90,7 +94,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from flink_wikipedia_spark.session import get_spark
     from flink_wikipedia_spark.streaming.pipeline import build_flagship_stream
-    from flink_wikipedia_spark.streaming.sinks import ParquetSink, UpsertParquetSink
+    from flink_wikipedia_spark.streaming.sinks import (
+        ParquetSink,
+        RetrySink,
+        UpsertParquetSink,
+    )
     from flink_wikipedia_spark.streaming.sources import streaming_source
 
     spark = get_spark("flink-wikipedia-spark-cli")
@@ -105,13 +113,21 @@ def main(argv: list[str] | None = None) -> int:
             batch_df.show(50, truncate=False)
 
     emitted = {"rows": 0, "batches": 0}
-    inner_sink = sink
+    # sink retries mirror the reference's MongoSink.setMaxRetries(3)
+    # (DataStreamJob.java:131); composes with the idempotent sinks above
+    inner_sink = RetrySink(sink, max_retries=3)
 
     def counting_sink(batch_df, epoch_id):
-        n = batch_df.count()
-        emitted["rows"] += n
-        emitted["batches"] += 1
-        inner_sink(batch_df, epoch_id)
+        # persist: the count AND the sink both consume the batch — without
+        # it the whole micro-batch plan would execute twice per epoch
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            emitted["rows"] += n
+            emitted["batches"] += 1
+            inner_sink(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
 
     trigger = {"availableNow": True} if args.once else {"processingTime": "5 seconds"}
     query = build_flagship_stream(

@@ -45,6 +45,7 @@ def connected_components(
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .persist()
     )
     for _ in range(max_iter):
         # each node proposes its current label to every neighbor
@@ -72,9 +73,11 @@ def connected_components(
                 F.col("a.node").alias("node"),
                 F.coalesce(F.col("b._lc"), F.col("a.component")).alias("component"),
             )
-            # lazy: materialized by the convergence-check action below,
-            # so each iteration costs ONE job instead of two
-            .localCheckpoint(eager=False)
+            # persist + explicit unpersist of the previous iteration:
+            # lineage stays shallow (each plan reads the cached parent)
+            # and storage holds at most two label tables, not one per
+            # iteration (localCheckpoint blocks can't be freed eagerly)
+            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -83,6 +86,7 @@ def connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -158,9 +158,13 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the token array FIRST: referencing the split(...) tree
     # inside the lambda would re-evaluate it per element access (observed
     # 3.4 s → <1 s at sf0.1 from this two-step projection)
+    # single-token docs must produce NO bigrams: sequence(1, 0) is
+    # DESCENDING in Spark ([1, 0]) and would emit the lone token twice
+    # via concat_ws's null-skipping — filter size ≥ 2 first, matching
+    # the oracle's empty range(len-1)
     with_toks = docs.select(
         "lang", F.split(F.lower(F.col("text")), " ").alias("_toks")
-    )
+    ).filter(F.size("_toks") >= 2)
     toks = F.col("_toks")
     n = F.size(toks)
     bigrams = F.transform(

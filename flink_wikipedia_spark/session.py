@@ -54,6 +54,12 @@ def get_spark(
     # outgrows the heap (bounded memory, spills to local disk). Opt in
     # with SPARK_GRAFT_STATE_STORE=rocksdb for large-state deployments.
     state_store = os.environ.get("SPARK_GRAFT_STATE_STORE", "hdfs").lower()
+    if state_store not in ("hdfs", "heap", "rocksdb"):
+        # a typo here silently selecting heap is exactly the OOM the
+        # opt-in exists to prevent — fail loudly instead
+        raise ValueError(
+            f"SPARK_GRAFT_STATE_STORE={state_store!r}: expected hdfs|heap|rocksdb"
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)
