@@ -45,7 +45,6 @@ def connected_components(
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
     )
     for _ in range(max_iter):
         # each node proposes its current label to every neighbor
@@ -73,11 +72,17 @@ def connected_components(
                 F.col("a.node").alias("node"),
                 F.coalesce(F.col("b._lc"), F.col("a.component")).alias("component"),
             )
-            # persist + explicit unpersist of the previous iteration:
-            # lineage stays shallow (each plan reads the cached parent)
-            # and storage holds at most two label tables, not one per
-            # iteration (localCheckpoint blocks can't be freed eagerly)
-            .persist()
+            # localCheckpoint is load-bearing, persist() is NOT a
+            # substitute: persist only short-circuits execution — the
+            # LOGICAL plan still nests the previous iteration's tree
+            # (labels appears ~4x per round), so analysis/plan-string
+            # work grows 4^N and OOMs the driver around iteration 10.
+            # Checkpointing replaces the plan with a LogicalRDD leaf.
+            # lazy: materialized by the convergence-check action below,
+            # so each iteration costs ONE job instead of two. Old
+            # checkpoint blocks are freed by the ContextCleaner when
+            # the superseded DataFrame is garbage-collected.
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -86,7 +91,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

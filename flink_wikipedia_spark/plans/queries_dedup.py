@@ -219,3 +219,81 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.jaccard_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(docs)
+
+
+@query(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({sql_minhash_pairs_duckdb()}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    pick AS (
+        SELECT component, doc_id AS canonical_id,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM labeled
+    )
+    SELECT l.doc_id, l.component, p.canonical_id,
+           l.doc_id = p.canonical_id AS is_canonical
+    FROM labeled l
+    JOIN (SELECT component, canonical_id FROM pick WHERE rk = 1) p
+      ON p.component = l.component
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame a training pipeline actually runs: every doc
+    mapped to the CANONICAL representative of its near-dup cluster —
+    keep the longest doc per cluster (n_chars desc, doc_id asc as the
+    deterministic tie-break), mark the rest for deletion. Composes
+    MinHash candidates → connected components → per-cluster pick;
+    singleton docs are their own canonical.
+
+    Scale: the per-cluster pick is a row_number window partitioned by
+    component — clusters are overwhelmingly tiny (copies of one doc),
+    so no partition skew; the doc table joins the (small) component
+    map by broadcast at 100 TB since components only cover docs that
+    appear in some candidate pair."""
+    from pyspark.sql import Window
+
+    from flink_wikipedia_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(minhash_signatures(docs))
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    pick = (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("component", F.col("doc_id").alias("canonical_id"))
+    )
+    return labeled.join(pick, "component").select(
+        "doc_id",
+        "component",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )

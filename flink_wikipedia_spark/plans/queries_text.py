@@ -240,3 +240,83 @@ def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= 5
     )
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf_cnt
+        FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    doclen AS (SELECT doc_id, SUM(tf_cnt) AS n_toks FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT token, COUNT(*) AS df_cnt FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.token,
+               (CAST(t.tf_cnt AS DOUBLE) / l.n_toks)
+               * ((n.n_docs - d.df_cnt + 0.5) / (d.df_cnt + 0.5)) AS score
+        FROM tf t
+        JOIN doclen l ON l.doc_id = t.doc_id
+        JOIN dfreq d ON d.token = t.token
+        CROSS JOIN n
+    )
+    SELECT doc_id, token, score FROM (
+        SELECT doc_id, token, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term salience: top-3 distinguishing terms per document.
+
+    idf is the BM25 odds-ratio form (N - df + 0.5)/(df + 0.5) — on
+    purpose log-free: tf, idf, and their product are all single IEEE
+    divisions/multiplications of integer-derived doubles, which two
+    independent engines compute bit-identically, whereas ln() is a
+    libm call with no cross-engine exactness guarantee. Same ranking
+    monotonicity as log-idf (the odds ratio is monotone in df).
+
+    Scale: one explode + three hash aggregates off the SAME tf
+    relation (doclen and df are derived from tf, not re-tokenized),
+    one broadcast of the single-row corpus count, and a per-doc
+    window top-k — no shuffle carries raw text, only (doc_id, token)
+    pairs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf_cnt"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf_cnt").alias("n_toks"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                (F.col("tf_cnt").cast("double") / F.col("n_toks"))
+                * (
+                    (F.col("n_docs") - F.col("df_cnt") + F.lit(0.5))
+                    / (F.col("df_cnt") + F.lit(0.5))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "score")
+    )

@@ -261,3 +261,186 @@ def q_window_share_of_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double")
         ).alias("segment_share"),
     )
+
+
+@query(
+    "q_tpch_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most merchandise — 3-way
+    fact⋈dim join, decimal-exact revenue per customer, global top-20
+    (TakeOrderedAndProject; tie-broken on c_custkey so the limit is
+    deterministic across engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dec_sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(28,6))) > 240
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — aggregate-then-filter
+    (HAVING on a decimal-exact quantity sum) with customer context. The
+    original's IN-subquery over a grouped lineitem decorrelates to
+    exactly this groupBy + filter."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_qty"))
+        .filter(F.col("_qty") > 240)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1  AND 15 AND l.l_quantity BETWEEN 1  AND 20)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 25 AND 45)
+    """,
+)
+def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands across the join — the classic test that an OR of
+    mixed-table predicates still lets each side's local conjuncts push
+    into its scan (Catalyst extracts p_brand/p_size and l_quantity
+    ranges as data-source filters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    band = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 20))
+        | ((brand == "Brand#12") & size.between(10, 30) & qty.between(10, 30))
+        | ((brand == "Brand#23") & size.between(20, 50) & qty.between(25, 45))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(dec_sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "q_tpch_q7_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN customer c ON c.c_custkey   = o.o_custkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by year — a 5-way
+    star join where the same dimension (nation) enters under two roles
+    (supplier's and customer's); all four dims broadcast, so the only
+    shuffle is the final group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dec_sum(rev).alias("volume"))
+    )
+
+
+@query(
+    "q_tpch_q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can serve each part profile —
+    lineitem's distinct (part, supplier) pairs stand in for partsupp;
+    negated predicates on the dim + COUNT(DISTINCT) over the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
