@@ -177,3 +177,62 @@ def session_window_stats(decoded: DataFrame, gap: str = "5 minutes") -> DataFram
             F.col("w.end").alias("session_end"),
         )
     )
+
+
+def enrich_with_static(decoded: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """Stream-static join: every micro-batch joins the CURRENT snapshot
+    of a static/batch dimension — Structured Streaming's built-in
+    enrichment pattern (no state store involved; the static side is
+    re-resolved per trigger, so a dim refresh lands on the next batch).
+
+    The reference has no second input at all (SURVEY.md §2.2 "joins:
+    no"); this is the smallest capability step beyond it: stream ⋈
+    dimension, the shape every event pipeline needs (domain → site
+    metadata, user → account tier, ...).
+
+    Scale: the dim is explicitly broadcast — at 100 TB of stream the
+    static side is the small one by construction; a left join keeps
+    stream rows whose key is missing from the dim (enrichment must
+    never drop events)."""
+    return decoded.join(F.broadcast(dim), on, how)
+
+
+def build_enriched_stream(
+    spark: SparkSession,
+    source_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    dim: DataFrame = None,
+    on: str = "domain",
+    watermark: str = FLAGSHIP_WATERMARK,
+    window_duration: str = FLAGSHIP_WINDOW,
+) -> StreamingQuery:
+    """Flagship pipeline with a dimension-enrichment stage: decode →
+    stream⋈static dim → filter → windowed edit-size per (region,
+    window). Aggregating on the ENRICHED attribute (dim's `region`)
+    proves the join ran inside the streaming plan, not in the sink."""
+    from flink_wikipedia_spark.functions.compat import ensure_session_conf
+
+    ensure_session_conf(spark)
+    decoded = decode_edit_events(source_df)
+    enriched = enrich_with_static(decoded, dim, on)
+    filtered = filter_human_main(enriched).filter(F.col("ts").isNotNull())
+    windowed = filtered.withWatermark("ts", watermark)
+    w = F.window(F.col("ts"), window_duration)
+    result = (
+        windowed.groupBy(w.alias("w"), F.coalesce(F.col("region"), F.lit("unknown")).alias("region"))
+        .agg(F.sum(F.abs(F.col("new_length") - F.col("old_length"))).alias("edit_size"))
+        .select(
+            "region",
+            "edit_size",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        )
+    )
+    return (
+        result.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

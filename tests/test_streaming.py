@@ -365,3 +365,30 @@ def test_streaming_sliding_windows(spark, tmp_path):
     )
     # 10:02 lands in [09:55,10:05) and [10:00,10:10)
     assert starts == [0, 55]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: micro-batches broadcast-join a static
+    domain→region dim; aggregation keys on the ENRICHED column, and a
+    domain absent from the dim survives as region='unknown' (left
+    join — enrichment never drops events)."""
+    from flink_wikipedia_spark.streaming.pipeline import build_enriched_stream
+
+    dim = spark.createDataFrame(
+        [("en.wikipedia.org", "americas"), ("de.wikipedia.org", "emea")],
+        "domain string, region string",
+    )
+    lines = [
+        ev(1, old=100, new=150),                            # americas +50
+        ev(2, domain="de.wikipedia.org", old=10, new=30),   # emea +20
+        ev(3, domain="ja.wikipedia.org", old=5, new=6),     # not in dim → unknown +1
+        ev(4, user_type="bot"),                             # filtered before agg
+    ]
+    later = [ev(9, ts="2024-01-01T11:00:00Z", old=1, new=1)]
+    sink = run_stream(build_enriched_stream, tmp_path, [lines, later], spark=spark, dim=dim)
+    out = {
+        r.region: r.edit_size
+        for r in sink.rows
+        if (r.window_start.hour, r.window_start.minute) == (10, 0)
+    }
+    assert out == {"americas": 50, "emea": 20, "unknown": 1}
