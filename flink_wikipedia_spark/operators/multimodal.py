@@ -91,3 +91,98 @@ def extract_features(assets: DataFrame) -> DataFrame:
             yield out
 
     return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_len", LongType()),
+    ]
+)
+
+FRAME_MAX_FRAMES = 4     # cap frames per asset
+FRAME_BYTES_PER = 64     # one frame per 64 payload bytes, up to the cap
+FRAME_SLICE_LEN = 32     # bytes sampled per frame
+
+
+def sample_frames(assets: DataFrame) -> DataFrame:
+    """Frame sampling: one asset row → N frame rows (the video/audio
+    "take every k-th frame" shape), as a one-to-many mapInPandas.
+
+    The frame PLAN is pure integer arithmetic on payload length —
+    n_frames = clamp(n_bytes // 64, 1, 4), frame i at offset
+    i * (n_bytes // n_frames) — so unlike the codec stub this op has a
+    full DuckDB oracle (q_multimodal_frames): the UDF's fan-out is
+    checked value-for-value against SQL, not just rows-only. A real
+    decoder would slice actual frames at these offsets; the seam is
+    the same as _decode_payload.
+
+    Scale: fan-out happens inside the Arrow batch (no shuffle, no
+    explode of materialized blobs through an exchange); output is a
+    narrow frame index — downstream decode pulls bytes per frame only
+    where needed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n = len(payload) if payload is not None else 0
+                n_frames = max(1, min(FRAME_MAX_FRAMES, n // FRAME_BYTES_PER))
+                stride = n // n_frames
+                for i in range(n_frames):
+                    off = i * stride
+                    ids.append(aid)
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(max(0, min(FRAME_SLICE_LEN, n - off)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "frame_offset": offs,
+                    "frame_len": lens,
+                }
+            )
+
+    return assets.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_payload(assets: DataFrame, target_bytes: int = 128) -> DataFrame:
+    """Binary→binary transform plumbing (the image-resize shape):
+    payload replaced by a deterministic fixed-size rendition — truncate
+    long payloads, zero-pad short ones. A real implementation swaps the
+    slice/pad for PIL's resize; schema, Arrow batching, and the
+    binary-in/binary-out contract are exactly what production needs.
+
+    Scale: in-place per-batch transform, no shuffle; output payloads
+    are fixed-size so downstream partition sizing is predictable
+    (rows × target_bytes)."""
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                (bytes(p[:target_bytes]).ljust(target_bytes, b"\x00"))
+                if p is not None
+                else bytes(target_bytes)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "modality": pdf["modality"].values,
+                    "payload": resized,
+                }
+            )
+
+    return assets.mapInPandas(run, out_schema)

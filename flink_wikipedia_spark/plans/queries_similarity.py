@@ -320,3 +320,43 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     return extract_features(assets)
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    f AS (
+        SELECT asset_id, n_bytes,
+               GREATEST(1, LEAST(4, n_bytes // 64)) AS n_frames
+        FROM a
+    )
+    SELECT asset_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * (n_bytes // n_frames) AS BIGINT) AS frame_offset,
+           CAST(GREATEST(0, LEAST(32, n_bytes - i * (n_bytes // n_frames))) AS BIGINT) AS frame_len
+    FROM f, UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT))) AS t(i)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 (frame sampling): one-to-many mapInPandas fan-out over binary
+    payloads — the video/audio frame-sample shape. The frame plan is
+    pure integer arithmetic on payload length, so this Arrow-batched
+    Python UDF gets a FULL value oracle (the SQL twin reproduces the
+    fan-out with generate_series), not a rows-only check — the
+    strongest correctness statement a UDF path can make."""
+    from flink_wikipedia_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return sample_frames(assets)

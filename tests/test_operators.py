@@ -201,3 +201,39 @@ def test_tfidf_top_terms_shape(spark):
     for doc, terms in per_doc.items():
         assert 1 <= len(terms) <= 3
         assert len({t.token for t in terms}) == len(terms)
+
+
+def test_resize_payload_fixed_size(spark):
+    """Binary→binary resize plumbing: every output payload is exactly
+    target_bytes — long inputs truncated, short ones zero-padded, null
+    becomes all-zeros."""
+    from flink_wikipedia_spark.operators.multimodal import resize_payload
+
+    df = spark.createDataFrame(
+        [(1, "image", b"x" * 200), (2, "image", b"ab"), (3, "audio", None)],
+        "asset_id long, modality string, payload binary",
+    )
+    out = {r.asset_id: bytes(r.payload) for r in resize_payload(df, target_bytes=16).collect()}
+    assert out[1] == b"x" * 16
+    assert out[2] == b"ab" + b"\x00" * 14
+    assert out[3] == b"\x00" * 16
+
+
+def test_sample_frames_fanout(spark):
+    """Frame sampling fan-out: clamp(n_bytes//64, 1, 4) frames, offsets
+    at stride boundaries, tail frame length capped by remaining bytes."""
+    from flink_wikipedia_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, "video", b"v" * 300), (2, "audio", b"a" * 10), (3, "video", None)],
+        "asset_id long, modality string, payload binary",
+    )
+    rows = sample_frames(df).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert len(by_asset[1]) == 4            # 300 // 64 = 4
+    assert [r.frame_offset for r in sorted(by_asset[1], key=lambda r: r.frame_idx)] == [0, 75, 150, 225]
+    assert all(r.frame_len == 32 for r in by_asset[1])
+    assert len(by_asset[2]) == 1 and by_asset[2][0].frame_len == 10
+    assert len(by_asset[3]) == 1 and by_asset[3][0].frame_len == 0
