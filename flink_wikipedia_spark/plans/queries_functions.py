@@ -437,3 +437,43 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             fold(F.slice(F.reverse(F.array_sort(as_double)), 1, 3)), 6
         ).alias("top3_sum"),
     )
+
+
+@query(
+    "q_window_navigation",
+    oracle="""
+    SELECT event_id, user_id,
+           FIRST_VALUE(value) OVER w AS first_v,
+           LAST_VALUE(value)  OVER w AS last_v,
+           NTH_VALUE(value, 2) OVER w AS second_v,
+           CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS value_cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic navigation functions: each user's first/last/second
+    event value over their full history (explicit unbounded ROWS frame —
+    the SQL default frame stops at CURRENT ROW, which silently turns
+    last_value into 'current value'), plus each value's cumulative
+    distribution within the user. Ordering ties broken by event_id so
+    both engines walk identical row orders; cume_dist depends only on
+    the ordering KEY, so equal values get equal ranks deterministically."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wc = Window.partitionBy("user_id").orderBy("value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"),
+        F.cume_dist().over(wc).alias("value_cume"),
+    )
