@@ -35,6 +35,22 @@ from pyspark.sql import functions as F
 # 22 integer digits of headroom cover 100 TB-scale sums. Both engines
 # widen the sum to decimal(38,6); the final cast to double erases the
 # metadata difference.
+#
+# LIMITS of the scale-6 rule (hit empirically by q_corr_quantity_price):
+# (a) it assumes the double holds ≤6 true decimals — false once the
+#     product's MAGNITUDE pushes the double's representation error into
+#     the 6th decimal (|x| ≳ 1e10, e.g. extendedprice²). Fix: cast each
+#     factor to its exact decimal(18,2) form FIRST and multiply in
+#     decimal arithmetic — fully exact at any magnitude.
+# (b) the final decimal→double cast itself: when the decimal ulp sits
+#     below the double's ulp (big magnitudes again), DuckDB's native
+#     cast double-rounds (integer value / 10^scale — two roundings)
+#     while Spark's BigDecimal path rounds once, correctly. Oracle-side
+#     fix: CAST(CAST(x AS VARCHAR) AS DOUBLE) — string parse is
+#     correctly rounded in both engines.
+# Also: never put libm transcendentals (ln/exp/pow) in compared values —
+# only +,-,*,/ and sqrt are IEEE exact-rounded. See q_tfidf_top_terms's
+# log-free BM25 idf and q_corr_quantity_price's moment form.
 DEC = "decimal(28,6)"
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_wikipedia_spark.functions.compat import dec_sum
+from flink_wikipedia_spark.functions.compat import DEC, dec_sum
 from flink_wikipedia_spark.plans.registry import query
 from flink_wikipedia_spark.schemas import load_table
 
@@ -476,4 +476,85 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w).alias("last_v"),
         F.nth_value("value", 2).over(w).alias("second_v"),
         F.cume_dist().over(wc).alias("value_cume"),
+    )
+
+
+@query(
+    "q_regex_extract_props",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k_value,
+           COUNT(*) AS n
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY k_value
+    """,
+)
+def q_regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction from semi-structured strings (the
+    sibling of get_json_object for non-JSON formats): pull the numeric
+    payload out of props and histogram it. Regex runs inside codegen
+    on the JVM — no UDF."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    return (
+        ev.select(F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k_value"))
+        .groupBy("k_value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_corr_quantity_price",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (n * sxy - sx * sy)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+)
+def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group WITHOUT the built-in corr(): the
+    built-in accumulates doubles in partition order (non-deterministic
+    across engines AND across reruns); this moment-based form uses
+    exact decimal sums, then a fixed sequence of double ops — sqrt is
+    IEEE exact-rounded, so unlike ln/exp it is oracle-safe.
+
+    Two determinism traps this query documents (found empirically):
+    (1) squaring the raw DOUBLE first breaks the compat.py scale-6
+    rule — at |p*p| ~ 1e10 the double's representation error reaches
+    the 6th decimal and the double→decimal cast rounds differently
+    per row across engines; so each factor is cast to its EXACT
+    decimal(18,2) form first and the multiply happens in decimal.
+    (2) the final decimal→double cast: DuckDB's native cast
+    double-rounds (int / 10^scale), while Spark's BigDecimal path is
+    correctly rounded — the oracle casts through VARCHAR, whose parse
+    is correctly rounded in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    D2 = "decimal(18,2)"
+    q, p = F.col("l_quantity").cast(D2), F.col("l_extendedprice").cast(D2)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
     )
