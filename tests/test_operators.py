@@ -155,8 +155,17 @@ def test_connected_components_chain_and_island(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 7), (10, 11)], "doc_a long, doc_b long"
     )
-    got = {r.node: r.component for r in connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+    expected = {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+    # fast path (driver union-find, the default for small graphs) and
+    # the distributed min-label loop (forced via small_graph_edges=0)
+    # must agree exactly
+    got_fast = {r.node: r.component for r in connected_components(edges).collect()}
+    got_dist = {
+        r.node: r.component
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert got_fast == expected
+    assert got_dist == expected
 
 
 def test_dedup_canonical_invariants(spark):
