@@ -60,9 +60,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures: list[str] = []
+    attempted = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -103,7 +105,7 @@ def main() -> int:
             print("  oracle:", b[mask].head(3).to_dict("records"))
             continue
         print(f"ok   {name}: {len(sdf)} rows match ({el:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{attempted - len(failures)}/{attempted} pass")
     return 1 if failures else 0
 
 
