@@ -503,6 +503,52 @@ def q_regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_map_functions",
+    oracle="""
+    SELECT array_to_string(list_sort(json_keys(props)), ',') AS map_keys_csv,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_all_values,
+           MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+           MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY map_keys_csv, n_keys
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse the semi-structured props JSON
+    into a real map<string,bigint> (from_json with a MapType target —
+    schema-on-read for open key sets, vs the fixed-struct decode of
+    q_json_extract), then exercise map_keys / size / element_at and a
+    higher-order fold over map_values (aggregate), all JVM-side.
+
+    The fold computes sum-of-ALL-values generically; the oracle, knowing
+    this dataset's props carry the single key 'k', derives the same
+    number from '$.k' — sum_k == sum_all_values doubles as a built-in
+    consistency check between element_at and the fold. Multi-key fold
+    correctness is pinned separately in tests/test_operators.py."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    m = F.from_json("props", "map<string,bigint>")
+    rows = ev.select(
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("map_keys_csv"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.aggregate(F.map_values(m), F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "row_value_total"
+        ),
+    )
+    return rows.groupBy("map_keys_csv", "n_keys").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k_value").alias("sum_k"),
+        F.sum("row_value_total").alias("sum_all_values"),
+        F.min("k_value").alias("min_k"),
+        F.max("k_value").alias("max_k"),
+    )
+
+
+@query(
     "q_corr_quantity_price",
     oracle="""
     WITH s AS (

@@ -168,6 +168,22 @@ def test_connected_components_chain_and_island(spark):
     assert got_dist == expected
 
 
+def test_map_fold_multikey(spark):
+    """q_map_functions' oracle exploits the dataset's single-key props;
+    this pins the generic map_values fold on a multi-key map."""
+    df = spark.createDataFrame([('{"a": 3, "b": 4, "c": 5}',)], "props string")
+    m = F.from_json("props", "map<string,bigint>")
+    row = df.select(
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "b").alias("b_val"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total"),
+    ).first()
+    assert (row.n_keys, row.keys_csv, row.b_val, row.total) == (3, "a,b,c", 4, 12)
+
+
 def test_dedup_canonical_invariants(spark):
     """Canonical selection: exactly one canonical per component, the
     canonical is a member of its own component, and it is the longest
