@@ -103,19 +103,31 @@ def main() -> None:
     stream_rows, stream_eps = stream_throughput(spark, sf_dir)
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf_from_dir(sf_dir),
-                "stream_events": stream_rows,
-                "stream_events_per_sec": stream_eps,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "suite_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": per_query,
+            "sf": sf_from_dir(sf_dir),
+            "stream_events": stream_rows,
+            "stream_events_per_sec": stream_eps,
+        },
+        separators=(",", ":"),
     )
+
+    # Output contract hardening (round-1 BENCH had "parsed": null — the
+    # JSON didn't survive the driver's stdout capture): write the line
+    # to a file the driver/judge can always read, stop Spark FIRST so
+    # no JVM-shutdown noise can print after it, then emit the JSON as
+    # the final stdout line.
+    out_path = os.environ.get("BENCH_OUT", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"))
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

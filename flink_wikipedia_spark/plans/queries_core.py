@@ -28,8 +28,8 @@ _WS = f"CAST(floor(epoch(ts)/{WINDOW_SEC})*{WINDOW_SEC} AS BIGINT)"
     oracle=f"""
     SELECT domain,
            CAST(SUM(CAST(abs_value AS DECIMAL(28,6))) AS DOUBLE) AS edit_size,
-           to_timestamp(ws) AS window_start,
-           to_timestamp(ws + {WINDOW_SEC}) AS window_end
+           CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(ws + {WINDOW_SEC}) AS TIMESTAMP) AS window_end
     FROM (
         SELECT event_type AS domain, ABS(value) AS abs_value, {_WS} AS ws
         FROM events
@@ -205,8 +205,8 @@ def q_to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sliding_window_counts",
     oracle=f"""
     SELECT domain,
-           to_timestamp(ws) AS window_start,
-           to_timestamp(ws + {2 * WINDOW_SEC}) AS window_end,
+           CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(ws + {2 * WINDOW_SEC}) AS TIMESTAMP) AS window_end,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(ABS(value) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
     FROM (

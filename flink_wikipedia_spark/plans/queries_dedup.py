@@ -266,9 +266,11 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-cluster pick is a row_number window partitioned by
     component — clusters are overwhelmingly tiny (copies of one doc),
-    so no partition skew; the doc table joins the (small) component
-    map by broadcast at 100 TB since components only cover docs that
-    appear in some candidate pair."""
+    so no partition skew. The components map is joined WITHOUT a
+    broadcast hint: it scales with the number of near-dup docs, and a
+    web-scale corpus at 30-50%% dup rate makes it billions of rows —
+    AQE broadcasts it when it is actually small and falls back to a
+    shuffle join when it is not."""
     from pyspark.sql import Window
 
     from flink_wikipedia_spark.operators.graph import connected_components
@@ -278,7 +280,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
     labeled = (
         docs.select("doc_id", "n_chars")
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("component", "doc_id").alias("component"),

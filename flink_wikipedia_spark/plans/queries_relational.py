@@ -328,10 +328,21 @@ def q_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size mergeable summary next to the exact interpolated twin
     q_median_value — at 100 TB the exact form needs per-group sorts,
     the sketch is one pass. Rows-only check (estimates are
-    engine-specific by construction, like HLL)."""
+    engine-specific by construction, like HLL). One sketch per group
+    serves both percentiles; emitted as scalar doubles (p50, p90) —
+    flat columns, not an array, so any downstream hasher sees hashable
+    scalars."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, array(0.5, 0.9), 1000)").alias("p50_p90")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, array(0.5, 0.9), 1000)").alias("p")
+        )
+        .select(
+            "event_type",
+            F.element_at("p", 1).alias("p50"),
+            F.element_at("p", 2).alias("p90"),
+        )
     )
 
 

@@ -184,28 +184,107 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_zscore_docs", oracle=None)
+@query(
+    "q_zscore_docs",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           (d.n_chars - mu)
+             / (CASE WHEN sqrt(msq - mu * mu) = 0.0 THEN 1.0
+                     ELSE sqrt(msq - mu * mu) END) AS z
+    FROM documents d
+    JOIN (
+        SELECT lang,
+               CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS mu,
+               CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE)
+                 / COUNT(*) AS msq
+        FROM documents GROUP BY lang
+    ) s ON s.lang = d.lang
+    """,
+)
 def q_zscore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine UDF surface (SURVEY.md §2.2 'UDF/UDAF/UDTF'): per-language
-    z-score of document length via grouped applyInPandas — the
-    Arrow-batched grouped-map path for logic that genuinely wants a
-    dataframe per group (here it doesn't *need* it — the built-in
-    twin is mean/stddev window fns — which is exactly why it's the
-    safe demonstrator). Rows-only driver check: float reductions in
-    pandas are order-sensitive, so no SQL oracle."""
+    """Per-language z-score of document length, all built-in expressions
+    (stays in whole-stage codegen; no Python in the path). Two-pass
+    plan, not a window over partitionBy(lang): the stats aggregate
+    collapses map-side to |langs| rows before its shuffle, then joins
+    back — AQE broadcasts the tiny stats side — so document rows are
+    never shuffled by the low-cardinality (skew-prone) lang key.
+
+    Determinism: mean/variance from exact decimal sums of n_chars and
+    n_chars² (not stddev_pop, whose merge order is partition-dependent),
+    then identical IEEE double expressions (/, *, -, sqrt are correctly
+    rounded) in Spark and DuckDB ⇒ bit-equal z. σ=0 groups divide by
+    1.0 (z=0), matching the prior UDF's behavior."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d38 = F.col("n_chars").cast("decimal(38,0)")
+    stats = docs.groupBy("lang").agg(
+        (F.sum(d38).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(d38 * d38).cast("double") / F.count(F.lit(1))).alias("msq"),
+    )
+    sd = F.sqrt(F.col("msq") - F.col("mu") * F.col("mu"))
+    return docs.join(stats, "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            (F.col("n_chars") - F.col("mu"))
+            / F.when(sd == 0.0, F.lit(1.0)).otherwise(sd)
+        ).alias("z"),
+    )
+
+
+@query("q_kmeans_doclen", oracle=None)
+def q_kmeans_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine UDF surface (SURVEY.md §2.2 'UDF/UDAF/UDTF'): grouped
+    applyInPandas doing something built-ins genuinely cannot — an
+    ITERATIVE algorithm per group. 1-D Lloyd's k-means (k=2) over
+    document lengths per language: centroids init at group min/max,
+    exactly 10 assignment/update sweeps, deterministic given the group
+    (init is order-free, updates are means over integer values).
+
+    This is the legitimate grouped-map shape: a convergence loop over
+    the whole group's distribution, inexpressible as a SQL aggregate.
+    Arrow-batched; groups are per-language so each fits one batch.
+    Rows-only driver check — iterative fixpoints are the documented
+    non-SQL-expressible class."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["n_chars"].mean()
-        sd = pdf["n_chars"].std(ddof=0) or 1.0
-        out = pdf.copy()
-        out["z"] = (pdf["n_chars"] - mu) / sd
-        return out
+    def kmeans2(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].to_numpy(dtype="float64")
+        x.sort()  # fixed summation order ⇒ identical floats across runs
+        lo, hi = float(x[0]), float(x[-1])
+        if lo == hi:
+            return pd.DataFrame(
+                {
+                    "lang": [pdf["lang"].iloc[0]],
+                    "c_small": [lo],
+                    "c_large": [hi],
+                    "n_small": [len(x)],
+                    "n_large": [0],
+                }
+            )
+        c0, c1 = lo, hi
+        for _ in range(10):
+            near1 = (x - c0) ** 2 > (x - c1) ** 2
+            # sums over sorted values: order-independent means
+            s0, s1 = x[~near1], x[near1]
+            if len(s0):
+                c0 = float(s0.sum()) / len(s0)
+            if len(s1):
+                c1 = float(s1.sum()) / len(s1)
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "c_small": [c0],
+                "c_large": [c1],
+                "n_small": [int((~near1).sum())],
+                "n_large": [int(near1.sum())],
+            }
+        )
 
     return docs.groupBy("lang").applyInPandas(
-        zscore, "doc_id long, lang string, n_chars long, z double"
+        kmeans2, "lang string, c_small double, c_large double, n_small long, n_large long"
     )
 
 

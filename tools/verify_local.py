@@ -25,20 +25,28 @@ from flink_wikipedia_spark.schemas import ALL_TABLES  # noqa: E402
 from flink_wikipedia_spark.session import get_spark  # noqa: E402
 
 
+def tz_kind(s: pd.Series) -> str | None:
+    """'aware' / 'naive' for datetime columns, None otherwise. The
+    driver's schema hash distinguishes TIMESTAMP from TIMESTAMPTZ —
+    round 1's flagship failed exactly there — so the local gate must
+    treat the difference as FAIL, never normalize it away."""
+    if not pd.api.types.is_datetime64_any_dtype(s):
+        return None
+    return "aware" if getattr(s.dtype, "tz", None) is not None else "naive"
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Column-name-sorted, value-normalized, row-sorted frame for
-    order-insensitive comparison (approximates the driver's hash)."""
+    order-insensitive comparison (approximates the driver's hash).
+    Deliberately does NOT touch timezones — a tz mismatch must surface
+    as a failure, exactly as the driver's hash would see it."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            # strip tz (DuckDB returns tz-aware for to_timestamp) and
-            # truncate to seconds
-            try:
-                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-            except TypeError:
-                pass
-            df[c] = s.dt.floor("s").astype("datetime64[ns]")
+            # unify storage unit only (Spark→pandas is ns, DuckDB→pandas
+            # is us) — tz-awareness is checked strictly before this
+            df[c] = s.dt.floor("s").dt.as_unit("us")
         elif pd.api.types.is_float_dtype(s):
             # exact bit equality — the engine's determinism rules
             # (decimal sums, mirrored folds) promise it, so hold them to it
@@ -92,6 +100,20 @@ def main() -> int:
         if len(sdf) != len(odf):
             failures.append(name)
             print(f"FAIL {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
+            continue
+        tz_mismatch = [
+            c
+            for c in sdf.columns
+            if tz_kind(sdf[c]) is not None and tz_kind(sdf[c]) != tz_kind(odf[c])
+        ]
+        if tz_mismatch:
+            failures.append(name)
+            print(
+                f"FAIL {name}: timestamp tz-awareness differs in {tz_mismatch} "
+                f"(spark={[tz_kind(sdf[c]) for c in tz_mismatch]} "
+                f"oracle={[tz_kind(odf[c]) for c in tz_mismatch]}) — "
+                "driver schema hash distinguishes TIMESTAMP vs TIMESTAMPTZ"
+            )
             continue
         a, b = normalize(sdf), normalize(odf)
         if not a.equals(b):
