@@ -82,6 +82,67 @@ class RetrySink:
         raise last  # propagate: the reference swallows; we do not
 
 
+class MongoSink:
+    """Config stub for the real Mongo twin of the reference's sink
+    (``DataStreamJob.java:125-135``: MongoSink, 1000-doc batches,
+    3 retries, at-least-once). Uses the mongo-spark-connector v10+
+    through the same foreachBatch seam as every other sink here; the
+    connector jar is not installable in this environment, so the stub
+    validates+exposes the write config and fails with a clear message
+    at write time if the connector is absent.
+
+    Upsert semantics: ``operationType=replace`` keyed on
+    ``idFieldList`` (the flagship's natural key ``domain,window_start``)
+    makes at-least-once foreachBatch replays idempotent — the semantic
+    the reference LACKS (no checkpointing + at-least-once ⇒ duplicate
+    docs on restart, SURVEY.md §4.2). Wrap in RetrySink for
+    setMaxRetries(3) parity."""
+
+    FORMAT = "mongodb"  # mongo-spark-connector v10 short name
+
+    def __init__(
+        self,
+        uri: str,
+        database: str,
+        collection: str = "wikiedits",
+        key_cols: list[str] | None = None,
+        max_batch_size: int = 1000,  # reference's setBatchSize(1000)
+    ) -> None:
+        self.uri = uri
+        self.database = database
+        self.collection = collection
+        self.key_cols = key_cols or ["domain", "window_start"]
+        self.max_batch_size = max_batch_size
+
+    def write_options(self) -> dict[str, str]:
+        """The documented mongo-spark-connector write options — exposed
+        as data (like sources.kafka_options) so the contract is
+        testable without a Mongo deployment."""
+        return {
+            "connection.uri": self.uri,
+            "database": self.database,
+            "collection": self.collection,
+            "operationType": "replace",
+            "idFieldList": ",".join(self.key_cols),
+            "maxBatchSize": str(self.max_batch_size),
+        }
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        writer = batch_df.write.format(self.FORMAT).mode("append")
+        for k, v in self.write_options().items():
+            writer = writer.option(k, v)
+        try:
+            writer.save()
+        except Exception as e:  # noqa: BLE001
+            if "mongodb" in str(e).lower() or "Failed to find" in str(e):
+                raise NotImplementedError(
+                    "mongo-spark-connector not on the classpath — add "
+                    "org.mongodb.spark:mongo-spark-connector_2.13:10.x "
+                    "via spark.jars.packages; config above is complete"
+                ) from e
+            raise
+
+
 class UpsertParquetSink:
     """Upsert-keyed sink — the twin of the reference's Mongo writes
     (``DataStreamJob.java:125-135``), which replace documents by key.

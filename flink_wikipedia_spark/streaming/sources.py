@@ -23,6 +23,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def kafka_options(
+    brokers: str,
+    topic: str = "wikipedia-events",
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = 100_000,
+) -> dict[str, str]:
+    """The spark-sql-kafka option map, exposed as data so the contract
+    is testable without a broker (tests/test_streaming assert the exact
+    documented option names — `kafka.bootstrap.servers`, `subscribe`,
+    `startingOffsets`, `maxOffsetsPerTrigger` — against this).
+
+    Reference parity: topic + latest offsets mirror
+    ``DataStreamJob.java:114-120``; maxOffsetsPerTrigger is the
+    admission-control stand-in for watermark alignment (SURVEY §4.3)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_source(
     spark: SparkSession,
     brokers: str,
@@ -30,17 +54,14 @@ def kafka_source(
     starting_offsets: str = "latest",
     max_offsets_per_trigger: int | None = 100_000,
 ) -> DataFrame:
-    """Kafka → value-string frame. Not exercisable in this environment
-    (no broker, and the kafka connector jar ships separately); config
-    mirrors reference semantics."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    """Kafka → value-string frame. Not live-exercisable in this
+    environment (no broker; the kafka connector jar ships separately) —
+    the options contract is pinned by kafka_options() and its test."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_options(
+        brokers, topic, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
     return reader.load().select(F.col("value").cast("string").alias("value"))
 
 

@@ -392,3 +392,58 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         if (r.window_start.hour, r.window_start.minute) == (10, 0)
     }
     assert out == {"americas": 50, "emea": 20, "unknown": 1}
+
+
+def test_kafka_source_options_contract(spark):
+    """O1 contract (DataStreamJob.java:114-120) without a broker: the
+    option map kafka_source hands spark-sql-kafka uses exactly the
+    documented option names/values, and the plumbing reaches Spark's
+    DataSource resolution (format lookup fires — the only step a
+    broker-less environment can exercise)."""
+    from flink_wikipedia_spark.streaming.sources import kafka_options, kafka_source
+
+    opts = kafka_options("broker1:9092,broker2:9092")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "wikipedia-events",  # reference topic
+        "startingOffsets": "latest",  # reference start position
+        "maxOffsetsPerTrigger": "100000",
+    }
+    # earliest + unlimited admission
+    opts = kafka_options(
+        "b:9092", topic="t", starting_offsets="earliest", max_offsets_per_trigger=None
+    )
+    assert opts["startingOffsets"] == "earliest"
+    assert "maxOffsetsPerTrigger" not in opts
+
+    # .load() must reach Spark's source resolution and fail on the
+    # missing connector jar — not on our option plumbing.
+    with pytest.raises(Exception) as exc:
+        kafka_source(spark, "localhost:9092")
+    msg = str(exc.value).lower()
+    assert "kafka" in msg
+
+
+def test_mongo_sink_config_contract(spark):
+    """O11 config parity (DataStreamJob.java:125-135): the MongoSink
+    stub exposes the complete mongo-spark-connector write config —
+    replace-upsert on the flagship natural key, reference batch size —
+    and raises a clear actionable error when the connector jar is
+    absent (this environment)."""
+    from flink_wikipedia_spark.streaming.sinks import MongoSink
+
+    sink = MongoSink("mongodb://localhost:27017", "wiki", "wikiedits")
+    assert sink.write_options() == {
+        "connection.uri": "mongodb://localhost:27017",
+        "database": "wiki",
+        "collection": "wikiedits",
+        "operationType": "replace",
+        "idFieldList": "domain,window_start",
+        "maxBatchSize": "1000",  # reference setBatchSize(1000)
+    }
+    batch = spark.createDataFrame(
+        [("en.wikipedia.org", 50)], "domain string, edit_size long"
+    )
+    with pytest.raises((NotImplementedError, Exception)) as exc:
+        MongoSink("mongodb://x", "db")(batch, epoch_id=0)
+    assert "mongo" in str(exc.value).lower()
