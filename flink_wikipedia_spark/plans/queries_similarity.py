@@ -301,13 +301,40 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features", oracle=None)
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT asset_id, modality,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(checksum AS BIGINT) AS checksum,
+           CAST(bytesum AS DOUBLE) / n_bytes AS mean_byte
+    FROM (
+        SELECT doc_id AS asset_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               length(text) AS n_bytes,
+               list_sum(list_transform(string_split(substring(text, 1, 64), ''),
+                                       c -> ord(c))) AS checksum,
+               list_sum(list_transform(string_split(text, ''),
+                                       c -> ord(c))) AS bytesum
+        FROM documents
+    )
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12 (decode stub pipeline): the real Spark plumbing for
     binary-decode — mapInPandas over (asset_id, modality, payload) with
     a deterministic fake feature extractor (real image/audio libs are
     not in this container; operators/multimodal.py marks the seam).
-    Rows-only driver check: UDF output, not SQL-expressible."""
+
+    FULL value oracle despite the Python path: the fake decode is byte
+    statistics (len, sum of first 64 bytes, mean byte), and the driver
+    corpus is pure ASCII, so the SQL twin recomputes the same numbers
+    from codepoints (UTF-8 byte == ord(char)); mean_byte is one IEEE
+    double division of exact integer sums in both engines ⇒ bit-equal.
+    A real codec would drop this back to rows-only — the oracle pins
+    the PLUMBING (batch shape, null handling, schema), which is what
+    the stub exists to prove."""
     from flink_wikipedia_spark.operators.multimodal import extract_features
 
     docs = load_table(spark, sf_dir, "documents")
