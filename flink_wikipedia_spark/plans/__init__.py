@@ -46,6 +46,8 @@ _PRIORITY = [
     "q_zscore_docs",
     "q_top_tokens_per_lang",
     "q_tfidf_top_terms",
+    "q_doc_chunks",
+    "q_contamination_check",
     # Deduplication (E1 + MinHash/LSH/SimHash/CC pipeline)
     "q_dedup_events",
     "q_dedup_docs_exact",
@@ -72,8 +74,8 @@ _PRIORITY = [
     "q_antijoin_quiet_customers",  # SURVEY name: q_antijoin_inactive_users
     "q_top_events_by_value",
     "q_setops_users",
-    "q_rollup_event_value",
-    "q_cube_orders",
+    # E9 family: grouping sets subsumes the rollup/cube shapes inside
+    # the window; q_rollup_event_value / q_cube_orders sit in the tail
     "q_grouping_sets_lineitem",
     "q_distinct_users",
     "q_approx_distinct_users",

@@ -399,3 +399,184 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "score")
     )
+
+
+# Document chunking constants: 64-token windows, stride 48 (16-token
+# overlap) — the context-window prep step of an LLM training pipeline.
+CHUNK_W = 64
+CHUNK_S = 48
+
+
+@query(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, n_tokens,
+               1 + (GREATEST(0, n_tokens - {CHUNK_W}) + {CHUNK_S - 1}) // {CHUNK_S}
+                 AS n_chunks
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {CHUNK_S} AS BIGINT) AS chunk_start,
+           CAST(len(toks[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_W}]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(toks[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_W}], ' ')
+             AS chunk_text
+    FROM c, UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS u(i)
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline chunking: split every document into overlapping
+    token windows (W=64, stride=48) — the context-window prep that
+    feeds tokenization/packing. One doc row → ceil chunks rows.
+
+    Scale: pure generate — sequence+explode+slice are codegen
+    expressions, the fan-out happens inside the scan partition with NO
+    shuffle and no Python; output is ~n_tokens/stride rows per doc.
+    At 100 TB this is the shape you want: chunking is embarrassingly
+    parallel and stays that way here. Stride < window guarantees the
+    last chunk is non-empty (start ≤ n_tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    with_t = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "n_chunks",
+        F.expr(
+            f"1 + (greatest(0L, n_tokens - {CHUNK_W}) + {CHUNK_S - 1}) div {CHUNK_S}"
+        ),
+    )
+    chunk = F.slice(
+        F.col("toks"), (F.col("chunk_idx") * CHUNK_S + 1).cast("int"), CHUNK_W
+    )
+    return (
+        with_t.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * CHUNK_S).alias("chunk_start"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
+# Contamination check: 5-token shingles, benchmark = every 97th doc.
+NGRAM_N = 5
+CONTAM_BENCH_MOD = 97
+CONTAM_THRESHOLD = 0.2
+
+# DuckDB twin of operators.text.stable_token_hash
+_SQL_HASH = "CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
+@query(
+    "q_contamination_check",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               {_SQL_HASH.format(expr=f"array_to_string(toks[i + 1 : i + {NGRAM_N}], ' ')")} AS h
+        FROM t, UNNEST(generate_series(0, CAST(n_tokens - {NGRAM_N} AS BIGINT))) AS u(i)
+        WHERE n_tokens >= {NGRAM_N}
+    ),
+    corpus AS (
+        SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+    ),
+    bench AS (
+        SELECT DISTINCT h FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ),
+    shared AS (
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN bench b ON c.h = b.h
+        GROUP BY c.doc_id
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_ngrams FROM corpus GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / p.n_ngrams AS overlap_frac,
+           CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / p.n_ngrams
+             >= {CONTAM_THRESHOLD} AS contaminated
+    FROM per_doc p LEFT JOIN shared s ON s.doc_id = p.doc_id
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screening: for every training document,
+    the fraction of its distinct 5-token shingles that appear anywhere
+    in a held-out benchmark set (deterministic stand-in: every 97th
+    doc), with a keep/drop flag at 20% overlap — the eval-leakage
+    filter every serious pretraining pipeline runs.
+
+    Scale: shingles are hashed to 60-bit longs (stable_token_hash)
+    BEFORE any shuffle — the wire carries 8-byte keys, never text.
+    Per-doc dedup is array_distinct inside the row (no shuffle); the
+    benchmark side is ~1% of the corpus so its distinct-hash set stays
+    broadcastable (AQE decides); the only large shuffle is the final
+    groupBy(doc_id), which is uniform by construction."""
+    from flink_wikipedia_spark.functions.compat import stable_token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the token array FIRST (same lesson as q_bigram_counts:
+    # a split() tree referenced inside the lambda re-evaluates per access)
+    tcol = F.col("toks")
+    grams_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.size(tcol).cast("long") - NGRAM_N),
+        lambda i: F.concat_ws(
+            " ", *[F.get(tcol, (i + k).cast("int")) for k in range(NGRAM_N)]
+        ),
+    )
+    # explode_outer, not explode: explode makes Catalyst infer a
+    # size(grams)>0 predicate and push it BELOW the toks projection,
+    # re-inlining split(lower(text)) into every lambda element access —
+    # O(tokens²) per doc (observed 15 s → ~2 s at sf0.1). The size ≥ N
+    # filter already guarantees non-empty gram arrays, so outer ≡ inner.
+    grams = (
+        docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+        .filter(F.size("toks") >= NGRAM_N)
+        .select("doc_id", F.array_distinct(grams_arr).alias("grams"))
+        .select("doc_id", F.explode_outer("grams").alias("gram"))
+        .select("doc_id", stable_token_hash("gram").alias("h"))
+    )
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    corpus = grams.filter(~is_bench)
+    bench = grams.filter(is_bench).select("h").distinct().withColumn("hit", F.lit(1))
+    # ONE pass over the corpus grams: left-join the (broadcastable)
+    # benchmark hash set as a hit marker, then a single groupBy(doc_id)
+    # counts both totals — no second scan, no second shuffle.
+    counts = (
+        corpus.join(bench, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_shared"),
+        )
+    )
+    frac = F.col("n_shared").cast("double") / F.col("n_ngrams")
+    return counts.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        frac.alias("overlap_frac"),
+        (frac >= CONTAM_THRESHOLD).alias("contaminated"),
+    )

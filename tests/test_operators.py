@@ -262,3 +262,47 @@ def test_sample_frames_fanout(spark):
     assert all(r.frame_len == 32 for r in by_asset[1])
     assert len(by_asset[2]) == 1 and by_asset[2][0].frame_len == 10
     assert len(by_asset[3]) == 1 and by_asset[3][0].frame_len == 0
+
+
+def test_doc_chunks_invariants(spark):
+    """Chunking (q_doc_chunks): every token is covered, stride/overlap
+    are exact, the tail chunk is never empty, and a short doc yields
+    exactly one full-doc chunk."""
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    rows = REGISTRY["q_doc_chunks"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert all(c.chunk_start == c.chunk_idx * 48 for c in chunks)
+        assert all(0 < c.n_chunk_tokens <= 64 for c in chunks)
+        # full window everywhere but the tail
+        assert all(c.n_chunk_tokens == 64 for c in chunks[:-1])
+        # coverage: last chunk reaches the end of the token stream, and
+        # each chunk starts inside (or at the edge of) the previous one
+        last = chunks[-1]
+        n_tokens = last.chunk_start + last.n_chunk_tokens
+        assert all(c.chunk_start < n_tokens for c in chunks)
+        if len(chunks) == 1:
+            assert len(last.chunk_text.split(" ")) == n_tokens
+
+
+def test_contamination_check_self_overlap(spark):
+    """Contamination (q_contamination_check): benchmark docs are
+    excluded from the output; a doc sharing no 5-grams with the
+    benchmark set scores 0; flags agree with the reported fraction."""
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    rows = REGISTRY["q_contamination_check"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 97 != 0           # benchmark side excluded
+        assert 0 <= r.n_shared <= r.n_ngrams
+        assert abs(r.overlap_frac - r.n_shared / r.n_ngrams) < 1e-12
+        assert r.contaminated == (r.overlap_frac >= 0.2)
