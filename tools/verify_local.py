@@ -57,9 +57,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_spark("verify-local")
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    if vanilla:
+        # Driver fidelity: the driver builds its OWN SparkSession without
+        # our factory configs — every per-query conf the engine needs
+        # must come from ensure_session_conf at query build time.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "verify-vanilla"
+        ).getOrCreate()
+    else:
+        spark = get_spark("verify-local")
     con = duckdb.connect()
     for t in ALL_TABLES:
         con.sql(
