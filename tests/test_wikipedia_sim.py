@@ -63,3 +63,74 @@ def test_stream_resumes_from_checkpoint_offset(spark, tmp_path):
     assert first[0] == event_json(0)
     assert second[0] == event_json(len(first))  # resumed, not replayed
     assert set(first).isdisjoint(second)
+
+
+def _split_clock_drift(rows, n_batches_events):
+    """Max event-time drift (seconds) between split clocks, from the
+    emitted JSON timestamps."""
+    import datetime
+    import json as _json
+
+    latest = {}
+    for v in rows:
+        e = _json.loads(v)
+        ts = datetime.datetime.strptime(e["timestamp"], "%Y-%m-%dT%H:%M:%SZ")
+        # split identity: ids are k * max_rows + i + 1_000_000
+        split = (e["id"] - 1_000_000) // n_batches_events
+        latest[split] = max(latest.get(split, ts), ts)
+    vals = sorted(latest.values())
+    return (vals[-1] - vals[0]).total_seconds(), latest
+
+
+def _run_sim_stream(spark, tmp_path, ck_name, **opts):
+    sink = MemorySink()
+    reader = spark.readStream.format("wikipedia_sim")
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
+    q = (
+        reader.load()
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / ck_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return [r.value for r in sink.rows]
+
+
+def test_watermark_alignment_caps_split_drift(spark, tmp_path):
+    """O4 twin (DataStreamJob.java:64 withWatermarkAlignment, 30 s cap):
+    with splits advancing 10:1 and maxDriftSeconds set, the fast split
+    must PAUSE — its clock never runs more than the budget past the
+    slow split. Without alignment the same rates drift unboundedly."""
+    MAX_ROWS = 1_000_000
+    common = dict(
+        rowsPerBatch=110, splits=2, splitRates="10,1", maxRows=MAX_ROWS
+    )
+
+    aligned = _run_sim_stream(
+        spark, tmp_path, "ck-aligned", maxDriftSeconds=70, **common
+    )
+    drift, latest = _split_clock_drift(aligned, MAX_ROWS)
+    assert len(latest) == 2  # both splits emitted
+    assert drift <= 70, f"aligned drift {drift}s exceeds 70s budget"
+
+    free = _run_sim_stream(spark, tmp_path, "ck-free", **common)
+    drift_free, _ = _split_clock_drift(free, MAX_ROWS)
+    assert drift_free > 70, (
+        f"unaligned control should drift past the budget (got {drift_free}s)"
+    )
+
+
+def test_aligned_stream_resumes_from_per_split_offsets(spark, tmp_path):
+    """Per-split offsets survive the checkpoint: a second availableNow
+    run continues every split forward, replaying nothing."""
+    opts = dict(
+        rowsPerBatch=40, splits=2, splitRates="3,1",
+        maxDriftSeconds=700, maxRows=1_000_000,
+    )
+    first = _run_sim_stream(spark, tmp_path, "ck-resume", **opts)
+    second = _run_sim_stream(spark, tmp_path, "ck-resume", **opts)
+    assert first and second
+    assert set(first).isdisjoint(second)
