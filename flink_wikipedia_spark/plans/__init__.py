@@ -66,8 +66,8 @@ _PRIORITY = [
     "q_similarity_topk",
     "q_similarity_lsh",
     "q_ann_ivf",
-    "q_embedding_neardup",
-    "q_embedding_neardup_lsh",
+    "q_pq_codes",  # IVF-PQ quantization half; bounded-kernel
+    "q_embedding_neardup_lsh",  # neardup twin q_embedding_neardup in tail
     "q_multimodal_meta",
     "q_multimodal_features",
     "q_multimodal_frames",

@@ -387,3 +387,91 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     return sample_frames(assets)
+
+
+# Product quantization: 64-dim vectors → PQ_M subspaces × log2(PQ_K)-bit
+# codes (here 8×2 bits = 2 bytes/vector vs 256 bytes raw). Codebooks are
+# fixed deterministic literals — a real system trains them with k-means
+# (the engine's grouped-UDF pattern, see q_kmeans_doclen); assignment,
+# the part that touches all 100 TB, is what this query exercises.
+PQ_M, PQ_SUB, PQ_K = 8, 8, 4
+
+
+def _pq_centroid(m: int, c: int, d: int) -> float:
+    """Deterministic codebook value for (subspace, centroid, dim)."""
+    return ((m * 31 + c * 17 + d * 7) % 19 - 9) / 9.0
+
+
+def _pq_sql() -> str:
+    """DuckDB twin generated from the same loops as the Spark plan —
+    identical IEEE expression trees ⇒ identical argmin codes."""
+    code_cols = []
+    for m in range(PQ_M):
+        d2 = []
+        for c in range(PQ_K):
+            terms = " + ".join(
+                f"(CAST(embedding[{m * PQ_SUB + d + 1}] AS DOUBLE) - ({_pq_centroid(m, c, d)!r}))"
+                f" * (CAST(embedding[{m * PQ_SUB + d + 1}] AS DOUBLE) - ({_pq_centroid(m, c, d)!r}))"
+                for d in range(PQ_SUB)
+            )
+            d2.append(f"({terms})")
+        code = (
+            f"CASE WHEN {d2[0]} <= {d2[1]} AND {d2[0]} <= {d2[2]} AND {d2[0]} <= {d2[3]} THEN 0 "
+            f"WHEN {d2[1]} <= {d2[2]} AND {d2[1]} <= {d2[3]} THEN 1 "
+            f"WHEN {d2[2]} <= {d2[3]} THEN 2 ELSE 3 END"
+        )
+        code_cols.append(f"CAST({code} AS BIGINT) AS code_{m}")
+    packed = " + ".join(f"code_{m} * {4 ** m}" for m in range(PQ_M))
+    inner = ",\n           ".join(code_cols)
+    names = ", ".join(f"code_{m}" for m in range(PQ_M))
+    return f"""
+    SELECT vec_id, {names}, CAST({packed} AS BIGINT) AS pq_code
+    FROM (
+        SELECT vec_id,
+           {inner}
+        FROM embeddings
+    )
+    """
+
+
+@query("q_pq_codes", oracle=_pq_sql())
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 at billion scale: product-quantization code assignment — the
+    compression half of an IVF-PQ index (q_ann_ivf is the coarse half).
+    Each 64-dim vector splits into 8 subvectors; each is assigned its
+    nearest of 4 codebook centroids (squared-L2 argmin, centroid-id
+    tie-break); the packed 16-bit code replaces 256 bytes of floats.
+
+    Scale: assignment is a pure map — every distance is a codegen
+    expression against literal codebooks (a trained system broadcasts
+    them), so quantizing 100 TB is a scan with zero shuffle and the
+    output is ~1/128 the input bytes. Determinism: Spark and the SQL
+    twin are generated from the same loops — identical IEEE trees, so
+    even knife-edge argmin ties agree."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id")]
+    for m in range(PQ_M):
+        d2 = []
+        for c in range(PQ_K):
+            terms = None
+            for d in range(PQ_SUB):
+                x = F.get(F.col("embedding"), m * PQ_SUB + d).cast("double")
+                diff = x - F.lit(_pq_centroid(m, c, d))
+                sq = diff * diff
+                terms = sq if terms is None else terms + sq
+            d2.append(terms)
+        code = (
+            F.when((d2[0] <= d2[1]) & (d2[0] <= d2[2]) & (d2[0] <= d2[3]), 0)
+            .when((d2[1] <= d2[2]) & (d2[1] <= d2[3]), 1)
+            .when(d2[2] <= d2[3], 2)
+            .otherwise(3)
+        )
+        cols.append(code.cast("long").alias(f"code_{m}"))
+    coded = emb.select(*cols)
+    packed = None
+    for m in range(PQ_M):
+        term = F.col(f"code_{m}") * (4 ** m)
+        packed = term if packed is None else packed + term
+    return coded.select(
+        "vec_id", *[f"code_{m}" for m in range(PQ_M)], packed.cast("long").alias("pq_code")
+    )
