@@ -3,8 +3,9 @@
 The north-star workload this engine exists for — raw documents in,
 clean training corpus out, every stage a distributed DataFrame op:
 
-    quality score → language ID → near-dup clusters → canonical pick
-    → keep-list join → TF-IDF salience on the survivors
+    quality score → near-dup clusters → canonical pick → keep-list
+    join → contamination screen → stratified mixture sample →
+    chunk + pack into training bins
 
     python examples/training_data_pipeline.py
 
@@ -51,9 +52,11 @@ def main() -> None:
     comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
 
     # 3. canonical pick: keep the longest doc per cluster
+    # no broadcast hint: the component map scales with dup count — AQE
+    # broadcasts while small (see SCALE.md, canonical selection)
     labeled = (
         kept.select("doc_id", "n_chars")
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .select("doc_id", F.coalesce("component", "doc_id").alias("component"), "n_chars")
     )
     w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
@@ -65,18 +68,72 @@ def main() -> None:
     corpus = kept.join(keep_list, "doc_id", "left_semi")
     n_out = corpus.count()
 
-    # 4. salience snapshot of the final corpus (log-free BM25 idf)
-    toks = corpus.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    top = dfreq.orderBy(F.desc("df"), "token").limit(5).collect()
+    # 4. contamination screen: drop docs sharing ≥20% of their 5-gram
+    #    hashes with the held-out benchmark set (every 97th doc) —
+    #    hashes, never text, cross the wire (queries_text.py design)
+    from flink_wikipedia_spark.functions.compat import stable_token_hash
 
-    print(f"documents in:        {n_in}")
-    print(f"after quality gate:  {kept.count()}")
-    print(f"after near-dup pass: {n_out}")
-    print("most common tokens in final corpus:", [r.token for r in top])
+    toks_col = F.split(F.lower(F.col("text")), " ")
+    tcol = F.col("toks")
+    grams_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.size(tcol).cast("long") - 5),
+        lambda i: F.concat_ws(" ", *[F.get(tcol, (i + k).cast("int")) for k in range(5)]),
+    )
+    grams = (
+        corpus.select("doc_id", toks_col.alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", F.explode_outer(F.array_distinct(grams_arr)).alias("g"))
+        .select("doc_id", stable_token_hash("g").alias("h"))
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "h", "left")
+        .groupBy("doc_id")
+        .agg((F.count("hit") / F.count(F.lit(1))).alias("frac"))
+        .filter(F.col("frac") >= 0.2)
+        .select("doc_id")
+    )
+    clean = corpus.filter(F.col("doc_id") % 97 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    # 5. stratified mixture sample: md5-draw per doc, per-lang rates
+    #    (reproducible under repartitioning, unlike df.sample)
+    rates = spark.createDataFrame(
+        [("en", 2500), ("de", 7500), ("es", 7500), ("fr", 7500), ("zh", 7500)],
+        "lang string, rate_bp long",
+    )
+    draw = stable_token_hash(F.concat(F.lit("s|"), F.col("doc_id").cast("string"))) % 10000
+    sampled = clean.join(rates, "lang").filter(draw < F.col("rate_bp"))
+
+    # 6. pack into 2048-token training bins per (lang, shard): one
+    #    running-sum window, sharded so no partition owns all of English
+    w_pack = (
+        Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sampled.select(
+        "doc_id", "lang",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / 2048
+        ).cast("long"),
+    )
+    n_bins = packed.select("lang", "shard", "bin").distinct().count()
+
+    print(f"documents in:          {n_in}")
+    print(f"after quality gate:    {kept.count()}")
+    print(f"after near-dup pass:   {n_out}")
+    print(f"after contamination:   {clean.count()}")
+    print(f"after mixture sample:  {sampled.count()}")
+    print(f"packed training bins:  {n_bins}")
     spark.stop()
 
 
