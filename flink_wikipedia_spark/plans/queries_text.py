@@ -580,3 +580,50 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("overlap_frac"),
         (frac >= CONTAM_THRESHOLD).alias("contaminated"),
     )
+
+
+@query(
+    "q_repetition_stats",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS DOUBLE) / SUM(c) AS type_token_ratio,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.2 AS repetitive
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/diversity quality signals (the Gopher-rules family):
+    type-token ratio and most-frequent-token mass per document, with a
+    drop flag for degenerate repetitive text — the filter that catches
+    boilerplate and keyword-stuffed spam that length/stopword checks
+    (q_quality_score) miss.
+
+    Scale: two aggregations — (doc, token) counts then per-doc rollup —
+    both keyed on doc_id(+token), uniform by construction; partial
+    aggregation collapses repeated tokens map-side, so the heavy hitter
+    that makes a doc repetitive never amplifies its shuffle size."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top_frac = F.max("c").cast("double") / F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("type_token_ratio"),
+        top_frac.alias("top_token_frac"),
+        (top_frac > 0.2).alias("repetitive"),
+    )
