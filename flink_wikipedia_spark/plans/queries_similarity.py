@@ -404,32 +404,38 @@ def _pq_centroid(m: int, c: int, d: int) -> float:
 
 def _pq_sql() -> str:
     """DuckDB twin generated from the same loops as the Spark plan —
-    identical IEEE expression trees ⇒ identical argmin codes."""
-    code_cols = []
+    identical IEEE expression trees ⇒ identical argmin codes. Staged
+    exactly like the Spark side: a d2 layer (each distance computed
+    ONCE), a code layer (CASE over d2 columns), a packing layer —
+    mirroring the three selects that keep Spark's generated code small."""
+    d2_cols = []
     for m in range(PQ_M):
-        d2 = []
-        for c in range(PQ_K):
-            terms = " + ".join(
-                f"(CAST(embedding[{m * PQ_SUB + d + 1}] AS DOUBLE) - ({_pq_centroid(m, c, d)!r}))"
-                f" * (CAST(embedding[{m * PQ_SUB + d + 1}] AS DOUBLE) - ({_pq_centroid(m, c, d)!r}))"
-                for d in range(PQ_SUB)
-            )
-            d2.append(f"({terms})")
-        code = (
-            f"CASE WHEN {d2[0]} <= {d2[1]} AND {d2[0]} <= {d2[2]} AND {d2[0]} <= {d2[3]} THEN 0 "
-            f"WHEN {d2[1]} <= {d2[2]} AND {d2[1]} <= {d2[3]} THEN 1 "
-            f"WHEN {d2[2]} <= {d2[3]} THEN 2 ELSE 3 END"
+        cents = ", ".join(
+            "[" + ", ".join(repr(_pq_centroid(m, c, d)) for d in range(PQ_SUB)) + "]"
+            for c in range(PQ_K)
         )
-        code_cols.append(f"CAST({code} AS BIGINT) AS code_{m}")
+        d2_cols.append(
+            f"list_transform([{cents}], cv -> "
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range({PQ_SUB}), i -> "
+            f"(CAST(embedding[{m * PQ_SUB} + i + 1] AS DOUBLE) - cv[i + 1])"
+            f" * (CAST(embedding[{m * PQ_SUB} + i + 1] AS DOUBLE) - cv[i + 1]))), "
+            f"(acc, v) -> acc + v)) AS d2_{m}"
+        )
+    code_cols = [
+        f"CAST(list_position(d2_{m}, list_min(d2_{m})) - 1 AS BIGINT) AS code_{m}"
+        for m in range(PQ_M)
+    ]
     packed = " + ".join(f"code_{m} * {4 ** m}" for m in range(PQ_M))
-    inner = ",\n           ".join(code_cols)
     names = ", ".join(f"code_{m}" for m in range(PQ_M))
     return f"""
     SELECT vec_id, {names}, CAST({packed} AS BIGINT) AS pq_code
     FROM (
-        SELECT vec_id,
-           {inner}
-        FROM embeddings
+        SELECT vec_id, {", ".join(code_cols)}
+        FROM (
+            SELECT vec_id, {", ".join(d2_cols)}
+            FROM embeddings
+        )
     )
     """
 
@@ -442,32 +448,51 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest of 4 codebook centroids (squared-L2 argmin, centroid-id
     tie-break); the packed 16-bit code replaces 256 bytes of floats.
 
-    Scale: assignment is a pure map — every distance is a codegen
-    expression against literal codebooks (a trained system broadcasts
-    them), so quantizing 100 TB is a scan with zero shuffle and the
-    output is ~1/128 the input bytes. Determinism: Spark and the SQL
-    twin are generated from the same loops — identical IEEE trees, so
-    even knife-edge argmin ties agree."""
+    Scale: assignment is a pure map — every distance is an expression
+    against literal codebooks (a trained system broadcasts them), so
+    quantizing 100 TB is a scan with zero shuffle and the output is
+    ~1/128 the input bytes. Determinism: Spark and the SQL twin are
+    generated from the same loops — identical IEEE trees, so even
+    knife-edge argmin ties agree.
+
+    Plan-size note: the naive form unrolled 8×4×8 distance terms with
+    the CASE duplicating each — multi-second whole-stage-codegen
+    compiles dominated the query. Staging (d2 columns → code columns →
+    pack) computes each distance once and keeps the generated code
+    small; the per-subspace fold is zip_with+aggregate, matching the
+    oracle's list_reduce fold order."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cols = [F.col("vec_id")]
+    d2_cols = [F.col("vec_id")]
     for m in range(PQ_M):
-        d2 = []
-        for c in range(PQ_K):
-            terms = None
-            for d in range(PQ_SUB):
-                x = F.get(F.col("embedding"), m * PQ_SUB + d).cast("double")
-                diff = x - F.lit(_pq_centroid(m, c, d))
-                sq = diff * diff
-                terms = sq if terms is None else terms + sq
-            d2.append(terms)
-        code = (
-            F.when((d2[0] <= d2[1]) & (d2[0] <= d2[2]) & (d2[0] <= d2[3]), 0)
-            .when((d2[1] <= d2[2]) & (d2[1] <= d2[3]), 1)
-            .when(d2[2] <= d2[3], 2)
-            .otherwise(3)
+        sub = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+        cents = F.array(
+            *[
+                F.array(*[F.lit(_pq_centroid(m, c, d)) for d in range(PQ_SUB)])
+                for c in range(PQ_K)
+            ]
         )
-        cols.append(code.cast("long").alias(f"code_{m}"))
-    coded = emb.select(*cols)
+        d2_arr = F.transform(
+            cents,
+            lambda cv: F.aggregate(
+                F.zip_with(
+                    sub, cv,
+                    lambda x, co: (x.cast("double") - co) * (x.cast("double") - co),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        d2_cols.append(d2_arr.alias(f"d2_{m}"))
+    dists = emb.select(*d2_cols)
+    code_cols = [F.col("vec_id")] + [
+        # first-position-of-min = lowest-centroid-id tie-break, same as
+        # the oracle's list_position(list_min)
+        (F.array_position(F.col(f"d2_{m}"), F.array_min(F.col(f"d2_{m}"))) - 1)
+        .cast("long")
+        .alias(f"code_{m}")
+        for m in range(PQ_M)
+    ]
+    coded = dists.select(*code_cols)
     packed = None
     for m in range(PQ_M):
         term = F.col(f"code_{m}") * (4 ** m)
