@@ -236,3 +236,85 @@ def build_enriched_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOC_SCHEMA = (
+    "doc_id LONG, lang STRING, text STRING, timestamp STRING"
+)
+
+
+def decode_doc_records(source_df: DataFrame) -> DataFrame:
+    """Streaming document records (JSON lines with doc_id/lang/text/
+    timestamp) → typed frame with an event-time ts — the document twin
+    of decode_edit_events, feeding the curation stream."""
+    data = F.from_json(F.col("value"), DOC_SCHEMA)
+    return (
+        source_df.select(data.alias("d"))
+        .select("d.doc_id", "d.lang", "d.text", "d.timestamp")
+        .withColumn("ts", F.try_to_timestamp(F.col("timestamp")))
+        .drop("timestamp")
+    )
+
+
+def build_curation_stream(
+    spark: SparkSession,
+    source_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    benchmark_fps: DataFrame = None,
+    watermark: str = "10 seconds",
+    window_duration: str = FLAGSHIP_WINDOW,
+) -> StreamingQuery:
+    """STREAMING corpus curation — the round-2 batch pipeline's gates
+    applied to documents as they arrive (the shape an always-on
+    ingestion service runs):
+
+        decode → quality gate → exact-dup drop (state bounded by the
+        watermark) → contamination screen (stream-static ANTI join
+        against benchmark fingerprints) → per (lang, window) kept-count
+
+    Stage notes, 100 TB posture:
+    - quality gate is stateless expressions — runs before anything
+      that holds state, so junk never enters the dedup store;
+    - dropDuplicatesWithinWatermark keys on the md5 content
+      fingerprint; state evicts as event time passes (plain
+      dropDuplicates would grow forever on an unbounded corpus);
+    - the benchmark fingerprint set is static and broadcast; ANTI join
+      drops contaminated docs without holding stream state;
+    - the windowed count is the same partial-aggregate shape as the
+      flagship."""
+    from flink_wikipedia_spark.functions.compat import ensure_session_conf
+    from flink_wikipedia_spark.operators.text import quality_score_cols
+
+    ensure_session_conf(spark)
+    docs = decode_doc_records(source_df).filter(F.col("ts").isNotNull())
+    scored = docs.select("*", *quality_score_cols("text"))
+    kept = scored.filter(F.col("keep") == 1).drop(
+        "n_tokens", "mean_token_len", "stopword_ratio", "keep"
+    )
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    deduped = (
+        kept.withColumn("fp", fp)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    if benchmark_fps is not None:
+        deduped = deduped.join(F.broadcast(benchmark_fps), ["fp"], "left_anti")
+    w = F.window(F.col("ts"), window_duration)
+    result = (
+        deduped.groupBy(w.alias("w"), F.col("lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        )
+    )
+    return (
+        result.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

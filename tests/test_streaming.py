@@ -447,3 +447,66 @@ def test_mongo_sink_config_contract(spark):
     with pytest.raises((NotImplementedError, Exception)) as exc:
         MongoSink("mongodb://x", "db")(batch, epoch_id=0)
     assert "mongo" in str(exc.value).lower()
+
+
+def doc(i, lang="en", text=None, ts="2024-01-01T10:01:00Z"):
+    words = " ".join(f"word{j} filler common text body" for j in range(6))
+    return json.dumps(
+        {"doc_id": i, "lang": lang, "text": text or f"{words} doc {i}",
+         "timestamp": ts}
+    )
+
+
+def test_curation_stream_gates_compose(spark, tmp_path):
+    """Streaming curation: low-quality docs gated out, duplicate content
+    deduped within the watermark, benchmark-fingerprint matches anti-
+    joined away, survivors counted per (lang, window)."""
+    import hashlib
+    import re as _re
+
+    from flink_wikipedia_spark.streaming.pipeline import build_curation_stream
+
+    contaminated_text = " ".join("leaked benchmark item sample row" for _ in range(8))
+    fp = hashlib.md5(
+        _re.sub(r"\s+", " ", contaminated_text.lower()).encode()
+    ).hexdigest()
+    bench = spark.createDataFrame([(fp,)], "fp string")
+
+    lines = [
+        doc(1),                                   # keeps
+        doc(2, lang="de"),                        # keeps
+        doc(3, text="too short"),                 # quality-gated (<20 tokens)
+        doc(4, text=None),                        # duplicate of doc 1? no — unique tail
+        doc(5, text=contaminated_text),           # contaminated → anti-joined
+    ]
+    # true duplicate: same text as doc 1
+    lines.append(json.dumps({
+        "doc_id": 6, "lang": "en",
+        "text": json.loads(doc(1))["text"],
+        "timestamp": "2024-01-01T10:01:30Z",
+    }))
+    later = [doc(9, ts="2024-01-01T11:00:00Z")]  # advances watermark → emit
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir, exist_ok=True)
+    base = time.time() - 600
+    for i, chunk in enumerate([lines, later]):
+        write_file(src_dir, f"{i:03d}.json", chunk, mtime=base + i * 10)
+    sink = MemorySink()
+    q = build_curation_stream(
+        spark,
+        file_source(spark, src_dir, max_files_per_trigger=1),
+        sink,
+        str(tmp_path / "ck-curation"),
+        benchmark_fps=bench,
+    )
+    q.awaitTermination(120)
+
+    out = {
+        (r.lang): r.n_docs
+        for r in sink.rows
+        if (r.window_start.hour, r.window_start.minute) == (10, 0)
+    }
+    # doc1 keeps; doc2 (de) keeps; doc3 quality-gated; doc4 unique keeps;
+    # doc5 contaminated; doc6 dup of doc1 dropped
+    assert out == {"en": 2, "de": 1}
