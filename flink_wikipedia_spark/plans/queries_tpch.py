@@ -444,3 +444,141 @@ def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "q_tpch_q12_late_shipments",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact⋈fact join + two-class conditional
+    aggregation (service-level accounting: lines shipped >60 days after
+    order, per priority).
+
+    Scale: lineitem⋈orders is the one genuinely large join in the
+    schema — deliberately NO broadcast hint; both sides shuffle on
+    orderkey (or co-locate for free if both are bucketed by orderkey —
+    tests/test_bucketing.py proves the zero-exchange layout). The
+    conditional sum is a long, not a float — order-insensitive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: derived revenue view + scalar-subquery max —
+    the top supplier(s) of a ship-date year.
+
+    Scale: revenue collapses to |suppliers| rows before anything else
+    touches it; the scalar max is a single-row broadcast (crossJoin) —
+    never a global sort. Equality on total_rev is safe because both
+    sides derive the double identically from exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_rev"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q_tpch_q22_dormant_accounts",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS a
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c.c_custkey % 7 AS BIGINT) AS code,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY 1
+    """,
+)
+def q_tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (above-average
+    balance) + NOT EXISTS (no order since 2000) + grouped rollup of the
+    dormant-but-wealthy segment, keyed by a derived code.
+
+    Scale: the global average is one broadcast row; NOT EXISTS is a
+    left-anti join on custkey (no count-then-filter detour); everything
+    else is the standard partial-aggregate shape."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_a")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_a"))
+        .join(
+            o.filter(
+                F.col("o_orderdate")
+                >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+            ),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy((F.col("c_custkey") % 7).alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dec_sum("c_acctbal").alias("total_bal"),
+        )
+    )

@@ -23,6 +23,7 @@ BNLJ_ALLOWED = {
     "q_ann_ivf",              # small centroid table for coarse quantization
     "q_embedding_neardup",    # bounded candidate kernel (LSH variant covers full corpus)
     "q_edit_distance_pairs",  # fixed tiny pair set
+    "q_tpch_q22_dormant_accounts",  # single-row global-average broadcast
 }
 
 
