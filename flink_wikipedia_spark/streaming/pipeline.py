@@ -96,8 +96,13 @@ def build_flagship_stream(
     from flink_wikipedia_spark.functions.compat import ensure_session_conf
 
     ensure_session_conf(spark)
+    from flink_wikipedia_spark.operators.metrics import observe_decode_health
+
+    # zero-rescan decode-health counters, surfaced per micro-batch in
+    # StreamingQueryProgress.observedMetrics (operators/metrics.py)
+    decoded, _ = observe_decode_health(decode_edit_events(source_df))
     result = flagship_transform(
-        decode_edit_events(source_df),
+        decoded,
         watermark=watermark,
         window_duration=window_duration,
     )
@@ -287,8 +292,12 @@ def build_curation_stream(
     from flink_wikipedia_spark.operators.text import quality_score_cols
 
     ensure_session_conf(spark)
+    from flink_wikipedia_spark.operators.metrics import observe_quality_gate
+
     docs = decode_doc_records(source_df).filter(F.col("ts").isNotNull())
-    scored = docs.select("*", *quality_score_cols("text"))
+    scored, _ = observe_quality_gate(
+        docs.select("*", *quality_score_cols("text"))
+    )
     kept = scored.filter(F.col("keep") == 1).drop(
         "n_tokens", "mean_token_len", "stopword_ratio", "keep"
     )

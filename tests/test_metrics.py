@@ -72,11 +72,49 @@ def test_streaming_metrics_surface_in_query_progress(spark, tmp_path):
     )
     q.awaitTermination(120)
     # recentProgress carries observedMetrics per micro-batch
-    seen = {}
+    seen = {"rows_total": 0, "rows_corrupt": 0}
     for p in q.recentProgress:
         om = p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics
         if om and "decode_metrics" in om:
             row = om["decode_metrics"]
-            seen = row.asDict() if hasattr(row, "asDict") else dict(row)
-    assert seen.get("rows_total") == 2
-    assert seen.get("rows_corrupt") == 1
+            d = row.asDict() if hasattr(row, "asDict") else dict(row)
+            # sum across micro-batches (the final watermark-flush batch
+            # legitimately reports zeros)
+            for k in seen:
+                seen[k] += d.get(k) or 0
+    assert seen["rows_total"] == 2
+    assert seen["rows_corrupt"] == 1
+
+
+def test_flagship_stream_carries_decode_metrics(spark, tmp_path):
+    """The flagship pipeline surfaces decode-health metrics in its own
+    progress — no sink or extra query involved."""
+    from flink_wikipedia_spark.streaming.pipeline import build_flagship_stream
+    from flink_wikipedia_spark.streaming.sinks import MemorySink
+    from flink_wikipedia_spark.streaming.sources import file_source
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    good = json.dumps(
+        {"id": 1, "domain": "en", "namespace": "main namespace", "title": "t",
+         "timestamp": "2024-01-01T10:00:00Z", "user_name": "u",
+         "user_type": "human", "old_length": 1, "new_length": 2}
+    )
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(good + "\n{broken\n")
+    q = build_flagship_stream(
+        spark, file_source(spark, src), MemorySink(), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    seen = {"rows_total": 0, "rows_corrupt": 0}
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics
+        if om and "decode_metrics" in om:
+            row = om["decode_metrics"]
+            d = row.asDict() if hasattr(row, "asDict") else dict(row)
+            # sum across micro-batches (the final watermark-flush batch
+            # legitimately reports zeros)
+            for k in seen:
+                seen[k] += d.get(k) or 0
+    assert seen["rows_total"] == 2
+    assert seen["rows_corrupt"] == 1
