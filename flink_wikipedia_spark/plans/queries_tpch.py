@@ -582,3 +582,103 @@ def q_tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_tpch_q9_nation_year_profit",
+    oracle="""
+    SELECT s.s_nationkey AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: the profit rollup — fact⋈fact (lineitem⋈orders on
+    orderkey, no hint) plus a broadcast supplier dim, grouped by
+    (supplier nation, order year).
+
+    Scale: the only large exchange is the orderkey join; the group-by
+    key is tiny (|nations|×|years|), so the final aggregate collapses
+    map-side. EXTRACT(YEAR) matches Spark's year() on both engines
+    (UTC session pinned)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q21_sole_late_supplier",
+    oracle="""
+    WITH flagged AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+        FROM flagged GROUP BY l_orderkey
+    )
+    SELECT f.l_suppkey AS s_suppkey, COUNT(*) AS n_blocking_lines
+    FROM flagged f JOIN per_order p ON f.l_orderkey = p.l_orderkey
+    WHERE f.late = 1 AND p.n_supp > 1 AND p.n_late_supp = 1
+    GROUP BY 1
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q_tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: 'suppliers who kept orders waiting' — the
+    EXISTS (another supplier on the order) + NOT EXISTS (another LATE
+    supplier) pair, expressed as one per-order aggregate instead of two
+    correlated scans: count distinct suppliers and distinct late
+    suppliers per order, keep late lines where the supplier was the
+    sole offender on a multi-supplier order.
+
+    Scale: the correlated-subquery formulation rescans lineitem twice
+    per probe; this shape reads it once, aggregates by orderkey (the
+    join key — no extra exchange beyond the fact join), and joins the
+    per-order flags back on the same key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        flagged.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_blocking_lines"))
+        .filter(F.col("n_blocking_lines") >= 5)
+    )
