@@ -46,8 +46,23 @@ def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """MinHash signature per document: sig_i = min over tokens of
-    (A[i]·hm + B[i]) mod P, i < 8."""
-    toks = _doc_tokens(df, id_col, text_col)
+    (A[i]·hm + B[i]) mod P, i < 8.
+
+    Deliberately NOT fed from _doc_tokens: min is duplicate-insensitive,
+    so the per-(doc, hm) distinct — a full shuffle of the largest
+    intermediate in the dedup family — adds nothing here. Token rows go
+    straight into the groupBy's map-side partial min; set semantics
+    still hold because min over a multiset equals min over its support.
+    (Jaccard keeps _doc_tokens — intersection/union sizes DO need
+    distinct.)"""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(id_col, (stable_token_hash("token") % HM_MOD).alias("hm"))
+    )
     aggs = [
         F.min((F.col("hm") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"sig_{i}")
         for i in range(MINHASH_NUM_HASHES)
