@@ -229,26 +229,35 @@ def sql_minhash_clusters_duckdb(table: str = "documents", id_col: str = "doc_id"
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash: per bit j, S_j = Σ_tokens (±1 by bit j of hm);
     fingerprint = Σ_j [S_j > 0]·2^j. Token multiplicity weights the vote
-    (no distinct — frequency matters for SimHash)."""
-    toks = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .select(id_col, (stable_token_hash("token") % HM_MOD).alias("hm"))
+    (no distinct — frequency matters for SimHash).
+
+    Computed ROW-LOCALLY: a SimHash depends only on its own document,
+    so the explode → groupBy(doc) formulation (which shuffles every
+    token row) is replaced by per-row higher-order folds over the token
+    array — a pure map, zero exchanges, same integers. The token-hash
+    array is materialized in its own projection; with 16 downstream
+    references CollapseProject keeps it shared instead of re-inlining
+    the md5 per bit."""
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
     )
-    sums = [
-        F.sum(
-            F.shiftright(F.col("hm"), j).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"s_{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    per_doc = toks.groupBy(id_col).agg(*sums)
+    hms = F.transform(toks_arr, lambda t: stable_token_hash(t) % HM_MOD)
+    # token-less docs emit nothing (parity with the groupBy form); the
+    # guard is a cheap string predicate — a size(_hms) > 0 filter gets
+    # predicate-pushed below the projection and recomputes the whole
+    # md5 transform per row (the explode-filter trap, see memory)
+    with_hms = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), hms.alias("_hms")
+    )
     fp: Column = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        fp = fp + F.when(F.col(f"s_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+        s_j = F.aggregate(
+            F.col("_hms"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        fp = fp + F.when(s_j > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return with_hms.select(F.col(id_col), fp.alias("simhash"))
 
 
 def sql_simhash_duckdb(table: str = "documents", id_col: str = "doc_id",
