@@ -37,6 +37,14 @@ import sys
 def parse_args(argv: list[str]) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="flink_wikipedia_spark")
     p.add_argument(
+        "--job",
+        choices=["flagship", "curation"],
+        default="flagship",
+        help="flagship: the reference's windowed edit-size job; "
+        "curation: streaming document curation (quality gate, "
+        "watermarked dedup, contamination screen, windowed counts)",
+    )
+    p.add_argument(
         "--source",
         choices=["kafka", "socket", "file", "rate", "wikipedia_sim"],
         required=True,
@@ -51,6 +59,23 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument(
         "--rows-per-batch", type=int, default=500,
         help="rows per micro-batch for --source wikipedia_sim",
+    )
+    p.add_argument(
+        "--splits", type=int, default=1,
+        help="wikipedia_sim: simulated topic splits",
+    )
+    p.add_argument(
+        "--split-rates", help="wikipedia_sim: per-split speed ratio, e.g. 10,1"
+    )
+    p.add_argument(
+        "--max-drift-seconds", type=int,
+        help="wikipedia_sim: watermark-alignment drift cap across splits "
+        "(the reference's withWatermarkAlignment 30s twin)",
+    )
+    p.add_argument(
+        "--benchmark-fps",
+        help="curation job: parquet of benchmark fingerprints (column fp) "
+        "for the contamination anti-join",
     )
     p.add_argument("--sink", choices=["parquet", "upsert", "console"], default="console")
     p.add_argument("--out", help="output dir for parquet/upsert sinks")
@@ -87,13 +112,22 @@ def main(argv: list[str] | None = None) -> int:
         source_kwargs = dict(rows_per_second=args.rate)
     elif args.source == "wikipedia_sim":
         source_kwargs = dict(rowsPerBatch=args.rows_per_batch)
+        if args.splits > 1:
+            source_kwargs["splits"] = args.splits
+            if args.split_rates:
+                source_kwargs["splitRates"] = args.split_rates
+            if args.max_drift_seconds is not None:
+                source_kwargs["maxDriftSeconds"] = args.max_drift_seconds
 
     if args.sink in ("parquet", "upsert") and not args.out:
         print("--out is required for parquet/upsert sinks", file=sys.stderr)
         return 2
 
     from flink_wikipedia_spark.session import get_spark
-    from flink_wikipedia_spark.streaming.pipeline import build_flagship_stream
+    from flink_wikipedia_spark.streaming.pipeline import (
+        build_curation_stream,
+        build_flagship_stream,
+    )
     from flink_wikipedia_spark.streaming.sinks import (
         ParquetSink,
         RetrySink,
@@ -130,16 +164,30 @@ def main(argv: list[str] | None = None) -> int:
             batch_df.unpersist()
 
     trigger = {"availableNow": True} if args.once else {"processingTime": "5 seconds"}
-    query = build_flagship_stream(
-        spark,
-        streaming_source(spark, args.source, **source_kwargs),
-        counting_sink,
-        checkpoint_dir=args.checkpoint,
-        trigger=trigger,
-        output_mode=args.mode,
-        watermark=args.watermark,
-        window_duration=args.window,
-    )
+    if args.job == "curation":
+        bench_fps = (
+            spark.read.parquet(args.benchmark_fps) if args.benchmark_fps else None
+        )
+        query = build_curation_stream(
+            spark,
+            streaming_source(spark, args.source, **source_kwargs),
+            counting_sink,
+            checkpoint_dir=args.checkpoint,
+            benchmark_fps=bench_fps,
+            watermark=args.watermark,
+            window_duration=args.window,
+        )
+    else:
+        query = build_flagship_stream(
+            spark,
+            streaming_source(spark, args.source, **source_kwargs),
+            counting_sink,
+            checkpoint_dir=args.checkpoint,
+            trigger=trigger,
+            output_mode=args.mode,
+            watermark=args.watermark,
+            window_duration=args.window,
+        )
     # Propagate failures (non-zero exit) — deliberately NOT the
     # reference's swallow-and-exit-zero behavior.
     query.awaitTermination()

@@ -62,3 +62,25 @@ def test_cli_arg_parsing():
 
     b = parse_args(["--source", "file", "--path", "/p", "--checkpoint", "/c", "--once"])
     assert b.once and b.sink == "console"
+
+
+def test_cli_curation_and_alignment_args():
+    from flink_wikipedia_spark.__main__ import parse_args
+
+    a = parse_args(
+        [
+            "--job", "curation", "--source", "file", "--path", "/docs",
+            "--checkpoint", "/c", "--benchmark-fps", "/fps.parquet",
+        ]
+    )
+    assert a.job == "curation" and a.benchmark_fps == "/fps.parquet"
+
+    b = parse_args(
+        [
+            "--source", "wikipedia_sim", "--checkpoint", "/c",
+            "--splits", "4", "--split-rates", "10,1,1,1",
+            "--max-drift-seconds", "30",
+        ]
+    )
+    assert b.splits == 4 and b.split_rates == "10,1,1,1"
+    assert b.max_drift_seconds == 30 and b.job == "flagship"
