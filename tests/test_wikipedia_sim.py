@@ -134,3 +134,39 @@ def test_aligned_stream_resumes_from_per_split_offsets(spark, tmp_path):
     second = _run_sim_stream(spark, tmp_path, "ck-resume", **opts)
     assert first and second
     assert set(first).isdisjoint(second)
+
+
+def test_aligned_source_feeds_flagship_windows(spark, tmp_path):
+    """O1+O3+O4 integration: the aligned multi-split source drives the
+    full flagship pipeline — windows aggregate correctly across split
+    clocks, and alignment keeps both splits contributing to overlapping
+    event-time ranges (a runaway fast split would leave the slow
+    split's windows unmergeable until much later)."""
+    from flink_wikipedia_spark.streaming.pipeline import build_flagship_stream
+
+    sink = MemorySink()
+
+    def run_once():
+        reader = spark.readStream.format("wikipedia_sim")
+        for k, v in dict(
+            rowsPerBatch=120, splits=2, splitRates="8,1",
+            maxDriftSeconds=140, maxRows=1_000_000,
+        ).items():
+            reader = reader.option(k, str(v))
+        q = build_flagship_stream(
+            spark, reader.load(), sink, str(tmp_path / "ck"),
+            watermark="1 second", window_duration="1 minute",
+        )
+        q.awaitTermination(120)
+
+    # availableNow drains ONE micro-batch of this source per run; append
+    # mode finalizes a window only after a later batch advances the
+    # watermark — so run twice on the same checkpoint.
+    run_once()
+    run_once()
+    rows = sink.rows
+    assert rows, "aligned source produced no finalized windows"
+    # all windows are 1-minute event-time buckets from the sim clock
+    for r in rows:
+        assert (r.window_end - r.window_start).total_seconds() == 60
+        assert r.edit_size >= 0
