@@ -682,3 +682,249 @@ def q_tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_blocking_lines"))
         .filter(F.col("n_blocking_lines") >= 5)
     )
+
+
+@query(
+    "q_tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+        SELECT ps.l_partkey, ps.l_suppkey, ps.supplycost, s.s_name,
+               s.s_acctbal, n.n_name
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p_partkey, s_suppkey, s_name, n_name, s_acctbal, supplycost
+    FROM (
+        SELECT p.p_partkey, eu.l_suppkey AS s_suppkey, eu.s_name, eu.n_name,
+               eu.s_acctbal, eu.supplycost,
+               MIN(eu.supplycost) OVER (PARTITION BY eu.l_partkey) AS min_cost
+        FROM eu JOIN part p ON p.p_partkey = eu.l_partkey
+        WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+    ) WHERE supplycost = min_cost
+    """,
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest regional supplier for each part —
+    the correlated MIN subquery expressed as an analytic window.
+    partsupp is synthesized from lineitem's (part, supplier) pairs with
+    MIN(l_extendedprice) as the supply-cost proxy (pure MIN, no
+    arithmetic — bit-identical across engines).
+
+    Scale: supplier⋈nation⋈region and the filtered part dim all
+    broadcast; the only large exchanges are the partsupp group-by and
+    the window repartition on l_partkey — a high-cardinality, evenly
+    distributed key. The correlated-subquery formulation would rescan
+    partsupp per probe; the window shape reads it once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.join(F.broadcast(eu_supp), ps.l_suppkey == eu_supp.s_suppkey)
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "s_acctbal", "supplycost")
+    )
+
+
+@query(
+    "q_tpch_q8_market_share",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
+                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
+               AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a regional market per year
+    — a 6-dim snowflake join with conditional-over-total aggregation.
+    The share divides two decimal-exact double sums, so the quotient is
+    bit-identical across engines.
+
+    Scale: every dimension (part-filtered, customer→nation→region,
+    supplier→nation) broadcasts; lineitem⋈orders on orderkey is the one
+    large exchange, and the date filter on orders cuts the build side
+    before it. Group key is |years| — the final agg collapses
+    map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_region = (
+        c.join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(cust_region), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                dec_sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / dec_sum(vol)
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q11_important_stock",
+    oracle="""
+    WITH nation_lines AS (
+        SELECT l.l_partkey, l.l_extendedprice * l.l_quantity AS v
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_0'
+    )
+    SELECT l_partkey AS ps_partkey,
+           CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS value
+    FROM nation_lines
+    GROUP BY 1
+    HAVING CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) >
+           0.002 * (SELECT CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+                    FROM nation_lines)
+    """,
+)
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's stock value — group-by HAVING against an uncorrelated
+    scalar subquery. Stock value is proxied by extendedprice×quantity
+    over the nation's lineitems.
+
+    Determinism: BOTH the per-part values and the grand total are
+    decimal sums over base rows (the total is never a re-sum of
+    per-part doubles), so the 0.002×total threshold compares
+    bit-identical doubles on both engines.
+
+    Scale: supplier⋈nation broadcasts and filters the fact scan; one
+    shuffle on l_partkey; the scalar total rides the same scan as a
+    broadcast single row — two passes over a pre-filtered fraction of
+    lineitem, no giant exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    nation_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    v = F.col("l_extendedprice") * F.col("l_quantity")
+    lines = li.join(F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", v.alias("v")
+    )
+    per_part = lines.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        dec_sum("v").alias("value")
+    )
+    total = lines.agg(dec_sum("v").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.002 * F.col("_total"))
+        .select("ps_partkey", "value")
+    )
+
+
+@query(
+    "q_tpch_q20_excess_stock_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_1'
+      AND s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 30
+      )
+    """,
+)
+def q_tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved serious volume of a part
+    family in a year — the nested-IN pair expressed as chained
+    semi-joins. The availqty threshold is a constant proxy (no partsupp
+    table): half of a nominal availability of 60 units.
+
+    Scale: the part-name filter broadcasts into a semi-join that prunes
+    the fact scan before the (suppkey, partkey) aggregate; the HAVING
+    output collapses to a supplier-id set that semi-joins the supplier
+    dim. No distinct needed — left-semi absorbs duplicates. The decimal
+    quantity sum keeps the >30 cut bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    movers = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_qty"))
+        .filter(F.col("_qty") > 30)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )

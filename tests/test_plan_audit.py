@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "q_embedding_neardup",    # bounded candidate kernel (LSH variant covers full corpus)
     "q_edit_distance_pairs",  # fixed tiny pair set
     "q_tpch_q22_dormant_accounts",  # single-row global-average broadcast
+    "q_tpch_q11_important_stock",   # single-row stock-value-total broadcast
 }
 
 
