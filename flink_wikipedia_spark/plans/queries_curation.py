@@ -27,6 +27,20 @@ PACK_SHARDS = 8
 SAMPLE_RATES_BP = {"en": 2500, "de": 7500, "es": 7500, "fr": 7500, "zh": 7500}
 _RATE_ROWS = ", ".join(f"('{lg}', {bp})" for lg, bp in sorted(SAMPLE_RATES_BP.items()))
 
+# Provenance blocklist (C4-style domain filtering): sources whose
+# documents never enter the training mix. At 100 TB this is a table of
+# millions of domains — still a few-MB broadcast, never a shuffle key.
+BLOCKED_SOURCES = ["src3", "src7", "src13"]
+_BLOCKED_IN = ", ".join(f"'{s}'" for s in BLOCKED_SOURCES)
+
+# PII redaction patterns — kept to the regex subset where Java regex
+# (Spark) and RE2 (DuckDB) agree: no backrefs, no lookaround.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Training-shard fan-out for the deterministic global shuffle.
+SHUFFLE_SHARDS = 16
+
 
 @query(
     "q_pack_sequences",
@@ -116,4 +130,147 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(rates, "lang")
         .select("doc_id", "lang", "rate_bp", draw)
         .filter(F.col("draw_bp") < F.col("rate_bp"))
+    )
+
+
+@query(
+    "q_source_blocklist",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS n_tokens_kept
+    FROM documents
+    WHERE source NOT IN ({_BLOCKED_IN})
+    GROUP BY 1
+    """,
+)
+def q_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance blocklist filtering (C4-style domain exclusion): drop
+    every document from a blocked source, then report the surviving
+    per-language doc and token counts — the admission-control step of a
+    curation pipeline.
+
+    Scale: the blocklist joins as a broadcast LEFT ANTI (a real
+    blocklist is millions of domains — megabytes, not a dim worth a
+    shuffle), the filter rides the scan, and the per-language rollup
+    collapses map-side to |langs| rows. One pass, one tiny exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocked = spark.createDataFrame([(s,) for s in BLOCKED_SOURCES], "source string")
+    return (
+        docs.join(F.broadcast(blocked), "source", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               'contact user' || doc_id || '@example' || (doc_id % 7)
+                 || '.com from 10.' || (doc_id % 256) || '.0.'
+                 || (doc_id % 100) || ' ' || text AS raw
+        FROM documents
+    ),
+    pass1 AS (
+        SELECT doc_id, raw,
+               CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g') AS noemail
+        FROM enriched
+    )
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(noemail, '{IPV4_RE}')) AS BIGINT)
+               AS n_ips,
+           substring(regexp_replace(noemail, '{IPV4_RE}', '<IP>', 'g'), 1, 64)
+               AS redacted_head
+    FROM pass1
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact email addresses and IPv4 addresses and
+    count what was removed — the privacy pass every public-web training
+    corpus runs before tokenization. The synthetic corpus contains no
+    PII, so a deterministic contact header derived from ``doc_id`` is
+    prepended first; the redaction then operates on real non-trivial
+    matches (the header) and real negative text (the document body).
+
+    Patterns stay inside the Java-regex/RE2 common subset (no
+    backrefs/lookaround) so Spark and the DuckDB oracle redact
+    identically; emails are removed before the IP pass so an address
+    like ``10.4.0.9`` inside ``user@10...`` can't double-count.
+
+    Scale: pure per-row codegen expressions — map-only, zero shuffle;
+    a 100 TB redaction pass is embarrassingly parallel and this plan
+    keeps it that way (no UDF, no Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    noemail = F.regexp_replace(raw, EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(noemail, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.substring(F.regexp_replace(noemail, IPV4_RE, "<IP>"), 1, 64).alias(
+            "redacted_head"
+        ),
+    )
+
+
+@query(
+    "q_shuffle_shards",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5('shuf|' || doc_id), 1, 15) AS BIGINT)
+                   AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(h % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % {SHUFFLE_SHARDS}
+                                   ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM t
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: place every document at a
+    reproducible (shard, position) using an md5-derived key — the
+    "shuffle the corpus once, write N shard files" step before
+    training. Unlike ``ORDER BY rand()`` the placement is stable across
+    runs, engines, and input partitionings, so a resumed job rebuilds
+    byte-identical shards.
+
+    Scale: a true global sort of 100 TB is one giant range exchange;
+    sharding first means ONE hash exchange on ``h % {SHUFFLE_SHARDS}``
+    and an in-partition sort per shard (thousands of shards in
+    production — each sort fits in an executor). The hash key is
+    uniform, so shards balance regardless of corpus skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = stable_token_hash(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+    t = docs.select("doc_id", h.alias("h"))
+    w = Window.partitionBy(F.col("h") % SHUFFLE_SHARDS).orderBy("h", "doc_id")
+    return t.select(
+        "doc_id",
+        (F.col("h") % SHUFFLE_SHARDS).alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
     )
