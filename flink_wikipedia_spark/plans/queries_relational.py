@@ -562,3 +562,77 @@ def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, purchases, on="user_id", left_ts="tss", right_ts="tss",
         range_sec=3600,
     ).select("event_id", "user_id", "n_in_range")
+
+
+@query(
+    "q_gapfill_rollup",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+        FROM agg GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+    )
+    SELECT s.event_type, s.bucket,
+           COALESCE(a.n_events, 0) AS n_events,
+           a.sum_value AS sum_value,
+           last_value(a.sum_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM spine s LEFT JOIN agg a USING (event_type, bucket)
+    """,
+)
+def q_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous rollup with gap filling: hourly
+    (event_type, bucket) aggregates densified onto a complete per-type
+    hour spine, empty buckets carrying count 0 and a LOCF
+    (last-observation-carried-forward) interpolated value — the
+    time_bucket_gapfill + locf() idiom of time-series stores.
+
+    Scale: the rollup is ONE shuffle on (event_type, hour) with map-side
+    partials; the spine is generated from a |types|-row bounds table
+    (sequence+explode — rows created, never scanned) and joins back on
+    the same key. The LOCF window partitions by event_type, but its
+    partition size is bounded by CALENDAR hours, not corpus size — a
+    century is <1M rows per type — so the low-cardinality partition key
+    is safe here, unlike over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("b0"), F.col("b1"), F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            "sum_value",
+            F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )

@@ -402,12 +402,54 @@ def _pq_centroid(m: int, c: int, d: int) -> float:
     return ((m * 31 + c * 17 + d * 7) % 19 - 9) / 9.0
 
 
-def _pq_sql() -> str:
-    """DuckDB twin generated from the same loops as the Spark plan —
-    identical IEEE expression trees ⇒ identical argmin codes. Staged
-    exactly like the Spark side: a d2 layer (each distance computed
-    ONCE), a code layer (CASE over d2 columns), a packing layer —
-    mirroring the three selects that keep Spark's generated code small."""
+def _pq_d2_frame(emb: DataFrame) -> DataFrame:
+    """Spark d2 layer: per subspace ``m``, a 4-element array ``d2_m`` of
+    squared-L2 distances to the codebook centroids. For a corpus vector
+    the argmin of each array is its PQ code; for a QUERY vector the
+    arrays ARE the asymmetric-distance lookup tables (FAISS-style ADC).
+    Each distance is a zip_with+aggregate fold over literal centroids —
+    same staged shape as the oracle's list_reduce, identical IEEE trees."""
+    d2_cols = [F.col("vec_id")]
+    for m in range(PQ_M):
+        sub = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+        cents = F.array(
+            *[
+                F.array(*[F.lit(_pq_centroid(m, c, d)) for d in range(PQ_SUB)])
+                for c in range(PQ_K)
+            ]
+        )
+        d2_arr = F.transform(
+            cents,
+            lambda cv: F.aggregate(
+                F.zip_with(
+                    sub, cv,
+                    lambda x, co: (x.cast("double") - co) * (x.cast("double") - co),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        d2_cols.append(d2_arr.alias(f"d2_{m}"))
+    return emb.select(*d2_cols)
+
+
+def _pq_code_frame(emb: DataFrame) -> DataFrame:
+    """Spark code layer: argmin (first-position-of-min = lowest-centroid
+    tie-break, same as the oracle's list_position(list_min)) over each
+    d2 array → ``vec_id, code_0..code_{PQ_M-1}``."""
+    code_cols = [F.col("vec_id")] + [
+        (F.array_position(F.col(f"d2_{m}"), F.array_min(F.col(f"d2_{m}"))) - 1)
+        .cast("long")
+        .alias(f"code_{m}")
+        for m in range(PQ_M)
+    ]
+    return _pq_d2_frame(emb).select(*code_cols)
+
+
+def _pq_d2_sql_cols() -> list[str]:
+    """DuckDB d2-layer columns (``d2_m`` = 4-element distance list per
+    subspace), generated from the same loops as the Spark side —
+    identical IEEE expression trees ⇒ identical distances."""
     d2_cols = []
     for m in range(PQ_M):
         cents = ", ".join(
@@ -422,20 +464,38 @@ def _pq_sql() -> str:
             f" * (CAST(embedding[{m * PQ_SUB} + i + 1] AS DOUBLE) - cv[i + 1]))), "
             f"(acc, v) -> acc + v)) AS d2_{m}"
         )
-    code_cols = [
+    return d2_cols
+
+
+def _pq_code_sql_cols() -> list[str]:
+    """DuckDB code-layer columns: argmin over each d2 list."""
+    return [
         f"CAST(list_position(d2_{m}, list_min(d2_{m})) - 1 AS BIGINT) AS code_{m}"
         for m in range(PQ_M)
     ]
+
+
+_PQ_CODES_SQL = f"""
+        SELECT vec_id, {", ".join(_pq_code_sql_cols())}
+        FROM (
+            SELECT vec_id, {", ".join(_pq_d2_sql_cols())}
+            FROM embeddings
+        )
+"""
+
+
+def _pq_sql() -> str:
+    """DuckDB twin generated from the same loops as the Spark plan —
+    identical IEEE expression trees ⇒ identical argmin codes. Staged
+    exactly like the Spark side: a d2 layer (each distance computed
+    ONCE), a code layer (CASE over d2 columns), a packing layer —
+    mirroring the three selects that keep Spark's generated code small."""
     packed = " + ".join(f"code_{m} * {4 ** m}" for m in range(PQ_M))
     names = ", ".join(f"code_{m}" for m in range(PQ_M))
     return f"""
     SELECT vec_id, {names}, CAST({packed} AS BIGINT) AS pq_code
     FROM (
-        SELECT vec_id, {", ".join(code_cols)}
-        FROM (
-            SELECT vec_id, {", ".join(d2_cols)}
-            FROM embeddings
-        )
+    {_PQ_CODES_SQL}
     )
     """
 
@@ -462,41 +522,120 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     small; the per-subspace fold is zip_with+aggregate, matching the
     oracle's list_reduce fold order."""
     emb = load_table(spark, sf_dir, "embeddings")
-    d2_cols = [F.col("vec_id")]
-    for m in range(PQ_M):
-        sub = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
-        cents = F.array(
-            *[
-                F.array(*[F.lit(_pq_centroid(m, c, d)) for d in range(PQ_SUB)])
-                for c in range(PQ_K)
-            ]
-        )
-        d2_arr = F.transform(
-            cents,
-            lambda cv: F.aggregate(
-                F.zip_with(
-                    sub, cv,
-                    lambda x, co: (x.cast("double") - co) * (x.cast("double") - co),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        d2_cols.append(d2_arr.alias(f"d2_{m}"))
-    dists = emb.select(*d2_cols)
-    code_cols = [F.col("vec_id")] + [
-        # first-position-of-min = lowest-centroid-id tie-break, same as
-        # the oracle's list_position(list_min)
-        (F.array_position(F.col(f"d2_{m}"), F.array_min(F.col(f"d2_{m}"))) - 1)
-        .cast("long")
-        .alias(f"code_{m}")
-        for m in range(PQ_M)
-    ]
-    coded = dists.select(*code_cols)
+    coded = _pq_code_frame(emb)
     packed = None
     for m in range(PQ_M):
         term = F.col(f"code_{m}") * (4 ** m)
         packed = term if packed is None else packed + term
     return coded.select(
         "vec_id", *[f"code_{m}" for m in range(PQ_M)], packed.cast("long").alias("pq_code")
+    )
+
+
+def _ivfpq_sql() -> str:
+    """DuckDB twin of the IVF-PQ search path, generated from the same
+    constants/loops as the Spark plan: coarse assign + probes (identical
+    to q_ann_ivf's), PQ codes (identical to q_pq_codes' inner layers),
+    ADC = fixed-order sum of table lookups — identical IEEE trees."""
+    adc = " + ".join(f"q.d2_{m}[c.code_{m} + 1]" for m in range(PQ_M))
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id < {IVF_NC}
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({_D2}, 6) ASC, c.centroid_id ASC) AS rk
+            FROM embeddings v CROSS JOIN centroids c
+        ) WHERE rk <= 1
+    ),
+    probes AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({_D2}, 6) ASC, c.centroid_id ASC) AS rk
+            FROM embeddings v CROSS JOIN centroids c
+            WHERE v.vec_id < {N_QUERY_VECS}
+        ) WHERE rk <= {IVF_NPROBE}
+    ),
+    codes AS (
+    {_PQ_CODES_SQL}
+    ),
+    qd2 AS (
+        SELECT vec_id, {", ".join(_pq_d2_sql_cols())}
+        FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    )
+    SELECT query_id, neighbor_id, adc_d2, rk FROM (
+        SELECT query_id, neighbor_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk
+        FROM (
+            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   round({adc}, 6) AS adc_d2
+            FROM probes p
+            JOIN qd2 q ON q.vec_id = p.vec_id
+            JOIN assign a ON a.centroid_id = p.centroid_id
+                         AND a.vec_id <> p.vec_id
+            JOIN codes c ON c.vec_id = a.vec_id
+        )
+    ) WHERE rk <= {TOPK_K}
+    """
+
+
+@query("q_ivfpq_search", oracle=_ivfpq_sql())
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 capstone — the full IVF-PQ search path (the FAISS IVFPQ
+    layout): corpus vectors live in IVF cells as 16-bit PQ codes; a
+    query probes its nearest cells and scores candidates by ASYMMETRIC
+    DISTANCE — per-subspace lookup tables computed once per query, then
+    one array index + add per candidate — never touching raw candidate
+    floats.
+
+    Scale: this is why the layout wins at 100 TB — the scored side of
+    the join carries (cell id, 8 small codes) per vector, ~1/128 the
+    raw bytes, so the shuffle and the per-candidate work shrink by the
+    same factor; the per-query ADC tables ride the broadcast-joined
+    probe rows. Candidate scoring is an equi-join on centroid_id plus a
+    fixed 8-lookup sum in codegen.
+
+    Determinism: coarse assign/probes reuse q_ann_ivf's rounded-d2
+    ranking; codes reuse q_pq_codes' argmin trees; the ADC sum is a
+    fixed-order 8-term add generated from the same loop as the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVF_NC)
+    assign = ivf_assign(emb, centroids, n_probe=1).select("vec_id", "centroid_id")
+    cands = assign.join(_pq_code_frame(emb), "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "centroid_id",
+        *[f"code_{m}" for m in range(PQ_M)],
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    probes = (
+        ivf_assign(queries, centroids, n_probe=IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+        .join(
+            _pq_d2_frame(queries).withColumnRenamed("vec_id", "query_id"),
+            "query_id",
+        )
+    )
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col(f"d2_{m}"), (F.col(f"code_{m}") + 1).cast("int")
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        probes.join(cands, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(adc, 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOPK_K)
+        .select("query_id", "neighbor_id", "adc_d2", "rk")
     )
