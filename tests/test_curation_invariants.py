@@ -1,0 +1,102 @@
+"""Invariant tests for the round-2 curation / similarity additions —
+the DuckDB oracle proves value equality; these pin the semantic
+contracts a hash comparison can't express (permutation-ness of the
+shard shuffle, no-residual-PII, spine density, ADC recall sanity).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from flink_wikipedia_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    out = REGISTRY["q_shuffle_shards"].fn(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # every document placed exactly once
+    assert sorted(r.doc_id for r in out) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+    # positions are contiguous 1..n within each shard (a dataloader can
+    # seek shard files by offset)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_shuffle_shards_stable_under_repartition(spark):
+    base = REGISTRY["q_shuffle_shards"].fn(spark, SF)
+    placed = {(r.doc_id, r.shard, r.pos) for r in base.collect()}
+    again = {(r.doc_id, r.shard, r.pos) for r in base.repartition(13).collect()}
+    assert placed == again
+
+
+def test_pii_redact_leaves_no_matches(spark):
+    from flink_wikipedia_spark.plans.queries_curation import EMAIL_RE, IPV4_RE
+
+    rows = REGISTRY["q_pii_redact"].fn(spark, SF).collect()
+    email, ipv4 = re.compile(EMAIL_RE), re.compile(IPV4_RE)
+    assert all(r.n_emails >= 1 for r in rows)  # the synthesized header
+    assert all(r.n_ips >= 1 for r in rows)
+    for r in rows:
+        assert not email.search(r.redacted_head), r.redacted_head
+        assert not ipv4.search(r.redacted_head), r.redacted_head
+        assert "<EMAIL>" in r.redacted_head
+
+
+def test_source_blocklist_drops_only_blocked(spark):
+    from flink_wikipedia_spark.plans.queries_curation import BLOCKED_SOURCES
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = sum(
+        r.n_docs_kept
+        for r in REGISTRY["q_source_blocklist"].fn(spark, SF).collect()
+    )
+    expected = docs.filter(~F.col("source").isin(BLOCKED_SOURCES)).count()
+    assert kept == expected
+
+
+def test_gapfill_spine_is_dense_and_locf_monotone(spark):
+    rows = REGISTRY["q_gapfill_rollup"].fn(spark, SF).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for typ, rs in by_type.items():
+        rs.sort(key=lambda r: r.bucket)
+        # hourly buckets with no holes
+        for a, b in zip(rs, rs[1:]):
+            assert (b.bucket - a.bucket).total_seconds() == 3600, typ
+        # LOCF: null only before the first observation, then always set
+        seen = False
+        for r in rs:
+            if r.sum_value is not None:
+                seen = True
+            assert (r.locf_value is not None) == seen, typ
+        # gap rows report zero events and no raw sum
+        assert all(r.sum_value is None for r in rs if r.n_events == 0)
+
+
+def test_ivfpq_recall_against_exact_topk(spark):
+    """ADC over 2-bit-per-subspace codes is lossy and the IVF probe is
+    partial — but on the demo corpus the approximate top-5 should still
+    overlap the exact top-5 (sanity that the index isn't returning
+    noise)."""
+    exact = REGISTRY["q_similarity_topk"].fn(spark, SF).collect()
+    approx = REGISTRY["q_ivfpq_search"].fn(spark, SF).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in approx:
+        total += 1
+        if r.neighbor_id in exact_sets.get(r.query_id, set()):
+            hits += 1
+    assert total > 0
+    assert hits / total >= 0.2, f"IVF-PQ recall {hits}/{total} vs exact top-k"
