@@ -299,3 +299,78 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+# Exact substring duplication (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): spans of DUP_SPAN_N consecutive
+# tokens that recur across documents. A suffix array finds these
+# single-node; the distributed equivalent is stride-1 shingle hashing +
+# one group-by — same detection power at span granularity.
+DUP_SPAN_N = 8
+
+
+@query(
+    "q_duplicate_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(
+                   array_to_string(toks[i + 1 : i + {DUP_SPAN_N}], ' ')
+               ), 1, 15) AS BIGINT) AS h
+        FROM t, UNNEST(generate_series(0, CAST(n_tokens - {DUP_SPAN_N} AS BIGINT))) AS u(i)
+        WHERE n_tokens >= {DUP_SPAN_N}
+    )
+    SELECT h AS span_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM grams
+    GROUP BY h
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication detection: every {DUP_SPAN_N}-token
+    span (stride 1) that appears in ≥2 documents, with its corpus-wide
+    occurrence count and first carrier — the span-granular equivalent
+    of suffix-array substring dedup, the pass that catches boilerplate
+    MinHash's whole-document similarity misses.
+
+    Scale: the stride-1 fan-out is ~n_tokens rows per doc, but each row
+    is (doc_id, 60-bit hash) — 16 bytes, never text — and the single
+    groupBy(span_hash) shuffles uniformly by construction (md5). The
+    HAVING prunes to the duplicated tail, so output is proportional to
+    duplication, not corpus size. In production the hit list joins back
+    as the mask for span removal. explode_outer (not explode) dodges
+    the inferred-filter re-inlining trap (see q_contamination_check)."""
+    from flink_wikipedia_spark.functions.compat import stable_token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    tcol = F.col("toks")
+    grams_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.size(tcol).cast("long") - DUP_SPAN_N),
+        lambda i: F.concat_ws(
+            " ", *[F.get(tcol, (i + k).cast("int")) for k in range(DUP_SPAN_N)]
+        ),
+    )
+    grams = (
+        docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+        .filter(F.size("toks") >= DUP_SPAN_N)
+        .select("doc_id", grams_arr.alias("grams"))
+        .select("doc_id", F.explode_outer("grams").alias("gram"))
+        .select("doc_id", stable_token_hash("gram").alias("h"))
+    )
+    return (
+        grams.groupBy(F.col("h").alias("span_hash"))
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
