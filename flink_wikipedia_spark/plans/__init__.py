@@ -51,8 +51,11 @@ _PRIORITY = [
     # the tail — its window-fn shape is already proven by q_topk_docs
     "q_pack_sequences",
     "q_stratified_sample",
-    # Deduplication (E1 + MinHash/LSH/SimHash/CC pipeline)
-    "q_dedup_events",
+    # Deduplication (E1 + MinHash/LSH/SimHash/CC pipeline + substring).
+    # q_dedup_events (second exact-dedup proof) moved to the tail in
+    # favor of q_duplicate_spans — a distinct capability (substring-
+    # level dedup) beats a redundant proof of an already-covered one.
+    "q_duplicate_spans",
     "q_dedup_docs_exact",
     "q_minhash_signatures",
     "q_minhash_dedup_pairs",
