@@ -374,3 +374,99 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "q_span_mask_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i,
+               CAST('0x' || substring(md5(
+                   array_to_string(toks[i + 1 : i + {DUP_SPAN_N}], ' ')
+               ), 1, 15) AS BIGINT) AS h
+        FROM t, UNNEST(generate_series(0, CAST(n_tokens - {DUP_SPAN_N} AS BIGINT))) AS u(i)
+        WHERE n_tokens >= {DUP_SPAN_N}
+    ),
+    dup AS (
+        SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hitpos AS (
+        SELECT DISTINCT g.doc_id, p.p
+        FROM grams g
+        JOIN dup d ON d.h = g.h,
+        UNNEST(generate_series(g.i, g.i + {DUP_SPAN_N - 1})) AS p(p)
+    ),
+    masked AS (
+        SELECT doc_id, COUNT(*) AS n_masked FROM hitpos GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           CAST(COALESCE(m.n_masked, 0) AS BIGINT) AS n_masked,
+           CAST(COALESCE(m.n_masked, 0) AS DOUBLE) / t.n_tokens AS masked_frac
+    FROM t LEFT JOIN masked m ON m.doc_id = t.doc_id
+    """,
+)
+def q_span_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The masking half of substring dedup: for every document, how many
+    of its token positions fall inside some cross-document duplicated
+    {DUP_SPAN_N}-token span — the per-doc damage report that decides
+    between span REMOVAL (low fraction: cut the boilerplate) and doc
+    DROP (high fraction: the doc is mostly duplicated material).
+
+    Scale: the duplicated-hash set is the HAVING-pruned tail of the
+    span group-by (proportional to duplication, usually broadcastable —
+    AQE decides); only HIT grams expand ×{DUP_SPAN_N} into positions,
+    so the interval union costs nothing on clean corpora. Per-doc
+    distinct + count shuffles (doc_id, pos) longs. masked_frac divides
+    identically-cast doubles — bit-stable on both engines."""
+    from flink_wikipedia_spark.functions.compat import stable_token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    tcol = F.col("toks")
+    grams_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.size(tcol).cast("long") - DUP_SPAN_N),
+        lambda i: F.concat_ws(
+            " ", *[F.get(tcol, (i + k).cast("int")) for k in range(DUP_SPAN_N)]
+        ),
+    )
+    base = docs.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    grams = (
+        base.filter(F.size("toks") >= DUP_SPAN_N)
+        .select("doc_id", grams_arr.alias("grams"))
+        .select("doc_id", F.posexplode_outer("grams").alias("i", "gram"))
+        .select("doc_id", F.col("i").cast("long").alias("i"), stable_token_hash("gram").alias("h"))
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    masked = (
+        grams.join(dup, "h")
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + DUP_SPAN_N - 1)).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_masked"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(masked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_masked"), F.lit(0)).cast("long").alias("n_masked"),
+            (
+                F.coalesce(F.col("n_masked"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("masked_frac"),
+        )
+    )
