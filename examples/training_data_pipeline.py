@@ -3,9 +3,10 @@
 The north-star workload this engine exists for — raw documents in,
 clean training corpus out, every stage a distributed DataFrame op:
 
-    quality score → near-dup clusters → canonical pick → keep-list
-    join → contamination screen → stratified mixture sample →
-    chunk + pack into training bins
+    source blocklist → quality score → PII scrub → near-dup clusters
+    → canonical pick → keep-list join → duplicated-span damage gate →
+    contamination screen → stratified mixture sample → chunk + pack
+    into training bins → deterministic shard shuffle
 
     python examples/training_data_pipeline.py
 
@@ -42,9 +43,29 @@ def main() -> None:
     docs = load_table(spark, SF_DIR, "documents")
     n_in = docs.count()
 
+    # 0. provenance blocklist: broadcast LEFT ANTI before anything else
+    #    touches the text (queries_curation.q_source_blocklist design)
+    from flink_wikipedia_spark.plans.queries_curation import (
+        BLOCKED_SOURCES,
+        EMAIL_RE,
+        IPV4_RE,
+    )
+
+    blocked = spark.createDataFrame([(s,) for s in BLOCKED_SOURCES], "source string")
+    docs = docs.join(F.broadcast(blocked), "source", "left_anti")
+
     # 1. quality gate: cheap per-row signals, filter before anything heavy
     scored = docs.select("*", *quality_score_cols("text"))
     kept = scored.filter(F.col("keep") == 1)
+
+    # 1b. PII scrub: map-only codegen regexp replace (q_pii_redact) —
+    #     downstream stages see only redacted text
+    kept = kept.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+    )
 
     # 2. near-dup clusters over the survivors: MinHash → LSH candidates
     #    → connected components (transitive closure of "looks similar")
@@ -68,11 +89,46 @@ def main() -> None:
     corpus = kept.join(keep_list, "doc_id", "left_semi")
     n_out = corpus.count()
 
+    # 3b. duplicated-span damage gate: drop docs that are mostly
+    #     cross-doc boilerplate (q_span_mask_stats design — only HIT
+    #     spans expand into positions; hashes, never text, shuffle)
+    from flink_wikipedia_spark.functions.compat import stable_token_hash
+    from flink_wikipedia_spark.plans.queries_dedup import DUP_SPAN_N
+
+    sp_t = F.col("toks")
+    span_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.size(sp_t).cast("long") - DUP_SPAN_N),
+        lambda i: F.concat_ws(
+            " ", *[F.get(sp_t, (i + k).cast("int")) for k in range(DUP_SPAN_N)]
+        ),
+    )
+    span_grams = (
+        corpus.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= DUP_SPAN_N)
+        .select("doc_id", F.posexplode_outer(span_arr).alias("i", "g"))
+        .select("doc_id", "i", stable_token_hash("g").alias("h"))
+    )
+    dup_h = (
+        span_grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    damaged = (
+        span_grams.join(dup_h, "h")
+        .select("doc_id", F.explode(F.sequence("i", F.col("i") + DUP_SPAN_N - 1)).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_masked"))
+        .join(corpus.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens")), "doc_id")
+        .filter(F.col("n_masked") / F.col("n_tokens") > 0.5)
+        .select("doc_id")
+    )
+    corpus = corpus.join(damaged, "doc_id", "left_anti")
+
     # 4. contamination screen: drop docs sharing ≥20% of their 5-gram
     #    hashes with the held-out benchmark set (every 97th doc) —
     #    hashes, never text, cross the wire (queries_text.py design)
-    from flink_wikipedia_spark.functions.compat import stable_token_hash
-
     toks_col = F.split(F.lower(F.col("text")), " ")
     tcol = F.col("toks")
     grams_arr = F.transform(
@@ -128,12 +184,30 @@ def main() -> None:
     )
     n_bins = packed.select("lang", "shard", "bin").distinct().count()
 
+    # 7. deterministic shard shuffle: md5-keyed (shard, pos) placement —
+    #    one hash exchange, byte-identical shards on re-run
+    #    (q_shuffle_shards design)
+    sh = stable_token_hash(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+    w_shuf = Window.partitionBy(F.col("h") % 16).orderBy("h", "doc_id")
+    shards = (
+        sampled.select("doc_id", sh.alias("h"))
+        .select(
+            "doc_id",
+            (F.col("h") % 16).alias("shard"),
+            F.row_number().over(w_shuf).alias("pos"),
+        )
+    )
+    n_shards = shards.select("shard").distinct().count()
+
     print(f"documents in:          {n_in}")
+    print(f"after blocklist:       {docs.count()}")
     print(f"after quality gate:    {kept.count()}")
     print(f"after near-dup pass:   {n_out}")
+    print(f"after span-damage gate:{corpus.count()}")
     print(f"after contamination:   {clean.count()}")
     print(f"after mixture sample:  {sampled.count()}")
     print(f"packed training bins:  {n_bins}")
+    print(f"output shards:         {n_shards}")
     spark.stop()
 
 
