@@ -53,17 +53,32 @@ def write_partitioned(
     partition_cols: list[str] | None = None,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+    cluster: bool = False,
 ) -> None:
     """Scale-aware parquet layout: directory-partitioned on low-
     cardinality columns (→ partition pruning at read) and sorted within
     files on range-filter columns (→ row-group min/max skipping). This
     is the write-time half of SCALE.md's scan story; bucketed-table
     layouts (shuffle-free joins) additionally need a catalog
-    (`saveAsTable` with bucketBy) and are deployment-specific."""
-    writer = df.write.mode(mode)
+    (`saveAsTable` with bucketBy) and are deployment-specific.
+
+    Small-files control: a partitionBy write emits one file per (task ×
+    partition value) — with 1000 upstream tasks and 100 values that is
+    100k shards of confetti, the classic small-files failure. With
+    ``cluster=True`` rows are repartitioned ON the partition columns
+    first (each value lands in one task) and ``max_records_per_file``
+    re-splits the now-large files to a bounded size. At true scale,
+    repartition(N, *cols) with N > |values| plus AQE rebalancing bounds
+    the hot-partition tail; the principle — cluster first, cap file
+    size second — is the same."""
+    if cluster and partition_cols:
+        df = df.repartition(*[F.col(c) for c in partition_cols])
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
-        writer = df.write.mode(mode)
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
