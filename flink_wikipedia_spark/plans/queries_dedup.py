@@ -417,12 +417,17 @@ def q_span_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     between span REMOVAL (low fraction: cut the boilerplate) and doc
     DROP (high fraction: the doc is mostly duplicated material).
 
-    Scale: the duplicated-hash set is the HAVING-pruned tail of the
-    span group-by (proportional to duplication, usually broadcastable —
-    AQE decides); only HIT grams expand ×{DUP_SPAN_N} into positions,
-    so the interval union costs nothing on clean corpora. Per-doc
-    distinct + count shuffles (doc_id, pos) longs. masked_frac divides
+    Scale: the gram build (tokenize + {DUP_SPAN_N}-token concat + hash
+    — the expensive map) runs ONCE: positions fold into a per-(span,
+    doc) list (bounded by doc length) through the first shuffle, the
+    cross-doc carrier count is a window over span hash on those
+    already-aggregated rows (a naive dup-set + join-back would rescan
+    and re-hash the corpus — observed 2× the runtime), and only HIT
+    rows expand ×{DUP_SPAN_N} into positions, so the interval union
+    costs nothing on clean corpora. masked_frac divides
     identically-cast doubles — bit-stable on both engines."""
+    from pyspark.sql import Window
+
     from flink_wikipedia_spark.functions.compat import stable_token_hash
 
     docs = load_table(spark, sf_dir, "documents")
@@ -444,14 +449,15 @@ def q_span_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode_outer("grams").alias("i", "gram"))
         .select("doc_id", F.col("i").cast("long").alias("i"), stable_token_hash("gram").alias("h"))
     )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("h")
+    per_hd = grams.groupBy("h", "doc_id").agg(F.collect_list("i").alias("pos"))
+    hits = (
+        per_hd.withColumn(
+            "_n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("_n_docs") >= 2)
     )
     masked = (
-        grams.join(dup, "h")
+        hits.select("doc_id", F.explode("pos").alias("i"))
         .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + DUP_SPAN_N - 1)).alias("p"))
         .distinct()
         .groupBy("doc_id")
