@@ -627,3 +627,56 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_token_frac"),
         (top_frac > 0.2).alias("repetitive"),
     )
+
+
+# Tokenizer-vocabulary construction: reserved ids for special tokens,
+# a minimum-frequency floor for inclusion.
+VOCAB_MIN_COUNT = 2
+VOCAB_NUM_SPECIAL = 4  # <pad>, <unk>, <bos>, <eos>
+
+
+@query(
+    "q_vocab_ids",
+    oracle=f"""
+    WITH tf AS (
+        SELECT t.t AS token, COUNT(*) AS n
+        FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(t)
+        WHERE t.t <> ''
+        GROUP BY 1
+    )
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC)
+                + {VOCAB_NUM_SPECIAL - 1} AS BIGINT) AS token_id
+    FROM tf WHERE n >= {VOCAB_MIN_COUNT}
+    """,
+)
+def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary construction: frequency-ranked
+    token → id assignment (ids {VOCAB_NUM_SPECIAL}+; 0..{VOCAB_NUM_SPECIAL - 1}
+    reserved for <pad>/<unk>/<bos>/<eos>), with a min-frequency floor —
+    the deterministic id table every corpus→token-id encode pass joins
+    against.
+
+    Scale: the corpus-sized work is the token count, whose Zipfian
+    skew collapses in map-side partials; the global rank window then
+    runs over the DISTINCT-TOKEN relation, which is bounded by
+    morphology (~1e6-1e7 rows regardless of corpus bytes), so the
+    single-partition window sort is a non-issue — ranking cost scales
+    with vocabulary, not with the 100 TB input. Ties rank
+    deterministically by (count desc, token asc) on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= VOCAB_MIN_COUNT)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return tf.select(
+        "token",
+        "n",
+        (F.row_number().over(w) + (VOCAB_NUM_SPECIAL - 1)).cast("long").alias("token_id"),
+    )
