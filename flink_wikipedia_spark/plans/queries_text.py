@@ -680,3 +680,90 @@ def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.row_number().over(w) + (VOCAB_NUM_SPECIAL - 1)).cast("long").alias("token_id"),
     )
+
+
+@query(
+    "q_encode_tokens",
+    oracle=f"""
+    WITH tf AS (
+        SELECT t.t AS token, COUNT(*) AS n
+        FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(t)
+        WHERE t.t <> ''
+        GROUP BY 1
+    ),
+    vocab AS (
+        SELECT token,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC)
+                    + {VOCAB_NUM_SPECIAL - 1} AS BIGINT) AS token_id
+        FROM tf WHERE n >= {VOCAB_MIN_COUNT}
+    ),
+    toks AS (
+        SELECT d.doc_id, u.i - 1 AS pos, d.tk[u.i] AS token
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+              FROM documents) d,
+             UNNEST(generate_series(1, CAST(len(d.tk) AS BIGINT))) AS u(i)
+    ),
+    enc AS (
+        SELECT t.doc_id, t.pos, COALESCE(v.token_id, 1) AS tid
+        FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           CAST('0x' || substring(md5(
+               array_to_string(list(tid ORDER BY pos), ',')
+           ), 1, 15) AS BIGINT) AS ids_fp
+    FROM enc GROUP BY doc_id
+    """,
+)
+def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus→token-id encode pass: every document's tokens joined
+    against the frequency-ranked vocabulary (q_vocab_ids), OOV mapping
+    to ``<unk>``=1, re-assembled in document order — surfaced as a
+    per-doc (length, unk count, 60-bit sequence fingerprint) row.
+    The fingerprint stands in for the id array itself: it proves the
+    exact encoded sequence while keeping every output column scalar.
+
+    Scale: the vocab is morphology-bounded and joins as a broadcast
+    (the one corpus-sized structure — exploded (doc, pos, token) rows —
+    is immediately narrowed to 24-byte (doc, pos, id) rows); the
+    re-assembly groups by doc_id, bounded per group by document length.
+    This is the canonical encode shape: one explode, one broadcast
+    join, one keyed shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= VOCAB_MIN_COUNT)
+    )
+    from pyspark.sql import Window
+
+    from flink_wikipedia_spark.functions.compat import stable_token_hash
+
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    vocab = tf.select(
+        "token",
+        (F.row_number().over(w) + (VOCAB_NUM_SPECIAL - 1)).cast("long").alias("token_id"),
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token")
+    )
+    enc = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce("token_id", F.lit(1)).alias("tid"),
+    )
+    ids_str = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s.tid.cast("string"),
+        ),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == 1, 1).otherwise(0)).cast("long").alias("n_unk"),
+        stable_token_hash(ids_str).alias("ids_fp"),
+    )
