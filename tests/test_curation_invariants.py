@@ -100,3 +100,24 @@ def test_ivfpq_recall_against_exact_topk(spark):
             hits += 1
     assert total > 0
     assert hits / total >= 0.2, f"IVF-PQ recall {hits}/{total} vs exact top-k"
+
+
+def test_vocab_ids_dense_and_encode_consistent(spark):
+    vocab = REGISTRY["q_vocab_ids"].fn(spark, SF).collect()
+    ids = sorted(r.token_id for r in vocab)
+    # ids are dense starting right after the reserved specials
+    assert ids == list(range(4, 4 + len(ids)))
+    # frequency-ranked: a higher id never has a strictly higher count
+    by_id = sorted(vocab, key=lambda r: r.token_id)
+    assert all(a.n >= b.n for a, b in zip(by_id, by_id[1:]))
+
+    enc = REGISTRY["q_encode_tokens"].fn(spark, SF).collect()
+    docs = {r.doc_id: r for r in enc}
+    raw = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert set(docs) == {r.doc_id for r in raw}
+    # per-doc token counts match the source text exactly
+    for r in raw:
+        assert docs[r.doc_id].n_tokens == len(r.text.split(" "))
+    # fingerprints are deterministic across independent executions
+    again = {r.doc_id: r.ids_fp for r in REGISTRY["q_encode_tokens"].fn(spark, SF).collect()}
+    assert all(again[d] == r.ids_fp for d, r in docs.items())
