@@ -17,6 +17,10 @@ A user of the reference switches like-for-like:
     python -m flink_wikipedia_spark --source file --path /data/events \
         --sink parquet --out /data/out --checkpoint /tmp/ck --once
 
+    # any registered batch query, ad hoc ("--query list" to enumerate):
+    python -m flink_wikipedia_spark --job query --query q_tpch_q1_pricing_summary \
+        --sf-dir /root/testdata/sf0.01 --out /data/q1
+
 Differences from the reference, on purpose:
 - checkpointing is mandatory (the reference has none and loses
   in-flight windows on failure, SURVEY.md §4.2);
@@ -38,16 +42,26 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="flink_wikipedia_spark")
     p.add_argument(
         "--job",
-        choices=["flagship", "curation"],
+        choices=["flagship", "curation", "query"],
         default="flagship",
         help="flagship: the reference's windowed edit-size job; "
         "curation: streaming document curation (quality gate, "
-        "watermarked dedup, contamination screen, windowed counts)",
+        "watermarked dedup, contamination screen, windowed counts); "
+        "query: run one registered batch query (--query NAME) over a "
+        "parquet table dir (--sf-dir)",
+    )
+    p.add_argument("--query", help="query name for --job query (see --query list)")
+    p.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="table directory for --job query (parquet per table)",
+    )
+    p.add_argument(
+        "--limit", type=int, default=20, help="rows to print for --job query"
     )
     p.add_argument(
         "--source",
         choices=["kafka", "socket", "file", "rate", "wikipedia_sim"],
-        required=True,
     )
     p.add_argument("--brokers", help="kafka bootstrap servers")
     p.add_argument("--topic", default="wikipedia-events")
@@ -79,7 +93,7 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     )
     p.add_argument("--sink", choices=["parquet", "upsert", "console"], default="console")
     p.add_argument("--out", help="output dir for parquet/upsert sinks")
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", help="required for streaming jobs")
     p.add_argument("--window", default="5 minutes")
     p.add_argument("--watermark", default="1 second")
     p.add_argument("--mode", choices=["append", "update"], default="append")
@@ -90,7 +104,16 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
+    if args.job == "query":
+        return run_batch_query(args)
+
     # validate BEFORE paying JVM startup
+    if not args.source:
+        print("--source is required for streaming jobs", file=sys.stderr)
+        return 2
+    if not args.checkpoint:
+        print("--checkpoint is required for streaming jobs", file=sys.stderr)
+        return 2
     source_kwargs: dict = {}
     if args.source == "kafka":
         if not args.brokers:
@@ -202,6 +225,36 @@ def main(argv: list[str] | None = None) -> int:
             "see provisional results with --once.",
             file=sys.stderr,
         )
+    return 0
+
+
+def run_batch_query(args: argparse.Namespace) -> int:
+    """--job query: run one registered batch query over a parquet table
+    dir — the ad-hoc path for every operator in plans/ (same registry
+    the driver contract exposes). ``--query list`` prints the names;
+    ``--out`` writes parquet, otherwise the first --limit rows print."""
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    if not args.query or args.query == "list":
+        for name in REGISTRY:
+            print(name)
+        return 0 if args.query else 2
+    if args.query not in REGISTRY:
+        print(
+            f"unknown query {args.query!r} — run --job query --query list",
+            file=sys.stderr,
+        )
+        return 2
+
+    from flink_wikipedia_spark.session import get_spark
+
+    spark = get_spark("flink-wikipedia-spark-cli")
+    df = REGISTRY[args.query].fn(spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {spark.read.parquet(args.out).count()} rows to {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
     return 0
 
 

@@ -84,3 +84,30 @@ def test_cli_curation_and_alignment_args():
     )
     assert b.splits == 4 and b.split_rates == "10,1,1,1"
     assert b.max_drift_seconds == 30 and b.job == "flagship"
+
+
+def test_cli_query_job(spark, tmp_path, capsys):
+    """--job query runs a registered batch query end-to-end: unknown
+    names exit 2 with the hint, list mode prints the registry, --out
+    writes parquet (in-process — a subprocess would pay a second JVM)."""
+    from flink_wikipedia_spark.__main__ import main, parse_args
+
+    a = parse_args(["--job", "query", "--query", "q_keyby_agg_edit_size"])
+    assert a.job == "query" and a.sf_dir == "/root/testdata/sf0.001"
+
+    assert main(["--job", "query", "--query", "nope"]) == 2
+    assert main(["--job", "query"]) == 2          # missing --query lists + errors
+    assert main(["--job", "query", "--query", "list"]) == 0
+    assert "q_windowed_edit_size" in capsys.readouterr().out
+
+    out = str(tmp_path / "q_out")
+    rc = main(
+        ["--job", "query", "--query", "q_keyby_agg_edit_size",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", out]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 5
+
+    # streaming jobs still demand their required args
+    assert main(["--source", "rate"]) == 2  # no checkpoint
+    assert main(["--sink", "console"]) == 2  # no source
