@@ -636,3 +636,104 @@ def q_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+@query(
+    "q_data_quality_audit",
+    oracle="""
+    SELECT 'lineitem_null_orderkey' AS rule,
+           CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS n_violations,
+           COUNT(*) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_nonpositive_quantity',
+           CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+           COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_ship_before_order',
+           CAST(COUNT(*) FILTER (WHERE l.l_shipdate < o.o_orderdate) AS BIGINT),
+           COUNT(*)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST(COUNT(*) AS BIGINT), (SELECT COUNT(*) FROM lineitem)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(COUNT(*) AS BIGINT), (SELECT COUNT(*) FROM orders)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation audit (the dbt-test / Deequ shape): null,
+    range, cross-column, and referential-integrity rules evaluated as
+    one row per rule with violation and checked counts — the report a
+    pipeline gates a 100 TB ingest on.
+
+    Scale: single-table rules share ONE scan each via conditional
+    aggregation (never a scan per rule); the temporal rule rides the
+    fact⋈dim join with the dim broadcast; FK-orphan rules are LEFT ANTI
+    counts (the cheapest existence check — no row wider than the key
+    crosses the wire). Every branch reduces to a single row before the
+    union, so the result is |rules| rows regardless of input size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def rule(name, df, violated):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(violated, 1).otherwise(0)).cast("long").alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+
+    def orphan(name, df, keys, dim, dim_keys):
+        # total rides as a broadcast single row — never an eager count
+        # at plan-build time (an action here would run jobs on explain)
+        total = df.agg(F.count(F.lit(1)).alias("n_checked"))
+        return (
+            df.join(
+                dim.select(*dim_keys).distinct(),
+                [df[a] == dim[b] for a, b in zip(keys, dim_keys)],
+                "left_anti",
+            )
+            .agg(
+                F.lit(name).alias("rule"),
+                F.count(F.lit(1)).cast("long").alias("n_violations"),
+            )
+            .crossJoin(F.broadcast(total))
+        )
+
+    shipped = li.join(
+        F.broadcast(o.select("o_orderkey", "o_orderdate")),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        rule("lineitem_null_orderkey", li, F.col("l_orderkey").isNull())
+        .unionAll(rule("lineitem_nonpositive_quantity", li, F.col("l_quantity") <= 0))
+        .unionAll(
+            rule(
+                "lineitem_discount_out_of_range",
+                li,
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            )
+        )
+        .unionAll(
+            rule(
+                "lineitem_ship_before_order",
+                shipped,
+                F.col("l_shipdate") < F.col("o_orderdate"),
+            )
+        )
+        .unionAll(
+            orphan("lineitem_orphan_orderkey", li, ["l_orderkey"], o, ["o_orderkey"])
+        )
+        .unionAll(orphan("orders_orphan_custkey", o, ["o_custkey"], c, ["c_custkey"]))
+    )

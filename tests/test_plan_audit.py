@@ -26,6 +26,7 @@ BNLJ_ALLOWED = {
     "q_edit_distance_pairs",  # fixed tiny pair set
     "q_tpch_q22_dormant_accounts",  # single-row global-average broadcast
     "q_tpch_q11_important_stock",   # single-row stock-value-total broadcast
+    "q_data_quality_audit",         # single-row checked-total broadcast per FK rule
 }
 
 
