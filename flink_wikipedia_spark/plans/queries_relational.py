@@ -687,11 +687,29 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
 
-    def rule(name, df, violated):
-        return df.agg(
-            F.lit(name).alias("rule"),
-            F.sum(F.when(violated, 1).otherwise(0)).cast("long").alias("n_violations"),
+    def rules(df, named_predicates):
+        # ALL of a table's row-local rules fold into ONE aggregate over
+        # ONE scan (a rule-per-agg form rescans the table per rule),
+        # then the single wide row unpivots to (rule, counts) rows.
+        wide = df.agg(
             F.count(F.lit(1)).alias("n_checked"),
+            *[
+                F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+                for name, pred in named_predicates
+            ],
+        )
+        stacked = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"), F.col(name).alias("n_violations")
+                    )
+                    for name, _ in named_predicates
+                ]
+            )
+        ).alias("r")
+        return wide.select(stacked, "n_checked").select(
+            "r.rule", "r.n_violations", "n_checked"
         )
 
     def orphan(name, df, keys, dim, dim_keys):
@@ -716,20 +734,21 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_orderkey == F.col("o_orderkey"),
     )
     return (
-        rule("lineitem_null_orderkey", li, F.col("l_orderkey").isNull())
-        .unionAll(rule("lineitem_nonpositive_quantity", li, F.col("l_quantity") <= 0))
-        .unionAll(
-            rule(
-                "lineitem_discount_out_of_range",
-                li,
-                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
-            )
+        rules(
+            li,
+            [
+                ("lineitem_null_orderkey", F.col("l_orderkey").isNull()),
+                ("lineitem_nonpositive_quantity", F.col("l_quantity") <= 0),
+                (
+                    "lineitem_discount_out_of_range",
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                ),
+            ],
         )
         .unionAll(
-            rule(
-                "lineitem_ship_before_order",
+            rules(
                 shipped,
-                F.col("l_shipdate") < F.col("o_orderdate"),
+                [("lineitem_ship_before_order", F.col("l_shipdate") < F.col("o_orderdate"))],
             )
         )
         .unionAll(
