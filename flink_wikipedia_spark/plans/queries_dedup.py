@@ -482,3 +482,89 @@ def q_span_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("masked_frac"),
         )
     )
+
+
+# Fixed-point PageRank: damping 0.85 and per-edge contributions in
+# integer micro-units. Floating-point PageRank sums are ORDER-DEPENDENT
+# (a parallel engine cannot promise which contributions add first);
+# defining the semantics over integers makes every iteration exact,
+# order-independent, and bit-identical across engines — the same move
+# dec_sum makes for money columns.
+PR_ITERS = 2
+PR_UNIT = 1_000_000          # initial rank per node, in micro-units
+PR_DAMP_NUM, PR_DAMP_DEN = 850, 1000
+PR_BASE = 150_000            # (1 - d) * PR_UNIT
+
+
+def _pagerank_iter_sql(prev: str) -> str:
+    return f"""
+        SELECT e.dst AS node,
+               CAST({PR_BASE} + ({PR_DAMP_NUM} * SUM(r.rank // d.d))
+                    // {PR_DAMP_DEN} AS BIGINT) AS rank
+        FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    """
+
+
+@query(
+    "q_pagerank_parts_suppliers",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM lineitem
+        UNION
+        SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+        FROM lineitem
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({PR_UNIT} AS BIGINT) AS rank FROM deg),
+    it1 AS ({_pagerank_iter_sql("r0")}),
+    it2 AS ({_pagerank_iter_sql("it1")})
+    SELECT node, rank FROM it{PR_ITERS}
+    """,
+)
+def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph centrality with a FULL value oracle: {PR_ITERS}
+    PageRank iterations over the symmetrized part↔supplier trade graph
+    (nodes namespaced 2k / 2k+1). Contributions are integer micro-units
+    with `div` arithmetic, so the result is bit-identical across
+    engines and partition orders — iterative numeric algorithms usually
+    get only rows-count checks; fixed-point semantics earns this one an
+    exact hash match.
+
+    Scale: each iteration is edges ⋈ ranks on src + one groupBy(dst) —
+    the standard distributed PR shape; the edge list (with degrees) is
+    localCheckpoint-ed once so K iterations don't re-derive the
+    distinct-pair subtree (Catalyst re-plans per reference), and
+    lineage stays flat however many iterations run (same control as
+    operators/graph.connected_components). Hub skew in the groupBy is
+    absorbed by map-side partial sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    rev = li.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
+    )
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    withdeg = edges.join(deg, "src").localCheckpoint(eager=False)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(PR_UNIT).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        ranks = (
+            withdeg.join(ranks, withdeg.src == ranks.node)
+            .select("dst", F.expr("rank div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(f"({PR_DAMP_NUM} * sum(contrib)) div {PR_DAMP_DEN}")
+                )
+                .cast("long")
+                .alias("rank")
+            )
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return ranks
