@@ -51,3 +51,33 @@ def salted_sum(
     if count_alias:
         aggs.append(F.sum("_p_cnt").alias(count_alias))
     return phase1.groupBy(*key_cols).agg(*aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join by key salting: each fact row gets a
+    deterministic salt in [0, n_salts) hashed from its own columns, the
+    dim side replicates ×n_salts, and the join runs on (key, salt) — a
+    hot fact key now spreads over n_salts shuffle partitions instead of
+    melting one task.
+
+    Results are identical to ``fact.join(dim, on, how)`` (inner/left):
+    every fact row still meets exactly the dim rows of its key. Use
+    when AQE's runtime skew-split isn't available — a fixed plan, a
+    stream-static join inside a micro-batch, or an engine pinned to
+    static partitioning; prefer a plain broadcast when the dim fits.
+    Cost: dim shuffle volume ×n_salts — cheap for a dim, the reason
+    this is a fact⋈DIM tool, never fact⋈fact."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.abs(F.hash(*[F.col(c) for c in fact.columns]) % n_salts)
+    salted_fact = fact.withColumn("_salt", salt)
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_fact.join(salted_dim, [on, "_salt"], how).drop("_salt")

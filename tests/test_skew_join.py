@@ -47,3 +47,24 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from flink_wikipedia_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 50_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    plain = fact.join(dim, "k").select("k", "v", "name")
+    salted = salted_join(fact, dim, "k").select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # left join keeps unmatched fact rows exactly once
+    dim_partial = dim.filter(F.col("k") < 50)
+    pl = fact.join(dim_partial, "k", "left").select("k", "v", "name")
+    sl = salted_join(fact, dim_partial, "k", how="left").select("k", "v", "name")
+    assert sorted(map(tuple, pl.collect())) == sorted(map(tuple, sl.collect()))
