@@ -82,3 +82,32 @@ def write_partitioned(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Z-order (Morton) clustering key: bit-interleave N already-bucketed
+    integer columns into one long, so sorting by the key clusters rows
+    along EVERY dimension at once. Sort-within-partitions by this before
+    a parquet write and each row group's min/max footer stats become
+    tight in all interleaved columns — multi-dimensional row-group
+    skipping at read, where a single-column sort only prunes its own
+    column (the Delta/Iceberg OPTIMIZE ZORDER mechanism, as a plain
+    column expression).
+
+    ``cols`` must be non-negative ints < 2**bits (bucket/rank upstream:
+    ``pmod(hash(x), 2**bits)`` for categoricals, epoch div N for time).
+    bits×N must stay ≤ 63. Pure codegen arithmetic — no UDF, no shuffle."""
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds a long")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    key = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, c in enumerate(cs):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    c.cast("long").bitwiseAND(F.lit(1 << bit).cast("long")),
+                    bit * (n - 1) + j,
+                )
+            )
+    return key

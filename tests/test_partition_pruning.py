@@ -82,3 +82,72 @@ def test_clustered_write_bounds_file_count(spark, tmp_path):
     a = spark.read.parquet(naive).select("doc_id").collect()
     b = spark.read.parquet(clustered).select("doc_id").collect()
     assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+
+
+def test_zorder_layout_makes_both_dims_prunable(spark, tmp_path):
+    """Multi-dimensional clustering evidence: a single-column time sort
+    makes only time predicates skip row groups (user stats span the
+    full range in every group); the Z-order layout makes BOTH columns'
+    footer stats tight, so equality predicates on EITHER dim skip most
+    groups — the Delta/Iceberg OPTIMIZE ZORDER effect, measured on the
+    actual parquet row-group min/max stats the reader prunes with.
+    Measured at 49 row groups: user-eq skip 0.16 → 0.75, time-eq skip
+    0.98 → 0.83; sources/batch.zorder_key."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flink_wikipedia_spark.sources.batch import zorder_key
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    tmin, tmax, umax = ev.agg(F.min("t"), F.max("t"), F.max("user_id")).first()
+    # min-max scale both dims onto the same 8-bit bucket space — a
+    # modulo would wrap and destroy locality; unequal bit usage starves
+    # one dimension of interleave levels
+    prepared = ev.select(
+        "user_id",
+        "t",
+        (F.col("user_id") * 255 / F.lit(umax)).cast("long").alias("ub"),
+        ((F.col("t") - F.lit(tmin)) * 255 / F.lit(tmax - tmin)).cast("long").alias("tb"),
+    )
+
+    def skip_fractions(sort_cols, path):
+        (
+            prepared.sortWithinPartitions(*sort_cols)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.block.size", 64 * 1024)
+            .parquet(str(path))
+        )
+        f = pq.ParquetFile(glob.glob(f"{path}/*.parquet")[0])
+        assert f.num_row_groups > 20, "need many row groups for z-tiles to form"
+        idx = {c: i for i, c in enumerate(f.schema_arrow.names)}
+        stats = []
+        for g in range(f.num_row_groups):
+            rg = f.metadata.row_group(g)
+            su = rg.column(idx["user_id"]).statistics
+            st = rg.column(idx["t"]).statistics
+            stats.append((su.min, su.max, st.min, st.max))
+        n = len(stats)
+        users = [0, umax // 2, umax]
+        uskip = sum(
+            1 for u in users for (a, b, _, _) in stats if not (a <= u <= b)
+        ) / (n * len(users))
+        times = [tmin + (tmax - tmin) // 4, tmin + (tmax - tmin) // 2]
+        tskip = sum(
+            1 for t in times for (_, _, c, d) in stats if not (c <= t <= d)
+        ) / (n * len(times))
+        return uskip, tskip
+
+    u_time, t_time = skip_fractions(["t"], tmp_path / "by_time")
+    u_z, t_z = skip_fractions(
+        [zorder_key(["ub", "tb"], bits=8).alias("zk")], tmp_path / "by_z"
+    )
+    # time sort: time predicates prune nearly everything, user nearly nothing
+    assert t_time > 0.9
+    assert u_time < 0.4
+    # z-order: BOTH dims prune most groups
+    assert u_z > 0.6 and u_z > 2 * u_time, (u_time, u_z)
+    assert t_z > 0.6, (t_time, t_z)
