@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def topk_per_group(
@@ -148,4 +149,52 @@ def range_join_count(
         joined.groupBy("_rjid", *left.columns)
         .agg(F.count("_rts").alias(count_alias))
         .drop("_rjid")
+    )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` — the Arrow-path twin
+    of :func:`asof_join`, pinned to identical output by test. Spark
+    co-shuffles both sides on the key ONCE and hands each key's two
+    Arrow batches to ``pd.merge_asof`` (backward direction, exact
+    matches allowed = the same latest-at-or-before tie rule).
+
+    When to prefer which: the built-in union+window form stays entirely
+    in codegen — default choice. The cogrouped form is the template for
+    per-key merge logic built-ins CAN'T express (interpolation between
+    bracketing rows, per-key model application) — same ONE co-shuffle,
+    with Arrow batch transfer as the extra cost. Both are linear;
+    neither is the quadratic range-predicate join.
+
+    Per-key state is bounded by that key's rows — a hot key concentrates
+    its batch in one task, so pre-split pathological keys upstream."""
+    import pandas as pd
+
+    out_fields = [left.schema[c] for c in left.columns] + [
+        right.schema[c] for c in value_cols
+    ]
+    schema = StructType(out_fields)
+    lcols, ts_l, ts_r = list(left.columns), left_ts, right_ts
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        lpdf = lpdf.sort_values(ts_l, kind="mergesort")
+        rpdf = rpdf[[ts_r, *value_cols]].sort_values(ts_r, kind="mergesort")
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on=ts_l, right_on=ts_r, direction="backward"
+        )
+        return merged[[*lcols, *value_cols]]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(merge, schema=schema)
     )

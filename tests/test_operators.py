@@ -306,3 +306,34 @@ def test_contamination_check_self_overlap(spark):
         assert 0 <= r.n_shared <= r.n_ngrams
         assert abs(r.overlap_frac - r.n_shared / r.n_ngrams) < 1e-12
         assert r.contaminated == (r.overlap_frac >= 0.2)
+
+
+def test_asof_join_cogrouped_matches_builtin(spark):
+    """The Arrow cogroup as-of join is pinned to the codegen
+    union+window form on both the corner-case fixture and a larger
+    deterministic set."""
+    from flink_wikipedia_spark.operators.relational import asof_join_cogrouped
+
+    left = spark.createDataFrame([(1, 100), (1, 205), (2, 50)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 90, 9.0), (1, 100, 10.0), (1, 200, 20.0), (2, 60, 6.0)],
+        "k long, t long, v double",
+    )
+    a = asof_join(left, right, on="k", left_ts="t", right_ts="t", value_cols=["v"])
+    b = asof_join_cogrouped(
+        left, right, on="k", left_ts="t", right_ts="t", value_cols=["v"]
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # larger deterministic set: 500 left probes over 200 right quotes
+    L = spark.range(500).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 13 % 1000).alias("t")
+    )
+    R = spark.range(200).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 31 % 1000).alias("t"),
+        (F.col("id") * 1.5).alias("v"),
+    ).groupBy("k", "t").agg(F.max("v").alias("v"))  # unique (k, ts)
+    a2 = asof_join(L, R, on="k", left_ts="t", right_ts="t", value_cols=["v"])
+    b2 = asof_join_cogrouped(L, R, on="k", left_ts="t", right_ts="t", value_cols=["v"])
+    assert sorted(map(tuple, a2.collect())) == sorted(map(tuple, b2.collect()))
