@@ -53,3 +53,42 @@ def test_write_partitioned_prunes(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert q.count() == ev.filter("event_type = 'purchase'").count()
     assert "PartitionFilters: [isnotnull(event_type" in plan or "event_type=purchase" in plan
+
+
+def test_schema_evolution_merge_and_pinned_read(spark, tmp_path):
+    """Data-lake schema evolution: a corpus written over time gains a
+    column. mergeSchema unifies the footers (old files null-fill); the
+    production path — an explicit superset schema — reads BOTH vintages
+    with no footer merge (at 100 TB, mergeSchema reads every file's
+    footer on the driver; a pinned schema reads none)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    v1 = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    v1.write.parquet(str(tmp_path / "corpus" / "batch=1"))
+    v2 = spark.range(100, 200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("de").alias("lang"),
+        F.lit("web").alias("source"),
+    )
+    v2.write.parquet(str(tmp_path / "corpus" / "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "corpus")
+    )
+    assert set(merged.columns) >= {"doc_id", "lang", "source"}
+    assert merged.count() == 200
+    assert merged.filter(F.col("source").isNull()).count() == 100
+
+    pinned = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    explicit = spark.read.schema(pinned).parquet(str(tmp_path / "corpus"))
+    assert explicit.count() == 200
+    assert explicit.filter(F.col("source") == "web").count() == 100
+    assert explicit.filter(F.col("source").isNull()).count() == 100
