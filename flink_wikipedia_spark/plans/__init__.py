@@ -84,8 +84,13 @@ _PRIORITY = [
     # the window; q_rollup_event_value / q_cube_orders sit in the tail
     "q_grouping_sets_lineitem",
     "q_distinct_users",
-    "q_approx_distinct_users",
-    "q_approx_percentile_value",
+    # The approx sketches (q_approx_distinct_users / q_approx_percentile_
+    # value) have no DuckDB value oracle, so inside the window they read
+    # as "no_oracle" rather than green; they moved to the tail in favor of
+    # two fully-oracled, distinct capabilities: iterative PageRank and
+    # gap-fill LOCF rollup.
+    "q_pagerank_parts_suppliers",
+    "q_gapfill_rollup",
     "q_topk_docs_per_lang",
     "q_asof_join",
     # --- driver cutoff is 50; everything below is registry tail ---
