@@ -70,7 +70,7 @@ _PRIORITY = [
     "q_similarity_lsh",
     "q_ann_ivf",
     "q_pq_codes",  # IVF-PQ quantization half; bounded-kernel
-    "q_embedding_neardup_lsh",  # neardup twin q_embedding_neardup in tail
+    "q_embedding_neardup_lsh",  # neardup twin q_embedding_neardup_kernel in tail
     "q_multimodal_meta",
     "q_multimodal_features",
     "q_multimodal_frames",

@@ -347,7 +347,7 @@ def q_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_edit_distance_pairs",
+    "q_edit_distance_kernel",
     oracle="""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(substring(a.text, 1, 20), substring(b.text, 1, 20)) AS INT) AS dist
@@ -356,12 +356,13 @@ def q_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND levenshtein(substring(a.text, 1, 20), substring(b.text, 1, 20)) <= 8
     """,
 )
-def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string matching (Levenshtein ≤ 8 on 20-char prefixes) over a
-    bounded candidate set — the edit-distance dedup primitive. Both
-    engines implement classic Levenshtein: integer, deterministic. At
-    scale this only ever runs on sketch-generated candidates (like
-    q_dedup_pipeline), never all pairs."""
+def q_edit_distance_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching KERNEL (Levenshtein ≤ 8 on 20-char
+    prefixes) over an explicitly-bounded candidate set (doc_id < 40) —
+    the edit-distance dedup primitive. Both engines implement classic
+    Levenshtein: integer, deterministic. At scale this only ever runs
+    on sketch-generated candidates (like q_dedup_pipeline), never all
+    pairs; the bound here stands in for that candidate feed."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     a = docs.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 20).alias("_ta"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 20).alias("_tb"))

@@ -195,7 +195,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_embedding_neardup",
+    "q_embedding_neardup_kernel",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({sql_cosine_duckdb('a.embedding', 'b.embedding')}, 6) AS sim
@@ -204,10 +204,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND round({sql_cosine_duckdb('a.embedding', 'b.embedding')}, 6) >= 0.8
     """,
 )
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1×E2 (embedding near-dup): cosine ≥ 0.8 pairs within a bounded
-    candidate set (in production: LSH-bucketed candidates, this exact
-    kernel)."""
+def q_embedding_neardup_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1×E2 (embedding near-dup): the verify KERNEL — cosine ≥ 0.8
+    pairs within an explicitly-bounded candidate set (vec_id < 100).
+    NOT an all-pairs operator: at scale the candidate set comes from
+    LSH buckets (q_embedding_neardup_lsh is the full-corpus form) and
+    this exact-cosine kernel runs only on those candidates."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_vb"))
