@@ -7,11 +7,15 @@ frame-sampling run as **Arrow-batched Python** (mapInPandas), the only
 sanctioned Python↔JVM crossing in the engine: payload batches move as
 Arrow buffers, never row-at-a-time pickles.
 
-The actual codec step is STUBBED — image/audio libraries are not in
-this container. ``_decode_payload`` is the seam: it raises
-NotImplementedError for real codecs and provides a deterministic fake
-("byte-statistics decode") so the surrounding Spark plumbing — schema,
-batching, partition sizing — is real and testable.
+Codecs: three dependency-free binary formats are decoded FOR REAL in
+pure Python — PPM P6 (binary RGB image: ASCII header + raw pixel
+bytes), WAV (RIFF container, 16-bit little-endian PCM), and FWV1 (a
+minimal video container: magic + frame count + length-prefixed PPM
+frames). ``real_decode`` parses headers/chunks byte-by-byte and
+computes features from the decoded pixels/samples; formats that need
+external libraries (PNG/JPEG/MP3/H.264) still raise
+NotImplementedError at the same seam. ``_decode_payload`` keeps the
+older byte-statistics path for format-agnostic payload triage.
 
 Scale notes: payload partitions should be sized by *bytes* not rows
 (``spark.sql.files.maxPartitionBytes``); feature extraction is
@@ -22,6 +26,7 @@ Arrow batch of payloads per core.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
