@@ -11,8 +11,12 @@ Codecs: three dependency-free binary formats are decoded FOR REAL in
 pure Python — PPM P6 (binary RGB image: ASCII header + raw pixel
 bytes), WAV (RIFF container, 16-bit little-endian PCM), and FWV1 (a
 minimal video container: magic + frame count + length-prefixed PPM
-frames). ``real_decode`` parses headers/chunks byte-by-byte and
-computes features from the decoded pixels/samples; formats that need
+frames). ``real_decode`` parses headers/chunks byte-by-byte
+(``decode_ppm`` / ``decode_wav`` / ``decode_fwv1``) and computes
+features from the decoded pixels/samples; matching encoders
+(``encode_ppm`` / ``encode_wav`` / ``encode_fwv1``) let the engine
+synthesize valid payloads so q_multimodal_decode round-trips
+encode→parse under a full DuckDB value oracle. Formats that need
 external libraries (PNG/JPEG/MP3/H.264) still raise
 NotImplementedError at the same seam. ``_decode_payload`` keeps the
 older byte-statistics path for format-agnostic payload triage.
@@ -65,13 +69,312 @@ def _decode_payload(payload: bytes | None, modality: str) -> dict:
     return {"n_bytes": n, "checksum": checksum, "mean_byte": mean}
 
 
-def real_decode(payload: bytes, modality: str) -> dict:  # pragma: no cover
-    """Placeholder for codec-backed decode (image resize, audio
-    resample, video frame-sample)."""
-    raise NotImplementedError(
-        "codec libraries (PIL / soundfile / av) are not installed in this "
-        "environment; _decode_payload provides the deterministic stub"
+# ---------------------------------------------------------------------------
+# Real dependency-free codecs: PPM P6 (image), WAV/PCM16 (audio), FWV1
+# (video: length-prefixed PPM frames). Encoders exist so the engine can
+# synthesize valid payloads for round-trip testing; decoders parse the
+# byte streams for real (headers, chunk walks, struct unpacks). Formats
+# that genuinely need external libraries (PNG/JPEG/MP3/H.264) still
+# raise NotImplementedError at the same seam.
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize raw RGB bytes as a binary PPM (P6): ASCII header
+    ``P6 <w> <h> 255`` then ``width*height*3`` pixel bytes."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"PPM P6 {width}x{height} needs {width * height * 3} pixel "
+            f"bytes, got {len(pixels)}"
+        )
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def encode_wav(samples: list[int], sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Serialize signed 16-bit mono PCM samples as a RIFF/WAVE file
+    (``fmt `` chunk with PCM format tag 1, then a ``data`` chunk)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_fwv1(frames: list[bytes]) -> bytes:
+    """Serialize PPM frames as FWV1, this engine's minimal video
+    container: magic ``FWV1``, little-endian uint32 frame count, then
+    per frame a uint32 byte length + the PPM payload."""
+    out = [b"FWV1", struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def _ppm_tokens(payload: bytes, count: int) -> tuple[list[bytes], int]:
+    """Read ``count`` whitespace-delimited header tokens, skipping
+    ``#`` comments (the Netpbm spec allows them anywhere in the
+    header). Returns (tokens, offset-just-past-last-token)."""
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < count:
+        if i >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[i : i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < len(payload) and payload[j : j + 1] not in b" \t\r\n#":
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    return tokens, i
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a binary PPM (P6) byte-by-byte: magic, whitespace/comment-
+    tolerant header tokens, single whitespace byte, raw RGB raster."""
+    tokens, i = _ppm_tokens(payload, 4)
+    if tokens[0] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {tokens[0]!r})")
+    width, height, maxval = (int(t) for t in tokens[1:4])
+    if not 0 < maxval < 65536:
+        raise ValueError(f"PPM maxval {maxval} out of range")
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM rasters not supported")
+    i += 1  # exactly one whitespace byte separates header from raster
+    n = width * height * 3
+    raster = payload[i : i + n]
+    if len(raster) != n:
+        raise ValueError(f"PPM raster truncated: want {n}, got {len(raster)}")
+    return {
+        "width": width,
+        "height": height,
+        "n_pixel_bytes": n,
+        "value_sum": sum(raster),
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE container: verify magic, walk chunks (id +
+    uint32 size + body, bodies padded to even offsets), read the PCM
+    format from ``fmt `` and signed 16-bit samples from ``data``."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    riff_len = struct.unpack("<I", payload[4:8])[0]
+    if riff_len + 8 > len(payload):
+        raise ValueError("RIFF size field exceeds payload")
+    fmt = data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"chunk {cid!r} truncated")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunk bodies are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
     )
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 supported (format={audio_format}, bits={bits})"
+        )
+    n = len(data) // (2 * channels) * channels
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": n // channels,
+        "value_sum": sum(samples),
+    }
+
+
+def decode_fwv1(payload: bytes) -> dict:
+    """Parse an FWV1 container: magic, uint32 frame count, then per
+    frame uint32 length + PPM bytes; each frame is decoded with the
+    real PPM parser and pixel sums are aggregated across frames."""
+    if len(payload) < 8 or payload[:4] != b"FWV1":
+        raise ValueError("not an FWV1 payload")
+    n_frames = struct.unpack("<I", payload[4:8])[0]
+    i, width, height, total = 8, 0, 0, 0
+    for _ in range(n_frames):
+        if i + 4 > len(payload):
+            raise ValueError("FWV1 frame table truncated")
+        flen = struct.unpack("<I", payload[i : i + 4])[0]
+        frame = payload[i + 4 : i + 4 + flen]
+        if len(frame) != flen:
+            raise ValueError("FWV1 frame body truncated")
+        f = decode_ppm(frame)
+        width, height = f["width"], f["height"]
+        total += f["value_sum"]
+        i += 4 + flen
+    return {
+        "n_frames": n_frames,
+        "width": width,
+        "height": height,
+        "value_sum": total,
+    }
+
+
+def real_decode(payload: bytes, modality: str) -> dict:
+    """Codec-backed decode: sniffs the container magic and parses the
+    payload for real. Supported formats (all dependency-free): PPM P6
+    images, RIFF/WAVE PCM16 audio, FWV1 video. Returns a uniform
+    feature dict; fields not applicable to the modality are 0.
+    Formats that require external codec libraries (PNG/JPEG/MP3/H.264,
+    i.e. PIL / soundfile / av) raise NotImplementedError — that seam is
+    deliberate and env-bound."""
+    base = {
+        "width": 0,
+        "height": 0,
+        "n_frames": 0,
+        "n_samples": 0,
+        "sample_rate": 0,
+        "value_sum": 0,
+    }
+    if payload[:2] == b"P6":
+        d = decode_ppm(payload)
+        base.update(
+            width=d["width"], height=d["height"], n_frames=1,
+            value_sum=d["value_sum"],
+        )
+    elif payload[:4] == b"RIFF":
+        d = decode_wav(payload)
+        base.update(
+            n_samples=d["n_samples"], sample_rate=d["sample_rate"],
+            value_sum=d["value_sum"],
+        )
+    elif payload[:4] == b"FWV1":
+        d = decode_fwv1(payload)
+        base.update(
+            width=d["width"], height=d["height"], n_frames=d["n_frames"],
+            value_sum=d["value_sum"],
+        )
+    else:
+        raise NotImplementedError(
+            "unrecognized container; PNG/JPEG/MP3/H.264 need codec "
+            "libraries (PIL / soundfile / av) not installed here"
+        )
+    return base
+
+
+VIDEO_W, VIDEO_H = 4, 2  # FWV1 synth frames are 4x2 RGB (24 raster bytes)
+
+
+def synth_payload(asset_id: int, modality: str) -> bytes:
+    """Deterministic real-format payload for an asset id: a PPM P6
+    image, a PCM16 WAV, or an FWV1 clip whose decoded features are
+    closed-form integer arithmetic on ``asset_id`` — which is what lets
+    q_multimodal_decode carry a full DuckDB value oracle over a genuine
+    encode→parse round trip."""
+    if modality == "image":
+        w, h = 4 + asset_id % 5, 3 + asset_id % 4
+        raster = bytes((asset_id * 7 + i) % 256 for i in range(w * h * 3))
+        return encode_ppm(w, h, raster)
+    if modality == "audio":
+        ns = 50 + asset_id % 64
+        samples = [((asset_id * 13 + i * 9) % 4001) - 2000 for i in range(ns)]
+        return encode_wav(samples)
+    if modality == "video":
+        nf = 1 + asset_id % 3
+        frames = [
+            encode_ppm(
+                VIDEO_W,
+                VIDEO_H,
+                bytes(
+                    (asset_id * 3 + f * 11 + j) % 256
+                    for j in range(VIDEO_W * VIDEO_H * 3)
+                ),
+            )
+            for f in range(nf)
+        ]
+        return encode_fwv1(frames)
+    raise ValueError(f"unknown modality {modality!r}")
+
+
+def synthesize_assets(ids: DataFrame) -> DataFrame:
+    """(asset_id, modality) → (asset_id, modality, payload): Arrow-
+    batched payload synthesis with the real encoders. Map-only, no
+    shuffle; at scale this stage is where a production pipeline would
+    instead read payload bytes from object storage."""
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "modality": pdf["modality"].values,
+                    "payload": [
+                        synth_payload(int(a), m)
+                        for a, m in zip(pdf["asset_id"], pdf["modality"])
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(run, out_schema)
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("value_sum", LongType()),
+    ]
+)
+
+
+def decode_features(assets: DataFrame) -> DataFrame:
+    """Codec-backed feature extraction: parse each binary payload with
+    ``real_decode`` (PPM/WAV/FWV1 for real) and emit a narrow feature
+    row. Same Arrow-batch shape as ``extract_features`` — map-only, no
+    shuffle, peak memory one payload batch per core."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                real_decode(bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "modality": pdf["modality"].values,
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "value_sum": [f["value_sum"] for f in feats],
+                }
+            )
+
+    return assets.mapInPandas(run, DECODE_SCHEMA)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
