@@ -64,10 +64,12 @@ def ensure_session_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "true")
-    # events.parquet stores TIMESTAMP(NANOS), which Spark 4 refuses to map
-    # to TimestampType; read the raw int64 nanos and derive the timestamp
-    # ourselves (schemas.load_table).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NOT set here: spark.sql.legacy.parquet.nanosAsLong. The events.ts
+    # time unit is sniffed per file by schemas.load_table (the generator
+    # has shipped both NANOS and MICROS across rounds); the legacy conf
+    # is set there, only when a NANOS footer is detected — setting it
+    # unconditionally is harmless for micros files but hides the fact
+    # that the loader, not the session, owns the unit decision.
 
 
 def dec_sum(col: Column | str) -> Column:

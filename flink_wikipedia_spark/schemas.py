@@ -75,11 +75,13 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
-# On-disk twin: events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot
-# map to TimestampType (PARQUET_TYPE_ILLEGAL). With
-# spark.sql.legacy.parquet.nanosAsLong the column reads as raw int64 nanos;
-# load_table derives the logical µs TimestampType from it (same sub-second
-# truncation DuckDB's µs timestamps apply — FIXTURES.md oracle notes).
+# On-disk twin for TIMESTAMP(NANOS) files only. Spark 4 cannot map parquet
+# nanos to TimestampType (PARQUET_TYPE_ILLEGAL); with
+# spark.sql.legacy.parquet.nanosAsLong the column reads as raw int64 nanos
+# and load_table derives the logical µs TimestampType from it (same
+# sub-second truncation DuckDB's µs timestamps apply). The driver's
+# generator has shipped events.ts as both NANOS and MICROS across rounds,
+# so load_table sniffs the footer per path instead of assuming a unit.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -216,18 +218,61 @@ def table_schema(name: str) -> StructType:
     return TPCH_SCHEMAS.get(name) or _EXTRA_SCHEMAS[name]
 
 
+# Footer-sniff cache: path -> parquet time unit of events.ts ("ns"/"us"/
+# "ms"/"s"). One pyarrow footer read per distinct path per process — a
+# driver-side metadata lookup, never a data scan, so it costs nothing at
+# cluster scale (executors never run this).
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Return the parquet time unit of the ``ts`` column at ``path``.
+
+    The testdata generator has shipped ``events.ts`` as int64
+    TIMESTAMP(NANOS) in rounds 1-3 and TIMESTAMP(MICROS) from round 4 —
+    the loader must not bake in either. A raw INT64 with no timestamp
+    logical type is treated as nanos (the pre-round-4 layout read that
+    way). ``path`` may be a single file or a directory of part files;
+    for a directory the first footer wins (one writer ⇒ uniform unit).
+    """
+    cached = _TS_UNIT_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files in {path}")
+        probe = os.path.join(path, parts[0])
+    field = pq.ParquetFile(probe).schema_arrow.field("ts")
+    unit = getattr(field.type, "unit", "ns")  # plain int64 ⇒ raw nanos
+    _TS_UNIT_CACHE[path] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its declared schema.
 
     Explicit schema means the parquet scan does column pruning against a
     known shape and never touches footers for inference; at cluster
     scale, pair this with partitioned layouts so partition pruning also
-    fires. Parquet ns-precision timestamps land as microsecond
-    TimestampType — sub-second truncation is harmless for every bucketed
-    computation we do (second-granularity and coarser).
+    fires. The one footer read we do (``_events_ts_unit``) is
+    driver-side metadata, cached per path.
+
+    ``events.ts`` needs unit handling: TIMESTAMP(MICROS) maps straight
+    to TimestampType (bit-identical to DuckDB under a UTC session), but
+    TIMESTAMP(NANOS) is unreadable as TimestampType in Spark 4
+    (PARQUET_TYPE_ILLEGAL) — for those files we read raw int64 nanos via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and derive the µs timestamp
+    with integer division (sub-second truncation matches DuckDB's µs
+    semantics).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_unit(path) == "ns":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

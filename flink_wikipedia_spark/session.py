@@ -79,9 +79,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- Python boundary: always Arrow, never row-at-a-time ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # parquet TIMESTAMP(NANOS) (events.ts) is illegal for Spark 4's
-        # reader; read the raw int64 and derive timestamps in load_table
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts unit handling (NANOS vs MICROS) lives in
+        # schemas.load_table, which sniffs the parquet footer and sets
+        # spark.sql.legacy.parquet.nanosAsLong only for NANOS files
+
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
