@@ -27,8 +27,34 @@ from flink_wikipedia_spark.schemas import SMOKE_SF_DIR  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (reference DataStreamJob.java:61-87 as batch) on
-    /root/testdata/sf0.001; driver checks rows>0."""
-    return REGISTRY["q_windowed_edit_size"].fn(spark, SMOKE_SF_DIR)
+    /root/testdata/sf0.001; driver checks rows>0.
+
+    The rows>0 check alone cannot detect time corruption (round 4: a
+    1000x-compressed timestamp column still produced 45 plausible rows),
+    so before returning we assert a cheap invariant on one tiny extra
+    job: every window_start lands inside the fixture's known date range
+    and the window count is far above what collapsed timestamps yield.
+    """
+    df = REGISTRY["q_windowed_edit_size"].fn(spark, SMOKE_SF_DIR)
+
+    from pyspark.sql import functions as F
+
+    lo, hi, nwin = df.select(
+        F.min("window_start"), F.max("window_start"),
+        F.countDistinct("window_start"),
+    ).first()
+    if not (lo.year == 2024 and hi.year == 2024):
+        raise AssertionError(
+            f"flagship window_start outside fixture's 2024 range: "
+            f"[{lo} .. {hi}] — timestamp decode is corrupt "
+            "(check events.ts parquet time unit in schemas.load_table)"
+        )
+    if nwin < 100:
+        raise AssertionError(
+            f"flagship has only {nwin} distinct 5-min windows at sf0.001; "
+            "a month of events must span thousands — timestamps collapsed"
+        )
+    return df
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

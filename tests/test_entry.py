@@ -20,6 +20,45 @@ def test_entry_returns_rows(spark):
     assert set(df.columns) == {"domain", "edit_size", "window_start", "window_end"}
 
 
+def test_entry_time_invariants(spark):
+    """The round-4 regression: a 1000x-compressed ts column still passed
+    the driver's rows>0 smoke with 45 plausible rows. The flagship's
+    windows must span the fixture's real date range (2024-01) with a
+    window count only un-corrupted timestamps can produce."""
+    from pyspark.sql import functions as F
+
+    df = entrymod.entry(spark)  # entry() itself asserts; re-check here
+    lo, hi, nwin = df.select(
+        F.min("window_start"), F.max("window_start"),
+        F.countDistinct("window_start"),
+    ).first()
+    assert lo.year == 2024 and hi.year == 2024
+    assert (hi - lo).days >= 20  # a month of events, not 45 minutes
+    assert nwin > 100
+
+
+def test_entry_detects_collapsed_timestamps(spark, monkeypatch):
+    """entry() must raise, not return, when timestamps collapse — the
+    exact failure mode of round 4 (micros misread as nanos => every ts
+    divided by 1000 => all rows in a few windows)."""
+    from pyspark.sql import functions as F
+
+    real = entrymod.REGISTRY["q_windowed_edit_size"].fn
+
+    def corrupted(spark_, sf_dir):
+        df = real(spark_, sf_dir)
+        # simulate the 1000x compression on the output windows
+        return df.withColumn(
+            "window_start",
+            F.timestamp_seconds(F.unix_timestamp("window_start") / 1000),
+        )
+
+    qd = entrymod.REGISTRY["q_windowed_edit_size"]
+    monkeypatch.setattr(qd, "fn", corrupted)
+    with pytest.raises(AssertionError, match="corrupt|collapsed"):
+        entrymod.entry(spark).count()
+
+
 def test_every_oracle_has_a_query():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
