@@ -148,7 +148,15 @@ def decode_ppm(payload: bytes) -> dict:
         raise ValueError(f"PPM maxval {maxval} out of range")
     if maxval > 255:
         raise NotImplementedError("16-bit PPM rasters not supported")
-    i += 1  # exactly one whitespace byte separates header from raster
+    # exactly one whitespace byte separates header from raster; anything
+    # else (e.g. a comment right after maxval) would silently shift the
+    # raster offset and read wrong pixel bytes
+    if payload[i : i + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        raise ValueError(
+            f"PPM header not terminated by whitespace at offset {i} "
+            f"(got {payload[i:i + 1]!r})"
+        )
+    i += 1
     n = width * height * 3
     raster = payload[i : i + n]
     if len(raster) != n:
@@ -192,6 +200,10 @@ def decode_wav(payload: bytes) -> dict:
         raise NotImplementedError(
             f"only PCM16 supported (format={audio_format}, bits={bits})"
         )
+    if not 1 <= channels <= 64:
+        # a malformed fmt chunk with channels=0 must be a controlled
+        # parse error, not a ZeroDivisionError killing the Spark task
+        raise ValueError(f"WAV channels={channels} out of supported range")
     n = len(data) // (2 * channels) * channels
     samples = struct.unpack(f"<{n}h", data[: n * 2])
     return {
@@ -228,14 +240,29 @@ def decode_fwv1(payload: bytes) -> dict:
     }
 
 
+_MODALITY_BY_MAGIC = {b"P6": "image", b"RIFF": "audio", b"FWV1": "video"}
+
+
 def real_decode(payload: bytes, modality: str) -> dict:
     """Codec-backed decode: sniffs the container magic and parses the
     payload for real. Supported formats (all dependency-free): PPM P6
     images, RIFF/WAVE PCM16 audio, FWV1 video. Returns a uniform
     feature dict; fields not applicable to the modality are 0.
-    Formats that require external codec libraries (PNG/JPEG/MP3/H.264,
-    i.e. PIL / soundfile / av) raise NotImplementedError — that seam is
-    deliberate and env-bound."""
+
+    The container magic must agree with the row's ``modality`` tag — a
+    WAV tagged "image" is corrupt metadata and raises ValueError rather
+    than silently decoding as the wrong modality. Formats that require
+    external codec libraries (PNG/JPEG/MP3/H.264, i.e. PIL / soundfile /
+    av) raise NotImplementedError — that seam is deliberate and
+    env-bound."""
+    sniffed = _MODALITY_BY_MAGIC.get(
+        payload[:2] if payload[:2] == b"P6" else payload[:4]
+    )
+    if sniffed is not None and sniffed != modality:
+        raise ValueError(
+            f"payload container is {sniffed!r} but row tagged "
+            f"modality={modality!r} — metadata/payload mismatch"
+        )
     base = {
         "width": 0,
         "height": 0,
@@ -355,10 +382,17 @@ def decode_features(assets: DataFrame) -> DataFrame:
     row. Same Arrow-batch shape as ``extract_features`` — map-only, no
     shuffle, peak memory one payload batch per core."""
 
+    _NULL_FEATURES = {
+        "width": 0, "height": 0, "n_frames": 0,
+        "n_samples": 0, "sample_rate": 0, "value_sum": 0,
+    }
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # null payloads are data, not poison (same policy as
+            # _decode_payload / sample_frames): emit the zero-feature row
             feats = [
-                real_decode(bytes(p), m)
+                _NULL_FEATURES if p is None else real_decode(bytes(p), m)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             yield pd.DataFrame(

@@ -391,6 +391,86 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(assets)
 
 
+@query(
+    "q_multimodal_decode",
+    # The synth payloads (operators/multimodal.synth_payload) make every
+    # decoded feature closed-form integer arithmetic on asset_id, so the
+    # oracle re-derives them per modality; the per-byte modular sums are
+    # reproduced with scalar generate_series lists (image rasters are
+    # ≤144 bytes, audio ≤113 samples, video ≤3 frames × 24 bytes — tiny
+    # constant-size lists per row, never a data-dependent blowup).
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS asset_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+        FROM documents
+    )
+    SELECT asset_id, modality,
+           CAST(4 + asset_id % 5 AS BIGINT) AS width,
+           CAST(3 + asset_id % 4 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_frames,
+           CAST(0 AS BIGINT) AS n_samples,
+           CAST(0 AS BIGINT) AS sample_rate,
+           CAST(list_sum(list_transform(
+                generate_series(0, (4 + asset_id % 5) * (3 + asset_id % 4) * 3 - 1),
+                i -> (asset_id * 7 + i) % 256)) AS BIGINT) AS value_sum
+    FROM ids WHERE modality = 'image'
+    UNION ALL
+    SELECT asset_id, modality,
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(50 + asset_id % 64 AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(list_sum(list_transform(
+                generate_series(0, 50 + asset_id % 64 - 1),
+                i -> (asset_id * 13 + i * 9) % 4001 - 2000)) AS BIGINT) AS value_sum
+    FROM ids WHERE modality = 'audio'
+    UNION ALL
+    SELECT asset_id, modality,
+           CAST(4 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+           CAST(1 + asset_id % 3 AS BIGINT) AS n_frames,
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(list_sum(list_transform(
+                flatten(list_transform(
+                    generate_series(0, asset_id % 3),
+                    f -> list_transform(generate_series(0, 23),
+                                        j -> asset_id * 3 + f * 11 + j))),
+                x -> x % 256)) AS BIGINT) AS value_sum
+    FROM ids WHERE modality = 'video'
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 (real codec round trip): synthesize genuine PPM/WAV/FWV1
+    payloads per asset id with the engine's encoders, then parse them
+    back byte-for-byte with the real decoders (``decode_features`` →
+    ``real_decode``) — header walks, chunk scans, struct unpacks, pixel
+    and sample sums. Because ``synth_payload`` makes every decoded
+    feature closed-form integer arithmetic on ``asset_id``, this UDF
+    pipeline carries a FULL DuckDB value oracle: the SQL twin re-derives
+    width/height/frame/sample counts and the modular value sums without
+    ever seeing the bytes. The reference analog is the serde seam
+    (``JsonNodeDeserializationSchema.java:24-37``) — decode is a
+    first-class, oracle-checked operator here.
+
+    Scale: both stages are map-only Arrow ``mapInPandas`` (no shuffle);
+    in production the synth stage is replaced by reading payload bytes
+    from object storage and the decode stage is unchanged."""
+    from flink_wikipedia_spark.operators.multimodal import (
+        decode_features,
+        synthesize_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+    )
+    return decode_features(synthesize_assets(ids))
+
+
 # Product quantization: 64-dim vectors → PQ_M subspaces × log2(PQ_K)-bit
 # codes (here 8×2 bits = 2 bytes/vector vs 256 bytes raw). Codebooks are
 # fixed deterministic literals — a real system trains them with k-means
