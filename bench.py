@@ -7,6 +7,12 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Each query is forced with a `noop` write — full execution of the plan
 (scans, shuffles, aggregates) with zero sink/driver-transfer cost, so
 the number measures the engine, not result shipping.
+
+Median-of-3 protocol (round-4 lesson): a single pass on a shared host
+recorded a uniform 3.8x "regression" that was pure co-tenant load. The
+suite now runs BENCH_RUNS (default 3) back-to-back passes and reports
+the per-query MEDIAN; 1- and 5-minute load averages are recorded
+alongside so a contaminated round is self-evident in the artifact.
 """
 
 from __future__ import annotations
@@ -94,11 +100,21 @@ def main() -> None:
     for warm in ("q_project", "q_windowed_edit_size", "q_tpch_q1_pricing_summary"):
         REGISTRY[warm].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    per_query: dict[str, float] = {}
-    for name, qd in REGISTRY.items():
-        t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+    n_runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in REGISTRY}
+    for _ in range(n_runs):
+        for name, qd in REGISTRY.items():
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    per_query = {name: round(median(xs), 3) for name, xs in samples.items()}
+    load_avg = [round(x, 2) for x in os.getloadavg()[:2]]
 
     # Two runs, report the better: the first pays one-time costs
     # (streaming codegen, sink/source setup) that a long-running job
@@ -116,6 +132,8 @@ def main() -> None:
             "unit": "sec",
             "queries": per_query,
             "sf": sf_from_dir(sf_dir),
+            "runs": n_runs,
+            "load_avg_1m_5m": load_avg,
             "stream_events": stream_rows,
             "stream_events_per_sec": stream_eps,
         },
