@@ -92,3 +92,62 @@ def test_schema_evolution_merge_and_pinned_read(spark, tmp_path):
     assert explicit.count() == 200
     assert explicit.filter(F.col("source") == "web").count() == 100
     assert explicit.filter(F.col("source").isNull()).count() == 100
+
+
+def test_kafka_wire_format_decode_parity(spark):
+    """The Kafka column contract (reference O1+O2,
+    DataStreamJob.java:114-120): spark.read.format("kafka") yields
+    exactly (key binary, value binary, topic string, partition int,
+    offset long, timestamp timestamp, timestampType int). This fixture
+    reproduces that frame batch-side and proves decode_edit_events over
+    its binary `value` produces the identical typed rows as the
+    file-source string decode — no broker needed to pin the seam."""
+    import datetime
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from flink_wikipedia_spark.operators.core import decode_edit_events
+
+    kafka_schema = StructType(
+        [
+            StructField("key", BinaryType()),
+            StructField("value", BinaryType()),
+            StructField("topic", StringType()),
+            StructField("partition", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("timestamp", TimestampType()),
+            StructField("timestampType", IntegerType()),
+        ]
+    )
+    broker_ts = datetime.datetime(2023, 11, 27, 19, 19, 30)
+    payloads = [SAMPLE, "{broken", SAMPLE.replace("en.wikipedia", "de.wikipedia")]
+    kafka_rows = [
+        (None, p.encode("utf-8"), "wikipedia-events", i % 2, i, broker_ts, 0)
+        for i, p in enumerate(payloads)
+    ]
+    kafka_df = spark.createDataFrame(kafka_rows, kafka_schema)
+
+    # the kafka_source projection: value-only, cast to string (the
+    # reference's value-only deserialization, DataStreamJob.java:117)
+    projected = kafka_df.select(F.col("value").cast("string").alias("value"))
+    via_kafka = decode_edit_events(projected)
+
+    file_df = spark.createDataFrame([(p,) for p in payloads], "value string")
+    via_file = decode_edit_events(file_df)
+
+    assert via_kafka.schema == via_file.schema
+    k = sorted(via_kafka.collect(), key=lambda r: str(r))
+    f = sorted(via_file.collect(), key=lambda r: str(r))
+    assert k == f
+    good = [r for r in k if r._corrupt_record is None]
+    assert {r.domain for r in good} == {"en.wikipedia.org", "de.wikipedia.org"}
+    # corrupt payload survives as a corrupt record, never a task failure
+    assert sum(r._corrupt_record is not None for r in k) == 1
