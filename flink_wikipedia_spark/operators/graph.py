@@ -102,6 +102,8 @@ def connected_components(
             ]
         )
         return spark.createDataFrame(labeled, schema)
+    from pyspark.sql import Observation
+
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
@@ -111,12 +113,22 @@ def connected_components(
         # each node proposes its current label to every neighbor
         proposals = (
             und.join(labels, und.u == labels.node)
-            .select(F.col("v").alias("node"), F.col("component"))
+            .select(F.col("v").alias("node"), F.col("component"), F.lit(0).alias("is_old"))
         )
+        # union the node's OWN current label (is_old=1) with neighbor
+        # proposals; one aggregate yields both the propagated min-label
+        # and the node's previous label — the previous label rides along
+        # so convergence needs no extra join against the old frame
         propagated = (
-            labels.unionByName(proposals)
+            labels.select("node", "component", F.lit(1).alias("is_old"))
+            .unionByName(proposals)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_old") == 1, F.col("component"))).alias(
+                    "old_comp"
+                ),
+            )
         )
         # pointer jumping: component ids ARE node ids, so shortcut each
         # label to its label's label — O(diameter) becomes O(log diameter)
@@ -132,6 +144,7 @@ def connected_components(
             .select(
                 F.col("a.node").alias("node"),
                 F.coalesce(F.col("b._lc"), F.col("a.component")).alias("component"),
+                F.col("a.old_comp").alias("old_comp"),
             )
             # localCheckpoint is load-bearing, persist() is NOT a
             # substitute: persist only short-circuits execution — the
@@ -139,20 +152,26 @@ def connected_components(
             # (labels appears ~4x per round), so analysis/plan-string
             # work grows 4^N and OOMs the driver around iteration 10.
             # Checkpointing replaces the plan with a LogicalRDD leaf.
-            # lazy: materialized by the convergence-check action below,
-            # so each iteration costs ONE job instead of two. Old
-            # checkpoint blocks are freed by the ContextCleaner when
-            # the superseded DataFrame is garbage-collected.
+            # lazy: materialized by the observed count below, so each
+            # iteration costs ONE job. Old checkpoint blocks are freed
+            # by the ContextCleaner when the superseded DataFrame is
+            # garbage-collected.
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        # convergence piggybacks on the materialization job via observe:
+        # the changed-count is computed as a metric of the same action
+        # that checkpoints the labels — no second join, no second job.
+        # At cluster scale each avoided job is a full scheduler
+        # round-trip per iteration.
+        obs = Observation()
+        observed = new_labels.observe(
+            obs,
+            F.sum(
+                (F.col("component") != F.col("old_comp")).cast("long")
+            ).alias("changed"),
         )
-        labels = new_labels
-        if changed == 0:
+        observed.count()
+        labels = new_labels.select("node", "component")
+        if obs.get["changed"] == 0:
             break
     return labels
