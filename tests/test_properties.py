@@ -187,3 +187,101 @@ def test_range_join_matches_bruteforce(spark, left, right, range_sec):
         for i, (k, t) in enumerate(left)
     }
     assert got == want
+
+
+# --- rows-only tail: sketch/iterative queries get REAL invariants ----------
+# (VERDICT r4 item 7: rows>0 alone says nothing; each approximate or
+# iterative query is pinned to its exact twin by a quantitative bound.)
+
+
+def test_hll_within_5pct_of_exact(spark):
+    """approx_count_distinct at rsd=0.02 must land within 5% of the
+    exact per-group distinct count (2.5 sigma of its own error model —
+    loose enough to be flake-free, tight enough to catch a wrong column
+    or a dropped groupBy key)."""
+    from flink_wikipedia_spark.plans import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        r.event_type: r.n_users
+        for r in REGISTRY["q_distinct_users"].fn(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in REGISTRY["q_approx_distinct_users"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, est in approx.items():
+        rel_err = abs(est - exact[etype]) / exact[etype]
+        assert rel_err <= 0.05, (
+            f"{etype}: HLL={est} exact={exact[etype]} rel_err={rel_err:.3f}"
+        )
+
+
+def test_approx_percentile_rank_bounds(spark):
+    """approx_percentile(accuracy=1000) guarantees rank error <= n/1000.
+    Check the empirical CDF at each returned p50/p90 sits within the
+    target quantile ± (1/1000 + a nulls/ties allowance)."""
+    from flink_wikipedia_spark.plans import REGISTRY
+    from flink_wikipedia_spark.schemas import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.event_type: (r.p50, r.p90)
+        for r in REGISTRY["q_approx_percentile_value"].fn(spark, SF_SMOKE).collect()
+    }
+    vals = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .toPandas()
+        .groupby("event_type")["value"]
+    )
+    for etype, (p50, p90) in got.items():
+        xs = vals.get_group(etype).dropna().sort_values().to_numpy()
+        n = len(xs)
+        assert xs[0] <= p50 <= p90 <= xs[-1]
+        for target, p in ((0.5, p50), (0.9, p90)):
+            cdf_lo = (xs < p).sum() / n   # strictly-below fraction
+            cdf_hi = (xs <= p).sum() / n  # at-or-below fraction
+            eps = 1.0 / 1000 + 2.0 / n    # rank bound + tie slack
+            assert cdf_lo - eps <= target <= cdf_hi + eps, (
+                f"{etype} q{target}: value {p} has CDF "
+                f"[{cdf_lo:.4f},{cdf_hi:.4f}]"
+            )
+
+
+def test_kmeans_improves_on_init(spark):
+    """Lloyd's iterations never increase inertia: the returned centroids
+    must fit each language's n_chars at least as well as the min/max
+    init the query starts from, and every count/centroid invariant must
+    hold (counts partition the group, centroids inside the data range,
+    c_small <= c_large)."""
+    import numpy as np
+
+    from flink_wikipedia_spark.plans import REGISTRY
+    from flink_wikipedia_spark.schemas import load_table
+    from tests.conftest import SF_SMOKE
+
+    res = {
+        r.lang: r
+        for r in REGISTRY["q_kmeans_doclen"].fn(spark, SF_SMOKE).collect()
+    }
+    by_lang = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("lang", "n_chars")
+        .toPandas()
+        .groupby("lang")["n_chars"]
+    )
+
+    def inertia(x, c0, c1):
+        return float(np.minimum((x - c0) ** 2, (x - c1) ** 2).sum())
+
+    for lang, r in res.items():
+        x = by_lang.get_group(lang).to_numpy(dtype="float64")
+        assert r.n_small + r.n_large == len(x)
+        assert x.min() <= r.c_small <= r.c_large <= x.max()
+        init = inertia(x, x.min(), x.max())
+        final = inertia(x, r.c_small, r.c_large)
+        assert final <= init + 1e-9, (
+            f"{lang}: inertia rose {init} -> {final}"
+        )
