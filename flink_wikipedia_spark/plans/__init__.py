@@ -29,7 +29,10 @@ _PRIORITY = [
     # Reference operators O2-O10 (queries_core)
     "q_windowed_edit_size",  # FLAGSHIP (O7+O8+O9)
     "q_keyby_agg_edit_size",
-    "q_salted_agg_edit_size",
+    # q_salted_agg_edit_size (skew-salted twin of q_keyby) moved to the
+    # tail in round 5: the agg shape is proven by q_keyby in slot 2 and
+    # salting by tests/test_skew_join.py; its slot buys a CORRECTNESS
+    # row for the real-codec decode query instead.
     "q_filter_events",  # O5 (SURVEY name: q_filter_human_main)
     "q_project",
     "q_json_extract",
@@ -73,6 +76,7 @@ _PRIORITY = [
     "q_embedding_neardup_lsh",  # neardup twin q_embedding_neardup_kernel in tail
     "q_multimodal_meta",
     "q_multimodal_features",
+    "q_multimodal_decode",  # real PPM/WAV/FWV1 codec round trip (r5)
     "q_multimodal_frames",
     # Relational operator set (E4-E11)
     "q_join_orders_customer",
