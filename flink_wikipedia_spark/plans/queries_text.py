@@ -767,3 +767,90 @@ def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("tid") == 1, 1).otherwise(0)).cast("long").alias("n_unk"),
         stable_token_hash(ids_str).alias("ids_fp"),
     )
+
+
+@query(
+    "q_repetition_signals",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               string_split(lower(text), ' ') AS toks,
+               len(string_split(lower(text), ' ')) AS n,
+               list_transform(range(len(string_split(lower(text), ' ')) - 1),
+                   i -> string_split(lower(text), ' ')[i+1] || ' ' ||
+                        string_split(lower(text), ' ')[i+2]) AS bg
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(n - len(list_distinct(toks)) AS DOUBLE) / n AS dup_token_frac,
+           CASE WHEN len(bg) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(list_max(list_transform(list_distinct(bg),
+                          x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+                     / len(bg)
+           END AS top_2gram_frac,
+           CAST(
+               (CAST(n - len(list_distinct(toks)) AS DOUBLE) / n) <= 0.6
+               AND (CASE WHEN len(bg) = 0 THEN CAST(0.0 AS DOUBLE)
+                         ELSE CAST(list_max(list_transform(list_distinct(bg),
+                                   x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+                              / len(bg)
+                    END) <= 0.2
+               AS INT) AS keep
+    FROM b
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (quality filtering, Gopher-style repetition signals):
+    per-document duplicate-token fraction and most-common-bigram
+    fraction — the repetition filters production corpus pipelines run
+    before training (boilerplate, keyword-stuffed, and template pages
+    score high on exactly these).
+
+    Entirely in-row via higher-order array functions: tokens →
+    zip_with bigrams → per-row mode count — a MAP-ONLY single scan, no
+    explode, no shuffle, no join-back. That is the right 100 TB shape
+    for bounded-length documents (chunk upstream via q_doc_chunks for
+    pathological lengths; the per-row mode count is quadratic in
+    DISTINCT bigrams, fine at chunk scale). All counts are integers and
+    each fraction is one IEEE double division of exact integers, so
+    both engines produce bit-identical values — full oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), " ").alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.size(F.array_distinct("toks")).alias("n_dist"),
+        F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1),"
+            "         slice(toks, 2, size(toks) - 1),"
+            "         (a, b) -> concat(a, ' ', b))"
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "n",
+        "n_dist",
+        F.size("bg").alias("n_bg"),
+        F.when(
+            F.size("bg") == 0, F.lit(0).cast("long")
+        ).otherwise(
+            F.expr(
+                "array_max(transform(array_distinct(bg),"
+                "          x -> size(filter(bg, y -> y = x))))"
+            ).cast("long")
+        ).alias("max_bg"),
+    )
+    dup_frac = (F.col("n") - F.col("n_dist")).cast("double") / F.col("n")
+    top_frac = F.when(F.col("n_bg") == 0, F.lit(0.0)).otherwise(
+        F.col("max_bg").cast("double") / F.col("n_bg")
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        dup_frac.alias("dup_token_frac"),
+        top_frac.alias("top_2gram_frac"),
+        ((dup_frac <= 0.6) & (top_frac <= 0.2)).cast("int").alias("keep"),
+    )
