@@ -151,3 +151,22 @@ def test_zorder_layout_makes_both_dims_prunable(spark, tmp_path):
     # z-order: BOTH dims prune most groups
     assert u_z > 0.6 and u_z > 2 * u_time, (u_time, u_z)
     assert t_z > 0.6, (t_time, t_z)
+
+
+def test_events_ts_predicate_reaches_parquet_scan(spark):
+    """With events.ts read as a native parquet timestamp (round-5 footer
+    sniffing), time-range predicates must land in PushedFilters — that
+    is row-group min/max skipping, the difference between scanning a day
+    and scanning 100 TB. The old raw-nanos read path made this
+    impossible (the filter sat above a conversion expression)."""
+    import re
+
+    from flink_wikipedia_spark.schemas import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    q = ev.filter(F.col("ts") >= "2024-01-15").select("event_id", "ts")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "GreaterThanOrEqual(ts" in m.group(1), m.group(1)
