@@ -278,3 +278,124 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") % SHUFFLE_SHARDS).alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# Corpus-wide token budget for the water-filling mixture allocation:
+# sits between |sources|×min(source tokens) and the corpus total at the
+# correctness SFs, so both branches (saturated small sources, fair-capped
+# large ones) are exercised and oracle-checked.
+TOKEN_BUDGET = 25_000
+
+
+@query(
+    "q_token_budget_waterfill",
+    oracle=f"""
+    WITH agg AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs, n_tokens,
+               ROW_NUMBER() OVER ord AS rn,
+               COUNT(*) OVER () AS k,
+               COALESCE(SUM(n_tokens) OVER (
+                   ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0
+               ) AS prefix
+        FROM agg
+        WINDOW ord AS (ORDER BY n_tokens ASC, source ASC)
+    ),
+    s AS (
+        SELECT *,
+               n_tokens <= CAST({TOKEN_BUDGET} - prefix AS DOUBLE)
+                           / (k - rn + 1) AS sat
+        FROM w
+    ),
+    g AS (
+        SELECT *,
+               SUM(CASE WHEN sat THEN n_tokens ELSE 0 END) OVER () AS sat_sum,
+               SUM(CASE WHEN sat THEN 0 ELSE 1 END) OVER () AS unsat_cnt
+        FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           CASE WHEN sat THEN CAST(n_tokens AS DOUBLE)
+                ELSE CAST({TOKEN_BUDGET} - sat_sum AS DOUBLE) / unsat_cnt
+           END AS alloc_tokens,
+           CASE WHEN sat THEN CAST(1.0 AS DOUBLE)
+                ELSE (CAST({TOKEN_BUDGET} - sat_sum AS DOUBLE) / unsat_cnt)
+                     / n_tokens
+           END AS sample_rate
+    FROM g
+    """,
+)
+def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star (mixture planning): allocate a fixed training-token
+    budget across sources by WATER-FILLING — every source below its
+    fair share contributes everything it has (sample_rate 1.0), and the
+    leftover splits equally among the larger sources, which are all
+    capped at the same level c (the classic solution to
+    "maximize the minimum source representation under a budget").
+
+    Single-pass closed form instead of the iterative redistribution
+    loop: order sources by size ascending; source i is saturated iff
+    n_i <= (B - prefix_i) / remaining_slots_i (a prefix-sum window),
+    and the cap is c = (B - Σ saturated) / |unsaturated|.
+
+    Scale: one corpus-scale shuffle (groupBy source with map-side
+    partial counts) reduces 100 TB to |sources| rows; the ordered
+    windows after it run on that driver-tiny frame — a deliberate
+    single-partition window over ~dozens of rows, not data."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    ord_w = Window.orderBy(F.col("n_tokens").asc(), F.col("source").asc())
+    full_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.row_number().over(ord_w).alias("rn"),
+        F.count(F.lit(1)).over(full_w).alias("k"),
+        F.coalesce(
+            F.sum("n_tokens").over(
+                ord_w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prefix"),
+    )
+    sat = F.col("n_tokens") <= (
+        (F.lit(TOKEN_BUDGET) - F.col("prefix")).cast("double")
+        / (F.col("k") - F.col("rn") + 1)
+    )
+    g = w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        sat.alias("sat"),
+    ).select(
+        "*",
+        F.sum(F.when(F.col("sat"), F.col("n_tokens")).otherwise(0))
+        .over(full_w)
+        .alias("sat_sum"),
+        F.sum(F.when(F.col("sat"), 0).otherwise(1)).over(full_w).alias("unsat_cnt"),
+    )
+    cap = (F.lit(TOKEN_BUDGET) - F.col("sat_sum")).cast("double") / F.col(
+        "unsat_cnt"
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.when(F.col("sat"), F.col("n_tokens").cast("double"))
+        .otherwise(cap)
+        .alias("alloc_tokens"),
+        F.when(F.col("sat"), F.lit(1.0))
+        .otherwise(cap / F.col("n_tokens"))
+        .alias("sample_rate"),
+    )
