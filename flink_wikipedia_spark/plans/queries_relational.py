@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_wikipedia_spark.functions.compat import dec_sum
+from flink_wikipedia_spark.functions.compat import DEC, dec_sum
 from flink_wikipedia_spark.operators.relational import (
     asof_join,
     range_join_count,
@@ -756,3 +756,94 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(orphan("orders_orphan_custkey", o, ["o_custkey"], c, ["c_custkey"]))
     )
+
+
+# Pivot/unpivot: the reshaping pair. The pivot value list is FIXED
+# (Spark requires it for a deterministic schema anyway, and an
+# unlisted-value explosion is exactly what you don't want at 100 TB —
+# pivot with inferred values runs an extra distinct pass over the fact
+# table first).
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot_event_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'
+                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'
+                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'
+                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS view
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def q_pivot_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational reshaping (pivot): daily long→wide of per-type value
+    sums. Spark's groupBy().pivot(col, values) with an EXPLICIT value
+    list compiles to exactly one partial/final hash aggregate with
+    conditional sums — same plan as the oracle's CASE form, one
+    shuffle, no per-value scans and no values-inference pass (which at
+    100 TB would be a full extra distinct over the facts). Decimal
+    accumulators for order-independent bit-exact totals (compat.DEC
+    rules); null cells stay null (no matching rows), matching SQL
+    conditional-aggregation semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+            F.col("value").cast(DEC).alias("v"),
+        )
+        .groupBy("day")
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .agg(F.sum("v").cast("double"))
+    )
+
+
+@query(
+    "q_unpivot_event_daily",
+    oracle="""
+    WITH wide AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'error'
+                    THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS error
+        FROM events
+        GROUP BY date_trunc('day', ts)
+    )
+    SELECT day, kind, amount FROM (
+        SELECT day, 'purchase' AS kind, purchase AS amount FROM wide
+        UNION ALL
+        SELECT day, 'error' AS kind, error AS amount FROM wide
+    ) WHERE amount IS NOT NULL
+    """,
+)
+def q_unpivot_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational reshaping (unpivot / melt): wide→long back-transform
+    of the pivoted frame via DataFrame.unpivot — a Generate (Expand)
+    node, map-only over the already-aggregated wide frame, no shuffle
+    beyond the upstream pivot's. Null cells are dropped, mirroring the
+    oracle's WHERE amount IS NOT NULL (Spark's unpivot keeps nulls, so
+    the filter is explicit)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+            F.col("value").cast(DEC).alias("v"),
+        )
+        .groupBy("day")
+        .pivot("event_type", ["purchase", "error"])
+        .agg(F.sum("v").cast("double"))
+    )
+    return wide.unpivot(
+        "day", ["purchase", "error"], "kind", "amount"
+    ).filter(F.col("amount").isNotNull())
