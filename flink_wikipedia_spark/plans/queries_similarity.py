@@ -721,3 +721,77 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOPK_K)
         .select("query_id", "neighbor_id", "adc_d2", "rk")
     )
+
+
+# SemDeDup threshold: within-cell cosine-to-representative above tau is
+# "semantically duplicate". 0.3 sits at ~p90 of the synthetic corpus's
+# within-cell similarity, so both keep and drop branches are exercised
+# and oracle-checked at every SF.
+SEMDEDUP_TAU = 0.3
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id < {IVF_NC}
+    ),
+    assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT v.vec_id, v.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({_D2}, 6) ASC, c.centroid_id ASC) AS rk
+            FROM embeddings v CROSS JOIN centroids c
+        ) WHERE rk <= 1
+    ),
+    reps AS (
+        SELECT centroid_id, MIN(vec_id) AS rep_id FROM assign
+        GROUP BY centroid_id
+    )
+    SELECT a.vec_id, a.centroid_id, reps.rep_id,
+           round({sql_cosine_duckdb('r.embedding', 'a.embedding')}, 6) AS sim,
+           CAST(round({sql_cosine_duckdb('r.embedding', 'a.embedding')}, 6)
+                < {SEMDEDUP_TAU} AS INT) AS keep
+    FROM assign a
+    JOIN reps ON a.centroid_id = reps.centroid_id
+    JOIN embeddings r ON r.vec_id = reps.rep_id
+    WHERE a.vec_id <> reps.rep_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E2 composed (SemDeDup, Abbas et al. 2023 shape): cluster-based
+    SEMANTIC dedup — embeddings are coarse-clustered into IVF cells,
+    each cell elects a representative (min vec_id; a production system
+    uses the k-means centroid itself), and every other member is scored
+    by exact cosine against its representative only. Members above
+    SEMDEDUP_TAU are semantic duplicates (keep=0). Complements the
+    LSH near-dup path (q_embedding_neardup_lsh): that finds PAIRS
+    anywhere in the corpus; this prunes REDUNDANCY within semantic
+    clusters with one comparison per vector.
+
+    Scale: assignment is a broadcast-centroid map (no shuffle);
+    representatives are |cells| rows — broadcast back; scoring is one
+    cosine per corpus vector, map-only. Nothing here is quadratic in
+    the corpus, which is the entire point of the cluster-then-compare
+    design at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVF_NC)
+    assign = ivf_assign(emb, centroids, n_probe=1)
+    reps = assign.groupBy("centroid_id").agg(F.min("vec_id").alias("rep_id"))
+    rep_vecs = reps.join(
+        emb.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("_rv")),
+        "rep_id",
+    )
+    sim = F.round(cosine_expr(F.col("_rv"), F.col("embedding")), 6)
+    return (
+        assign.join(F.broadcast(rep_vecs), "centroid_id")
+        .filter(F.col("vec_id") != F.col("rep_id"))
+        .select(
+            "vec_id",
+            "centroid_id",
+            "rep_id",
+            sim.alias("sim"),
+            (sim < SEMDEDUP_TAU).cast("int").alias("keep"),
+        )
+    )
