@@ -9,8 +9,13 @@ the write-time half of the SCALE.md join story).
 from flink_wikipedia_spark.sources.batch import (
     read_csv,
     read_json_events,
+    read_orc,
     read_parquet,
+    write_orc,
     write_partitioned,
 )
 
-__all__ = ["read_csv", "read_json_events", "read_parquet", "write_partitioned"]
+__all__ = [
+    "read_csv", "read_json_events", "read_orc", "read_parquet",
+    "write_orc", "write_partitioned",
+]

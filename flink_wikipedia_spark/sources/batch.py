@@ -20,6 +20,19 @@ def read_parquet(spark: SparkSession, path: str, schema: StructType) -> DataFram
     return spark.read.schema(schema).parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """ORC with pinned schema — same contract as read_parquet. ORC
+    carries the same columnar virtues (column pruning, predicate
+    pushdown into stripe/row-group stats, vectorized read) so the scan
+    posture in SCALE.md applies unchanged; it exists for interop with
+    Hive-era warehouses that standardized on ORC."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

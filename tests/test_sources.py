@@ -151,3 +151,19 @@ def test_kafka_wire_format_decode_parity(spark):
     assert {r.domain for r in good} == {"en.wikipedia.org", "de.wikipedia.org"}
     # corrupt payload survives as a corrupt record, never a task failure
     assert sum(r._corrupt_record is not None for r in k) == 1
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """Format matrix: the events table written as ORC reads back
+    row-identical (including native timestamps) under the same pinned
+    schema — ORC shares parquet's columnar read posture."""
+    from flink_wikipedia_spark.sources import read_orc, write_orc
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_orc")
+    write_orc(ev, out)
+    back = read_orc(spark, out, EVENTS_SCHEMA)
+    assert back.schema == ev.schema
+    a = sorted(ev.collect(), key=lambda r: r.event_id)
+    b = sorted(back.collect(), key=lambda r: r.event_id)
+    assert a == b
