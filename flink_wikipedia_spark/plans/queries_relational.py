@@ -847,3 +847,130 @@ def q_unpivot_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "day", ["purchase", "error"], "kind", "amount"
     ).filter(F.col("amount").isNotNull())
+
+
+@query(
+    "q_funnel_view_click_purchase",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ),
+    s2 AS (
+        SELECT user_id, ts, event_type, t1,
+               MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ),
+    s3 AS (
+        SELECT user_id, t1, t2,
+               MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM s2
+    ),
+    per_user AS (
+        SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        FROM s3 GROUP BY user_id
+    )
+    SELECT 1 AS stage, 'view' AS step, COUNT(t1) AS n_users FROM per_user
+    UNION ALL
+    SELECT 2 AS stage, 'click' AS step, COUNT(t2) AS n_users FROM per_user
+    UNION ALL
+    SELECT 3 AS stage, 'purchase' AS step, COUNT(t3) AS n_users FROM per_user
+    """,
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral analytics (ordered funnel): how many users progressed
+    view → click → purchase IN ORDER (each later step strictly after
+    the user's first completion of the previous one). Stage times are
+    layered per-user window minimums — t2 is the min click time after
+    t1, t3 the min purchase after t2 — so the whole funnel is three
+    window passes over ONE hash partitioning on user_id (consecutive
+    windows with the same partition key reuse the exchange; no
+    self-joins, which is how funnel queries usually go quadratic).
+
+    Scale: one shuffle on user_id carries the funnel; the final
+    per-user collapse and 3-row union are trivial."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id")
+    s1 = ev.select(
+        "user_id", "ts", "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(uw).alias("t1"),
+    )
+    s2 = s1.select(
+        "user_id", "ts", "event_type", "t1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(uw).alias("t2"),
+    )
+    s3 = s2.select(
+        "user_id", "t1", "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(uw).alias("t3"),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return (
+        per_user.agg(F.count("t1").alias("n_users"))
+        .select(F.lit(1).alias("stage"), F.lit("view").alias("step"), "n_users")
+        .unionAll(
+            per_user.agg(F.count("t2").alias("n_users")).select(
+                F.lit(2).alias("stage"), F.lit("click").alias("step"), "n_users"
+            )
+        )
+        .unionAll(
+            per_user.agg(F.count("t3").alias("n_users")).select(
+                F.lit(3).alias("stage"), F.lit("purchase").alias("step"), "n_users"
+            )
+        )
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT)
+               AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firstday f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral analytics (cohort retention): users grouped by first
+    active day, counted per day-offset of later activity — the classic
+    retention triangle. One aggregate derives cohorts; the join back is
+    on user_id (same key as the aggregate, so AQE reuses partitioning
+    or broadcasts the per-user frame when small); final distinct-count
+    per (cohort, offset)."""
+    ev = load_table(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
+    )
+    return (
+        ev.join(firstday, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
