@@ -167,3 +167,40 @@ def test_orc_roundtrip_matches_parquet(spark, tmp_path):
     a = sorted(ev.collect(), key=lambda r: r.event_id)
     b = sorted(back.collect(), key=lambda r: r.event_id)
     assert a == b
+
+
+def test_load_table_sniffs_both_parquet_time_units(spark, tmp_path):
+    """The round-4 regression as a permanent fixture: the same events
+    data written with MICROS and with NANOS timestamps must load to
+    identical rows through load_table (footer sniffing picks the read
+    path; the generator has shipped both units across rounds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_wikipedia_spark.schemas import load_table
+
+    src = pq.read_table(f"{SF_SMOKE}/events.parquet").slice(0, 100)
+
+    us_dir = tmp_path / "us_dir"
+    ns_dir = tmp_path / "ns_dir"
+    us_dir.mkdir()
+    ns_dir.mkdir()
+    pq.write_table(src, us_dir / "events.parquet")  # already timestamp[us]
+
+    ns_schema = pa.schema(
+        [
+            f if f.name != "ts" else pa.field("ts", pa.timestamp("ns"))
+            for f in src.schema
+        ]
+    )
+    pq.write_table(
+        src.cast(ns_schema), ns_dir / "events.parquet",
+        coerce_timestamps=None, store_schema=False,
+    )
+
+    a = sorted(load_table(spark, str(us_dir), "events").collect(),
+               key=lambda r: r.event_id)
+    b = sorted(load_table(spark, str(ns_dir), "events").collect(),
+               key=lambda r: r.event_id)
+    assert a == b
+    assert a[0].ts.year == 2024
