@@ -43,6 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
         F.min("window_start"), F.max("window_start"),
         F.countDistinct("window_start"),
     ).first()
+    if lo is None:
+        raise AssertionError("flagship produced zero rows at sf0.001")
     if not (lo.year == 2024 and hi.year == 2024):
         raise AssertionError(
             f"flagship window_start outside fixture's 2024 range: "

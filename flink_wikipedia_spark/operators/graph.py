@@ -166,8 +166,11 @@ def connected_components(
         obs = Observation()
         observed = new_labels.observe(
             obs,
-            F.sum(
-                (F.col("component") != F.col("old_comp")).cast("long")
+            # coalesce: sum over an EMPTY frame is null, which would
+            # read as "changed" and spin the loop to max_iter
+            F.coalesce(
+                F.sum((F.col("component") != F.col("old_comp")).cast("long")),
+                F.lit(0),
             ).alias("changed"),
         )
         observed.count()
