@@ -113,4 +113,10 @@ def _reorder() -> None:
 
 _reorder()
 
+# SURVEY.md §2 names the O5 and E6 inventory queries differently than
+# their primary registrations; register the survey names as tail aliases
+# so a line-by-line inventory check resolves either name.
+alias("q_filter_human_main", "q_filter_events")
+alias("q_antijoin_inactive_users", "q_antijoin_quiet_customers")
+
 __all__ = ["REGISTRY", "QueryDef", "alias", "query"]
