@@ -974,3 +974,56 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "q_snapshot_merge",
+    oracle="""
+    WITH latest AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order_date,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, l.o_custkey) AS custkey,
+           c.c_name AS name,
+           l.last_order_date,
+           CAST(COALESCE(l.n_orders, 0) AS BIGINT) AS n_orders,
+           CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN l.o_custkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS merge_case
+    FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.o_custkey
+    """,
+)
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join matrix completion (FULL OUTER) in its production costume:
+    the SCD/CDC snapshot merge — current dimension rows full-outer-
+    joined with aggregated change rows, each output tagged as matched,
+    dimension-only (no activity), or change-only (orphan upsert). This
+    is the batch twin of the streaming UpsertParquetSink's keyed merge.
+
+    Scale: the change side pre-aggregates to one row per key before the
+    join (partial aggregates collapse the fact volume), then one
+    co-partitioned shuffle join on the key; with both sides bucketed by
+    custkey the exchange disappears entirely (tests/test_bucketing.py
+    proves the layout)."""
+    c = load_table(spark, sf_dir, "customer")
+    latest = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order_date"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    j = c.join(latest, c.c_custkey == latest.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.col("c_name").alias("name"),
+        "last_order_date",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("merge_case"),
+    )
