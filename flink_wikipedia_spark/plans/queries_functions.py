@@ -605,3 +605,39 @@ def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("corr_qty_price"),
     )
+
+
+@query(
+    "q_distribution_ranks",
+    oracle="""
+    SELECT event_id, event_type,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           FIRST_VALUE(value) OVER w AS type_min_value
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    """,
+)
+def q_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth: the distribution-rank family — NTILE
+    quartiles, PERCENT_RANK, CUME_DIST, FIRST_VALUE — over one ordered
+    partition per event type. The event_id tiebreak makes the ordering
+    total, so the peer-group-dependent functions (percent_rank,
+    cume_dist) are deterministic and their integer-derived divisions
+    bit-match the oracle. One shuffle on the partition key serves all
+    four functions (same window spec ⇒ one Window operator)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("value").over(w).alias("type_min_value"),
+    )
