@@ -399,3 +399,112 @@ def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(cap / F.col("n_tokens"))
         .alias("sample_rate"),
     )
+
+
+@query(
+    "q_curation_funnel",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, source, text,
+               string_split(lower(text), ' ') AS toks,
+               len(string_split(lower(text), ' ')) AS n,
+               list_transform(range(len(string_split(lower(text), ' ')) - 1),
+                   i -> string_split(lower(text), ' ')[i+1] || ' ' ||
+                        string_split(lower(text), ' ')[i+2]) AS bg
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, lang, source,
+               source IN ({_BLOCKED_IN}) AS blocked,
+               (n >= 20 AND (CAST(length(text) - (n - 1) AS DOUBLE) / n)
+                    BETWEEN 2.0 AND 12.0) AS quality_ok,
+               ((CAST(n - len(list_distinct(toks)) AS DOUBLE) / n) <= 0.6
+                AND (CASE WHEN len(bg) = 0 THEN CAST(0.0 AS DOUBLE)
+                          ELSE CAST(list_max(list_transform(list_distinct(bg),
+                                    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+                               / len(bg) END) <= 0.2) AS rep_ok,
+               md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+        FROM base
+    ),
+    dedup AS (
+        SELECT *,
+               MIN(CASE WHEN NOT blocked AND quality_ok AND rep_ok
+                        THEN doc_id END) OVER (PARTITION BY fp) AS keeper
+        FROM flags
+    )
+    SELECT lang,
+           CASE WHEN blocked THEN 'blocked'
+                WHEN NOT quality_ok THEN 'quality'
+                WHEN NOT rep_ok THEN 'repetition'
+                WHEN doc_id <> keeper THEN 'duplicate'
+                ELSE 'kept' END AS stage,
+           COUNT(*) AS n_docs
+    FROM dedup
+    GROUP BY 1, 2
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus→training-set CAPSTONE: four curation families composed
+    into one attribution funnel — provenance blocklist, quality gate
+    (token count + mean token length), Gopher repetition filters, and
+    exact content dedup among survivors (first-seen doc per normalized
+    fingerprint wins) — each document attributed to its FIRST failing
+    stage, reported per language. This is the per-stage loss report
+    every production data pipeline publishes next to its training set.
+
+    Scale: one scan computes all per-doc flags in-row (the same
+    higher-order expressions as q_quality_score / q_repetition_signals);
+    the only corpus shuffles are the fingerprint window (16-byte md5
+    keys) and the final tiny groupBy. Stage order is fixed, so counts
+    are additive: kept + stage losses = corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source", "text",
+        F.split(F.lower("text"), " ").alias("toks"),
+    ).select(
+        "doc_id", "lang", "source", "text", "toks",
+        F.size("toks").alias("n"),
+        F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1),"
+            "         slice(toks, 2, size(toks) - 1),"
+            "         (a, b) -> concat(a, ' ', b))"
+        ).alias("bg"),
+    )
+    mean_tok_len = (
+        F.length("text") - (F.col("n") - 1)
+    ).cast("double") / F.col("n")
+    top_frac = F.when(F.size("bg") == 0, F.lit(0.0)).otherwise(
+        F.expr(
+            "array_max(transform(array_distinct(bg),"
+            "          x -> size(filter(bg, y -> y = x))))"
+        ).cast("double")
+        / F.size("bg")
+    )
+    dup_frac = (
+        F.col("n") - F.size(F.array_distinct("toks"))
+    ).cast("double") / F.col("n")
+    flags = base.select(
+        "doc_id", "lang",
+        F.col("source").isin(BLOCKED_SOURCES).alias("blocked"),
+        ((F.col("n") >= 20) & mean_tok_len.between(2.0, 12.0)).alias("quality_ok"),
+        ((dup_frac <= 0.6) & (top_frac <= 0.2)).alias("rep_ok"),
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    keeper = F.min(
+        F.when(
+            ~F.col("blocked") & F.col("quality_ok") & F.col("rep_ok"),
+            F.col("doc_id"),
+        )
+    ).over(Window.partitionBy("fp"))
+    staged = flags.withColumn("keeper", keeper).select(
+        "lang",
+        F.when(F.col("blocked"), "blocked")
+        .when(~F.col("quality_ok"), "quality")
+        .when(~F.col("rep_ok"), "repetition")
+        .when(F.col("doc_id") != F.col("keeper"), "duplicate")
+        .otherwise("kept")
+        .alias("stage"),
+    )
+    return staged.groupBy("lang", "stage").agg(F.count(F.lit(1)).alias("n_docs"))
