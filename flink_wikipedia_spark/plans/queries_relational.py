@@ -920,19 +920,18 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = s3.groupBy("user_id").agg(
         F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
     )
-    return (
-        per_user.agg(F.count("t1").alias("n_users"))
-        .select(F.lit(1).alias("stage"), F.lit("view").alias("step"), "n_users")
-        .unionAll(
-            per_user.agg(F.count("t2").alias("n_users")).select(
-                F.lit(2).alias("stage"), F.lit("click").alias("step"), "n_users"
-            )
-        )
-        .unionAll(
-            per_user.agg(F.count("t3").alias("n_users")).select(
-                F.lit(3).alias("stage"), F.lit("purchase").alias("step"), "n_users"
-            )
-        )
+    # ONE aggregate row carries all three stage counts, stacked to long
+    # form map-side — a 3-way unionAll here would re-plan (and re-scan)
+    # the whole per-user subtree per branch, Catalyst having no logical
+    # CSE (the same trap BASELINE.md documents for TF-IDF join-backs).
+    counts = per_user.agg(
+        F.count("t1").alias("c1"),
+        F.count("t2").alias("c2"),
+        F.count("t3").alias("c3"),
+    )
+    return counts.selectExpr(
+        "stack(3, 1, 'view', c1, 2, 'click', c2, 3, 'purchase', c3) "
+        "AS (stage, step, n_users)"
     )
 
 
