@@ -958,14 +958,20 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     or broadcasts the per-user frame when small); final distinct-count
     per (cohort, offset)."""
     ev = load_table(spark, sf_dir, "events")
-    firstday = ev.groupBy("user_id").agg(
-        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
-    )
+    # cohort_day as a per-user window minimum instead of a groupBy +
+    # join-back: ONE scan and one user_id shuffle feed the final
+    # (cohort, offset) aggregate — the join form re-plans the events
+    # scan twice (no logical CSE) and adds a join exchange.
+    uw = Window.partitionBy("user_id")
     return (
-        ev.join(firstday, "user_id")
+        ev.select(
+            "user_id",
+            F.min(F.date_trunc("day", F.col("ts"))).over(uw).alias("cohort_day"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
         .select(
             "cohort_day",
-            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            F.datediff(F.col("day"), F.col("cohort_day"))
             .cast("long")
             .alias("day_offset"),
             "user_id",
