@@ -778,15 +778,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < IVF_NC)
     assign = ivf_assign(emb, centroids, n_probe=1)
-    reps = assign.groupBy("centroid_id").agg(F.min("vec_id").alias("rep_id"))
-    rep_vecs = reps.join(
-        emb.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("_rv")),
-        "rep_id",
+    # representative id AND embedding via one centroid_id window
+    # (min/min_by) — a groupBy + join-back would re-plan the whole
+    # corpus-assign subtree twice (no logical CSE), doubling the most
+    # expensive stage at scale; this shape assigns once and shuffles
+    # once on centroid_id.
+    cw = Window.partitionBy("centroid_id")
+    withrep = assign.select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        F.min("vec_id").over(cw).alias("rep_id"),
+        F.expr("min_by(embedding, vec_id)").over(cw).alias("_rv"),
     )
     sim = F.round(cosine_expr(F.col("_rv"), F.col("embedding")), 6)
     return (
-        assign.join(F.broadcast(rep_vecs), "centroid_id")
-        .filter(F.col("vec_id") != F.col("rep_id"))
+        withrep.filter(F.col("vec_id") != F.col("rep_id"))
         .select(
             "vec_id",
             "centroid_id",
