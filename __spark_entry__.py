@@ -31,11 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
     The rows>0 check alone cannot detect time corruption (round 4: a
     1000x-compressed timestamp column still produced 45 plausible rows),
-    so before returning we assert a cheap invariant on one tiny extra
-    job: every window_start lands inside the fixture's known date range
-    and the window count is far above what collapsed timestamps yield.
+    so before returning we assert an invariant: every window_start lands
+    inside the fixture's known date range and the window count is far
+    above what collapsed timestamps yield. The frame is persisted first
+    so the invariant job materializes it once and the driver's own
+    action on the returned DataFrame reuses the cache instead of
+    re-running the pipeline.
     """
-    df = REGISTRY["q_windowed_edit_size"].fn(spark, SMOKE_SF_DIR)
+    df = REGISTRY["q_windowed_edit_size"].fn(spark, SMOKE_SF_DIR).persist()
 
     from pyspark.sql import functions as F
 

@@ -101,9 +101,12 @@ def main() -> None:
         REGISTRY[warm].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     n_runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
-    samples: dict[str, list[float]] = {name: [] for name in REGISTRY}
+    # primary registrations only: aliases are duplicate names for the
+    # same physical query — timing them would double-count the suite
+    primaries = {n: qd for n, qd in REGISTRY.items() if qd.alias_of is None}
+    samples: dict[str, list[float]] = {name: [] for name in primaries}
     for _ in range(n_runs):
-        for name, qd in REGISTRY.items():
+        for name, qd in primaries.items():
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)

@@ -152,3 +152,66 @@ def fingerprint_cols(text_col: str = "text") -> list[Column]:
         % 2_147_483_647,
     )
     return [F.md5(norm).alias("fp_md5"), roll.alias("fp_roll")]
+
+
+# --- Gopher-style repetition signals (shared by q_repetition_signals
+# and q_curation_funnel — one definition keeps the standalone signal
+# query and the funnel's 'repetition' stage bit-identical) -------------
+
+REP_DUP_TOKEN_MAX = 0.6   # duplicate-token fraction threshold
+REP_TOP_2GRAM_MAX = 0.2   # most-common-bigram fraction threshold
+
+# Spark expression strings over a `toks` (array<string>) / `bg` column;
+# kept as expr() text because higher-order lambdas read best in SQL form.
+BIGRAMS_EXPR = (
+    "zip_with(slice(toks, 1, size(toks) - 1),"
+    "         slice(toks, 2, size(toks) - 1),"
+    "         (a, b) -> concat(a, ' ', b))"
+)
+TOP_BIGRAM_COUNT_EXPR = (
+    "array_max(transform(array_distinct(bg),"
+    "          x -> size(filter(bg, y -> y = x))))"
+)
+
+
+def dup_token_frac_expr() -> Column:
+    """(n - distinct tokens) / n over `toks`/`n` columns."""
+    return (
+        F.col("n") - F.size(F.array_distinct("toks"))
+    ).cast("double") / F.col("n")
+
+
+def top_bigram_frac_expr() -> Column:
+    """Most-common-bigram count fraction over a `bg` column; 0.0 for
+    single-token docs (no bigrams)."""
+    return F.when(F.size("bg") == 0, F.lit(0.0)).otherwise(
+        F.expr(TOP_BIGRAM_COUNT_EXPR).cast("double") / F.size("bg")
+    )
+
+
+def repetition_ok_expr() -> Column:
+    """The composite repetition gate both queries share."""
+    return (dup_token_frac_expr() <= REP_DUP_TOKEN_MAX) & (
+        top_bigram_frac_expr() <= REP_TOP_2GRAM_MAX
+    )
+
+
+# DuckDB twins over the same staged names (toks/n/bg).
+SQL_DUP_TOKEN_FRAC = "CAST(n - len(list_distinct(toks)) AS DOUBLE) / n"
+SQL_TOP_BIGRAM_FRAC = (
+    "CASE WHEN len(bg) = 0 THEN CAST(0.0 AS DOUBLE)"
+    " ELSE CAST(list_max(list_transform(list_distinct(bg),"
+    " x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) END"
+)
+SQL_BIGRAMS = (
+    "list_transform(range(len(string_split(lower(text), ' ')) - 1),"
+    " i -> string_split(lower(text), ' ')[i+1] || ' ' ||"
+    " string_split(lower(text), ' ')[i+2])"
+)
+
+
+def sql_repetition_ok_duckdb() -> str:
+    return (
+        f"(({SQL_DUP_TOKEN_FRAC}) <= {REP_DUP_TOKEN_MAX}"
+        f" AND ({SQL_TOP_BIGRAM_FRAC}) <= {REP_TOP_2GRAM_MAX})"
+    )

@@ -14,6 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_wikipedia_spark.functions.compat import stable_token_hash
+from flink_wikipedia_spark.operators.text import (
+    BIGRAMS_EXPR,
+    SQL_BIGRAMS,
+    repetition_ok_expr,
+    sql_repetition_ok_duckdb,
+)
 from flink_wikipedia_spark.plans.registry import query
 from flink_wikipedia_spark.schemas import load_table
 
@@ -408,9 +414,7 @@ def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, source, text,
                string_split(lower(text), ' ') AS toks,
                len(string_split(lower(text), ' ')) AS n,
-               list_transform(range(len(string_split(lower(text), ' ')) - 1),
-                   i -> string_split(lower(text), ' ')[i+1] || ' ' ||
-                        string_split(lower(text), ' ')[i+2]) AS bg
+               {SQL_BIGRAMS} AS bg
         FROM documents
     ),
     flags AS (
@@ -418,11 +422,7 @@ def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                source IN ({_BLOCKED_IN}) AS blocked,
                (n >= 20 AND (CAST(length(text) - (n - 1) AS DOUBLE) / n)
                     BETWEEN 2.0 AND 12.0) AS quality_ok,
-               ((CAST(n - len(list_distinct(toks)) AS DOUBLE) / n) <= 0.6
-                AND (CASE WHEN len(bg) = 0 THEN CAST(0.0 AS DOUBLE)
-                          ELSE CAST(list_max(list_transform(list_distinct(bg),
-                                    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
-                               / len(bg) END) <= 0.2) AS rep_ok,
+               {sql_repetition_ok_duckdb()} AS rep_ok,
                md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
         FROM base
     ),
@@ -464,30 +464,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", "source", "text", "toks",
         F.size("toks").alias("n"),
-        F.expr(
-            "zip_with(slice(toks, 1, size(toks) - 1),"
-            "         slice(toks, 2, size(toks) - 1),"
-            "         (a, b) -> concat(a, ' ', b))"
-        ).alias("bg"),
+        F.expr(BIGRAMS_EXPR).alias("bg"),
     )
     mean_tok_len = (
         F.length("text") - (F.col("n") - 1)
-    ).cast("double") / F.col("n")
-    top_frac = F.when(F.size("bg") == 0, F.lit(0.0)).otherwise(
-        F.expr(
-            "array_max(transform(array_distinct(bg),"
-            "          x -> size(filter(bg, y -> y = x))))"
-        ).cast("double")
-        / F.size("bg")
-    )
-    dup_frac = (
-        F.col("n") - F.size(F.array_distinct("toks"))
     ).cast("double") / F.col("n")
     flags = base.select(
         "doc_id", "lang",
         F.col("source").isin(BLOCKED_SOURCES).alias("blocked"),
         ((F.col("n") >= 20) & mean_tok_len.between(2.0, 12.0)).alias("quality_ok"),
-        ((dup_frac <= 0.6) & (top_frac <= 0.2)).alias("rep_ok"),
+        repetition_ok_expr().alias("rep_ok"),
         F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
     )
     from pyspark.sql import Window

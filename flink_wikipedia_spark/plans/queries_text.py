@@ -10,12 +10,20 @@ from pyspark.sql import functions as F
 from flink_wikipedia_spark.functions.compat import dec_avg, stable_token_hash
 from flink_wikipedia_spark.functions.constants import HM_MOD
 from flink_wikipedia_spark.operators.text import (
+    BIGRAMS_EXPR,
     BPE_ISH_PATTERN,
+    SQL_BIGRAMS,
+    SQL_DUP_TOKEN_FRAC,
+    SQL_TOP_BIGRAM_FRAC,
+    dup_token_frac_expr,
     fingerprint_cols,
     lang_id_expr,
     quality_score_cols,
+    repetition_ok_expr,
     sql_lang_id_duckdb,
+    sql_repetition_ok_duckdb,
     token_count_cols,
+    top_bigram_frac_expr,
     word_counts,
 )
 from flink_wikipedia_spark.plans.registry import query
@@ -771,32 +779,19 @@ def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_repetition_signals",
-    oracle="""
+    oracle=f"""
     WITH b AS (
         SELECT doc_id,
                string_split(lower(text), ' ') AS toks,
                len(string_split(lower(text), ' ')) AS n,
-               list_transform(range(len(string_split(lower(text), ' ')) - 1),
-                   i -> string_split(lower(text), ' ')[i+1] || ' ' ||
-                        string_split(lower(text), ' ')[i+2]) AS bg
+               {SQL_BIGRAMS} AS bg
         FROM documents
     )
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_tokens,
-           CAST(n - len(list_distinct(toks)) AS DOUBLE) / n AS dup_token_frac,
-           CASE WHEN len(bg) = 0 THEN CAST(0.0 AS DOUBLE)
-                ELSE CAST(list_max(list_transform(list_distinct(bg),
-                          x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
-                     / len(bg)
-           END AS top_2gram_frac,
-           CAST(
-               (CAST(n - len(list_distinct(toks)) AS DOUBLE) / n) <= 0.6
-               AND (CASE WHEN len(bg) = 0 THEN CAST(0.0 AS DOUBLE)
-                         ELSE CAST(list_max(list_transform(list_distinct(bg),
-                                   x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
-                              / len(bg)
-                    END) <= 0.2
-               AS INT) AS keep
+           {SQL_DUP_TOKEN_FRAC} AS dup_token_frac,
+           {SQL_TOP_BIGRAM_FRAC} AS top_2gram_frac,
+           CAST({sql_repetition_ok_duckdb()} AS INT) AS keep
     FROM b
     """,
 )
@@ -822,35 +817,14 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower("text"), " ").alias("toks"),
     ).select(
         "doc_id",
+        "toks",
         F.size("toks").alias("n"),
-        F.size(F.array_distinct("toks")).alias("n_dist"),
-        F.expr(
-            "zip_with(slice(toks, 1, size(toks) - 1),"
-            "         slice(toks, 2, size(toks) - 1),"
-            "         (a, b) -> concat(a, ' ', b))"
-        ).alias("bg"),
-    ).select(
-        "doc_id",
-        "n",
-        "n_dist",
-        F.size("bg").alias("n_bg"),
-        F.when(
-            F.size("bg") == 0, F.lit(0).cast("long")
-        ).otherwise(
-            F.expr(
-                "array_max(transform(array_distinct(bg),"
-                "          x -> size(filter(bg, y -> y = x))))"
-            ).cast("long")
-        ).alias("max_bg"),
-    )
-    dup_frac = (F.col("n") - F.col("n_dist")).cast("double") / F.col("n")
-    top_frac = F.when(F.col("n_bg") == 0, F.lit(0.0)).otherwise(
-        F.col("max_bg").cast("double") / F.col("n_bg")
+        F.expr(BIGRAMS_EXPR).alias("bg"),
     )
     return staged.select(
         "doc_id",
         F.col("n").cast("long").alias("n_tokens"),
-        dup_frac.alias("dup_token_frac"),
-        top_frac.alias("top_2gram_frac"),
-        ((dup_frac <= 0.6) & (top_frac <= 0.2)).cast("int").alias("keep"),
+        dup_token_frac_expr().alias("dup_token_frac"),
+        top_bigram_frac_expr().alias("top_2gram_frac"),
+        repetition_ok_expr().cast("int").alias("keep"),
     )

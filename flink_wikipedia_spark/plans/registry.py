@@ -23,6 +23,7 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None ⇒ non-SQL-expressible; driver does rows-only check
     doc: str
+    alias_of: str | None = None  # set ⇒ duplicate name for an existing query
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -31,9 +32,13 @@ REGISTRY: dict[str, QueryDef] = {}
 def alias(new_name: str, existing: str) -> None:
     """Register an additional name for an existing query (used where
     SURVEY.md §2 names an inventory query differently than the primary
-    registration — the driver and judge key off names)."""
+    registration — the driver and judge key off names). Aliases stay in
+    the driver contract (queries()/oracle_sql()) but are EXCLUDED from
+    bench totals and the plan audit via ``alias_of`` — otherwise the
+    same physical query is timed and audited twice and suite totals
+    stop being comparable across rounds."""
     qd = REGISTRY[existing]
-    REGISTRY[new_name] = QueryDef(new_name, qd.fn, qd.oracle, qd.doc)
+    REGISTRY[new_name] = QueryDef(new_name, qd.fn, qd.oracle, qd.doc, alias_of=existing)
 
 
 def query(name: str, oracle: str | None = None):

@@ -242,12 +242,17 @@ def _events_ts_unit(path: str) -> str:
 
     probe = path
     if os.path.isdir(path):
-        parts = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
-        )
-        if not parts:
-            raise FileNotFoundError(f"no parquet part files in {path}")
-        probe = os.path.join(path, parts[0])
+        # walk (not listdir): a hive-partitioned layout nests part files
+        # under key=value subdirectories with nothing at the top level
+        probe = None
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            parts = sorted(f for f in files if f.endswith(".parquet"))
+            if parts:
+                probe = os.path.join(root, parts[0])
+                break
+        if probe is None:
+            raise FileNotFoundError(f"no parquet part files under {path}")
     field = pq.ParquetFile(probe).schema_arrow.field("ts")
     unit = getattr(field.type, "unit", "ns")  # plain int64 ⇒ raw nanos
     _TS_UNIT_CACHE[path] = unit
