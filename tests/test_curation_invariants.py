@@ -121,3 +121,60 @@ def test_vocab_ids_dense_and_encode_consistent(spark):
     # fingerprints are deterministic across independent executions
     again = {r.doc_id: r.ids_fp for r in REGISTRY["q_encode_tokens"].fn(spark, SF).collect()}
     assert all(again[d] == r.ids_fp for d, r in docs.items())
+
+
+def test_waterfill_conserves_budget_and_caps_rates(spark):
+    """Water-filling invariants: allocations sum exactly to the budget
+    (when the corpus exceeds it), no source exceeds its own tokens or
+    rate 1.0, saturated sources contribute everything, and every
+    unsaturated source sits at one common cap >= every saturated size."""
+    from flink_wikipedia_spark.plans import REGISTRY
+    from flink_wikipedia_spark.plans.queries_curation import TOKEN_BUDGET
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["q_token_budget_waterfill"].fn(spark, SF_SMOKE).collect()
+    total_alloc = sum(r.alloc_tokens for r in rows)
+    corpus_total = sum(r.n_tokens for r in rows)
+    if corpus_total >= TOKEN_BUDGET:
+        assert abs(total_alloc - TOKEN_BUDGET) < 1e-6
+    sat = [r for r in rows if r.sample_rate == 1.0]
+    unsat = [r for r in rows if r.sample_rate < 1.0]
+    for r in rows:
+        assert 0.0 < r.sample_rate <= 1.0
+        assert r.alloc_tokens <= r.n_tokens + 1e-9
+    caps = {round(r.alloc_tokens, 6) for r in unsat}
+    assert len(caps) <= 1  # all unsaturated share ONE water level
+    if unsat and sat:
+        cap = caps.pop()
+        assert all(r.n_tokens <= cap + 1e-9 for r in sat)
+
+
+def test_funnel_stages_monotone(spark):
+    """Ordered-funnel invariant: stage counts never increase (a user
+    cannot complete step k+1 in order without completing step k)."""
+    from flink_wikipedia_spark.plans import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.stage: r.n_users
+        for r in REGISTRY["q_funnel_view_click_purchase"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] >= rows[2] >= rows[3]
+    assert rows[1] > 0
+
+
+def test_curation_funnel_counts_additive(spark):
+    """Funnel attribution is a partition: per-stage counts sum to the
+    corpus size (every doc charged to exactly one stage)."""
+    from flink_wikipedia_spark.plans import REGISTRY
+    from flink_wikipedia_spark.schemas import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["q_curation_funnel"].fn(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    stages = {r.stage for r in rows}
+    assert "kept" in stages and stages <= {
+        "blocked", "quality", "repetition", "duplicate", "kept"
+    }
