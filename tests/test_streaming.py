@@ -510,3 +510,42 @@ def test_curation_stream_gates_compose(spark, tmp_path):
     # doc1 keeps; doc2 (de) keeps; doc3 quality-gated; doc4 unique keeps;
     # doc5 contaminated; doc6 dup of doc1 dropped
     assert out == {"en": 2, "de": 1}
+
+
+def test_flagship_stream_rocksdb_state_store(spark, tmp_path):
+    """The large-state deployment path (session.py's
+    SPARK_GRAFT_STATE_STORE=rocksdb): the flagship windowed aggregate
+    must produce identical results under the RocksDB state store
+    provider as under the default heap provider. Pins that the provider
+    class name is valid on this Spark build and that checkpoint state
+    round-trips through it."""
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    lines = [ev(1), ev(2, new=200), ev(3, domain="de.wikipedia.org")]
+    # second batch far later so the watermark finalizes the first window
+    later = [ev(9, ts="2024-01-01T11:00:00Z", old=1, new=1)]
+
+    heap_sink = run_stream(build_flagship_stream, tmp_path / "heap",
+                           [lines, later], spark=spark)
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, rocks)
+    try:
+        rocks_sink = run_stream(build_flagship_stream, tmp_path / "rocks",
+                                [lines, later], spark=spark)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+    def norm(sink):
+        return sorted(
+            (r.domain, r.edit_size, r.window_start, r.window_end)
+            for r in sink.rows
+        )
+
+    assert norm(rocks_sink) == norm(heap_sink)
+    assert len(norm(rocks_sink)) > 0
