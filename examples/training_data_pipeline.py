@@ -3,10 +3,11 @@
 The north-star workload this engine exists for — raw documents in,
 clean training corpus out, every stage a distributed DataFrame op:
 
-    source blocklist → quality score → PII scrub → near-dup clusters
-    → canonical pick → keep-list join → duplicated-span damage gate →
-    contamination screen → stratified mixture sample → chunk + pack
-    into training bins → deterministic shard shuffle
+    source blocklist → quality score → PII scrub → repetition gate →
+    near-dup clusters → canonical pick → keep-list join →
+    duplicated-span damage gate → contamination screen → stratified
+    mixture sample → chunk + pack into training bins → deterministic
+    shard shuffle → token-budget water-fill report
 
     python examples/training_data_pipeline.py
 
@@ -66,6 +67,19 @@ def main() -> None:
             F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
         ),
     )
+
+    # 1c. repetition gate (Gopher-style, q_repetition_signals design):
+    #     duplicate-token and top-bigram fractions, computed fully
+    #     in-row — map-only, no shuffle
+    from flink_wikipedia_spark.operators.text import (
+        BIGRAMS_EXPR,
+        repetition_ok_expr,
+    )
+
+    staged = kept.select(
+        "*", F.split(F.lower("text"), " ").alias("toks")
+    ).select("*", F.size("toks").alias("n"), F.expr(BIGRAMS_EXPR).alias("bg"))
+    kept = staged.filter(repetition_ok_expr()).drop("toks", "n", "bg")
 
     # 2. near-dup clusters over the survivors: MinHash → LSH candidates
     #    → connected components (transitive closure of "looks similar")
@@ -199,6 +213,27 @@ def main() -> None:
     )
     n_shards = shards.select("shard").distinct().count()
 
+    # 8. token-budget mixture report: water-filling allocation of a
+    #    fixed budget across the sampled corpus's sources
+    #    (q_token_budget_waterfill design — one shuffle to |sources|
+    #    rows, then window math on the tiny frame)
+    from flink_wikipedia_spark.plans import REGISTRY  # noqa: F401 (registry import wires queries)
+    from flink_wikipedia_spark.plans.queries_curation import TOKEN_BUDGET
+
+    per_source = sampled.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    srcs = sorted(per_source.collect(), key=lambda r: (r.n_tokens, r.source))
+    remaining, slots = TOKEN_BUDGET, len(srcs)
+    alloc = {}
+    for r in srcs:  # driver-side twin of the closed form: |sources| rows
+        fair = remaining / slots
+        take = min(r.n_tokens, fair)
+        alloc[r.source] = take
+        remaining -= take
+        slots -= 1
+    n_full = sum(1 for r in srcs if alloc[r.source] == r.n_tokens)
+
     print(f"documents in:          {n_in}")
     print(f"after blocklist:       {docs.count()}")
     print(f"after quality gate:    {kept.count()}")
@@ -208,6 +243,8 @@ def main() -> None:
     print(f"after mixture sample:  {sampled.count()}")
     print(f"packed training bins:  {n_bins}")
     print(f"output shards:         {n_shards}")
+    print(f"budget water-fill:     {len(srcs)} sources, "
+          f"{n_full} fully taken, {TOKEN_BUDGET - round(remaining)} tokens allocated")
     spark.stop()
 
 
