@@ -285,3 +285,58 @@ def test_kmeans_improves_on_init(spark):
         assert final <= init + 1e-9, (
             f"{lang}: inertia rose {init} -> {final}"
         )
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=200_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_waterfill_closed_form_matches_iterative(sizes, budget):
+    """The algebra q_token_budget_waterfill's SQL depends on: processing
+    sources ascending, source i saturates iff n_i <= (B - prefix_i) /
+    remaining_slots_i, and the common cap is (B - sum saturated) /
+    |unsaturated|. Must agree with the obvious iterative water-filling
+    (repeatedly grant min(n_i, fair share), recompute) to float
+    tolerance for arbitrary size/budget combinations."""
+    xs = sorted(sizes)
+
+    # closed form, EXACTLY the query's window math: prefix is the sum of
+    # ALL previous sizes (unconditional window prefix), not just the
+    # saturated ones — with only-saturated accumulation the rule
+    # misclassifies (e.g. sizes [1,1], budget 1)
+    k = len(xs)
+    sat_flags = []
+    prefix = 0
+    for i, n in enumerate(xs):
+        fair = (budget - prefix) / (k - i)
+        sat_flags.append(n <= fair)
+        prefix += n
+    sat_sum = sum(n for n, f in zip(xs, sat_flags) if f)
+    n_unsat = sum(1 for f in sat_flags if not f)
+    cap = (budget - sat_sum) / n_unsat if n_unsat else None
+    closed = [float(n) if f else cap for n, f in zip(xs, sat_flags)]
+
+    # iterative reference: grant fair shares, freeze saturated, repeat
+    remaining = float(budget)
+    grants = [None] * k
+    active = list(range(k))
+    while active:
+        fair = remaining / len(active)
+        newly = [i for i in active if xs[i] <= fair]
+        if not newly:
+            for i in active:
+                grants[i] = fair
+            break
+        for i in newly:
+            grants[i] = float(xs[i])
+            remaining -= xs[i]
+        active = [i for i in active if i not in newly]
+
+    assert all(g is not None for g in grants)
+    for c, g in zip(closed, grants):
+        assert math.isclose(c, g, rel_tol=1e-9, abs_tol=1e-6), (xs, budget, closed, grants)
+    # conservation: total granted = min(budget, total supply)
+    assert math.isclose(
+        sum(grants), min(budget, sum(xs)), rel_tol=1e-9, abs_tol=1e-6
+    )
