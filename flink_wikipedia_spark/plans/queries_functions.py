@@ -641,3 +641,40 @@ def q_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.first("value").over(w).alias("type_min_value"),
     )
+
+
+@query(
+    "q_date_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS mo,
+           CAST(day(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(dayofweek(ts) AS INT) AS dow,
+           ts + INTERVAL 7 DAY AS plus_week,
+           date_trunc('month', ts) AS month_start,
+           CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP) AS last_dom
+    FROM events
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-library suite, date/time half (pairs with q_string/
+    q_array/q_map_functions): calendar field extraction, interval
+    arithmetic, month truncation, and end-of-month — the portable
+    subset where Spark and DuckDB agree exactly (dow normalized to
+    DuckDB's 0=Sunday; week-numbering and months_between are
+    deliberately excluded — their definitions differ across engines).
+    Map-only over the scan, whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("mo"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.hour("ts").cast("int").alias("hr"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("plus_week"),
+        F.date_trunc("month", F.col("ts")).alias("month_start"),
+        F.last_day("ts").cast("timestamp").alias("last_dom"),
+    )
