@@ -73,7 +73,7 @@ def test_driver_window_covers_every_family():
         "similarity": ["q_similarity_topk", "q_similarity_lsh",
                        "q_ann_ivf", "q_pq_codes"],
         "multimodal": ["q_multimodal_meta", "q_multimodal_features",
-                       "q_multimodal_frames"],
+                       "q_multimodal_decode", "q_multimodal_frames"],
         "relational": ["q_join_orders_customer", "q_semijoin_active_customers",
                        "q_antijoin_quiet_customers", "q_topk_docs_per_lang",
                        "q_grouping_sets_lineitem", "q_asof_join"],
