@@ -25,18 +25,45 @@ from flink_wikipedia_spark.plans import REGISTRY  # noqa: E402
 from flink_wikipedia_spark.schemas import SMOKE_SF_DIR  # noqa: E402
 
 
+def _fixture_ts_bounds(sf_dir: str):
+    """Read the raw min/max of events.ts straight from the parquet file
+    via pyarrow, unit-aware — the ground truth the flagship's windows
+    must agree with. Driver-side metadata+column read on the sf0.001
+    fixture (~6 K rows); never runs on executors.
+    """
+    import datetime as dt
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from flink_wikipedia_spark.schemas import _events_ts_unit
+
+    path = os.path.join(sf_dir, "events.parquet")
+    unit = _events_ts_unit(path)
+    col = pq.read_table(path, columns=["ts"]).column("ts")
+    mm = pc.min_max(col).as_py()
+    lo, hi = mm["min"], mm["max"]
+    if not isinstance(lo, dt.datetime):  # raw int64 (ns) layout
+        div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        lo = dt.datetime.fromtimestamp(lo // div, dt.timezone.utc).replace(tzinfo=None)
+        hi = dt.datetime.fromtimestamp(hi // div, dt.timezone.utc).replace(tzinfo=None)
+    return lo, hi
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (reference DataStreamJob.java:61-87 as batch) on
     /root/testdata/sf0.001; driver checks rows>0.
 
     The rows>0 check alone cannot detect time corruption (round 4: a
     1000x-compressed timestamp column still produced 45 plausible rows),
-    so before returning we assert an invariant: every window_start lands
-    inside the fixture's known date range and the window count is far
-    above what collapsed timestamps yield. The frame is persisted first
-    so the invariant job materializes it once and the driver's own
-    action on the returned DataFrame reuses the cache instead of
-    re-running the pipeline.
+    so before returning we assert an invariant: the flagship's
+    window_start range must bracket the RAW ts range read independently
+    via pyarrow (so a generator change to the date range self-adjusts —
+    no hard-coded year, ADVICE r5), and the distinct-window count must
+    be consistent with that span. The frame is persisted first so the
+    invariant job materializes it once and the driver's own action on
+    the returned DataFrame reuses the cache instead of re-running the
+    pipeline.
     """
     df = REGISTRY["q_windowed_edit_size"].fn(spark, SMOKE_SF_DIR).persist()
 
@@ -48,16 +75,27 @@ def entry(spark: SparkSession) -> DataFrame:
     ).first()
     if lo is None:
         raise AssertionError("flagship produced zero rows at sf0.001")
-    if not (lo.year == 2024 and hi.year == 2024):
+    raw_lo, raw_hi = _fixture_ts_bounds(SMOKE_SF_DIR)
+    import datetime as dt
+
+    five_min = dt.timedelta(minutes=5)
+    if not (raw_lo - five_min <= lo <= raw_lo and raw_hi - five_min <= hi <= raw_hi):
         raise AssertionError(
-            f"flagship window_start outside fixture's 2024 range: "
-            f"[{lo} .. {hi}] — timestamp decode is corrupt "
+            f"flagship window_start range [{lo} .. {hi}] disagrees with "
+            f"the fixture's raw ts range [{raw_lo} .. {raw_hi}] — "
+            "timestamp decode is corrupt "
             "(check events.ts parquet time unit in schemas.load_table)"
         )
-    if nwin < 100:
+    # Collapsed timestamps (e.g. µs read as ns ⇒ ÷1000) compress a
+    # month-long fixture into minutes; demand a window count only the
+    # true span can produce (>=1% of the span's 5-min slots, floor 100).
+    possible = max(1, int((raw_hi - raw_lo) / five_min))
+    floor = min(100, max(10, possible // 100))
+    if nwin < floor:
         raise AssertionError(
-            f"flagship has only {nwin} distinct 5-min windows at sf0.001; "
-            "a month of events must span thousands — timestamps collapsed"
+            f"flagship has only {nwin} distinct 5-min windows at sf0.001 "
+            f"across a raw span of {raw_hi - raw_lo} ({possible} possible "
+            "slots) — timestamps collapsed"
         )
     return df
 

@@ -36,16 +36,17 @@ _PRIORITY = [
     "q_filter_events",  # O5 (SURVEY name: q_filter_human_main)
     "q_project",
     "q_json_extract",
-    "q_to_json_roundtrip",
+    # q_to_json_roundtrip (O10) rotated to the tail in round 6 after five
+    # consecutive driver-green rounds (CORRECTNESS_r01-r05); its slot buys
+    # a first driver row for a capstone that has never had one.
     "q_sliding_window_counts",
     "q_edit_event_decode",
-    # Text analysis (E3)
+    # Text analysis (E3); q_lang_stats + q_fingerprint rotated out r6
+    # (long-proven, redundant with the six text queries that remain)
     "q_word_count",
-    "q_lang_stats",
     "q_token_count",
     "q_lang_id",
     "q_quality_score",
-    "q_fingerprint",
     "q_zscore_docs",
     "q_tfidf_top_terms",
     "q_doc_chunks",
@@ -54,26 +55,43 @@ _PRIORITY = [
     # the tail — its window-fn shape is already proven by q_topk_docs
     "q_pack_sequences",
     "q_stratified_sample",
+    # Round-6 rotation: the ten capstones below earn their first
+    # driver-recorded CORRECTNESS rows (VERDICT r5 item 3). They replace
+    # ten slots that were driver-green in r01-r05 and whose operator
+    # shapes stay covered by pinned window members (see the composition
+    # test in tests/test_plan_audit.py).
+    "q_curation_funnel",            # 13-stage curation capstone
+    "q_token_budget_waterfill",     # closed-form budget allocation
+    "q_data_quality_audit",         # FK/null/range audit rules
+    "q_snapshot_merge",             # FULL OUTER snapshot reconcile
+    "q_tpch_q21_sole_late_supplier",  # heaviest TPC-H composition
+    "q_funnel_view_click_purchase",  # behavioral funnel
+    "q_cohort_retention",           # behavioral retention matrix
+    "q_distribution_ranks",         # ntile/percent_rank/cume_dist
+    "q_semantic_dedup",             # SemDeDup IVF-cell cosine
+    "q_date_functions",             # date/time scalar suite
     # Deduplication (E1 + MinHash/LSH/SimHash/CC pipeline + substring).
     # q_dedup_events (second exact-dedup proof) moved to the tail in
     # favor of q_duplicate_spans — a distinct capability (substring-
     # level dedup) beats a redundant proof of an already-covered one.
     "q_duplicate_spans",
     "q_dedup_docs_exact",
-    "q_minhash_signatures",
+    # r6 rotation: q_minhash_signatures / q_minhash_dedup_clusters /
+    # q_ngram_jaccard_pairs to the tail — the MinHash→LSH→cluster chain
+    # stays proven end-to-end by q_minhash_dedup_pairs + q_dedup_pipeline
+    # + q_dedup_components + q_dedup_canonical, all still pinned here.
     "q_minhash_dedup_pairs",
-    "q_minhash_dedup_clusters",
     "q_simhash",
     "q_dedup_pipeline",
     "q_dedup_components",
-    "q_ngram_jaccard_pairs",
     "q_dedup_canonical",
-    # Similarity search + multimodal (E2, E12)
+    # Similarity search + multimodal (E2, E12); q_embedding_neardup_lsh
+    # rotated out r6 — q_semantic_dedup (above) now carries the
+    # embedding-near-dup family's driver row.
     "q_similarity_topk",
     "q_similarity_lsh",
     "q_ann_ivf",
     "q_pq_codes",  # IVF-PQ quantization half; bounded-kernel
-    "q_embedding_neardup_lsh",  # neardup twin q_embedding_neardup_kernel in tail
     "q_multimodal_meta",
     "q_multimodal_features",
     "q_multimodal_decode",  # real PPM/WAV/FWV1 codec round trip (r5)
@@ -82,12 +100,13 @@ _PRIORITY = [
     "q_join_orders_customer",
     "q_semijoin_active_customers",
     "q_antijoin_quiet_customers",  # SURVEY name: q_antijoin_inactive_users
-    "q_top_events_by_value",
-    "q_setops_users",
+    # r6 rotation: q_top_events_by_value (E7), q_setops_users (E8) and
+    # q_distinct_users to the tail after 5 driver-green rounds; sorts,
+    # set ops and distinct remain exercised in-window via
+    # q_topk_docs_per_lang, q_snapshot_merge and the dedup family.
     # E9 family: grouping sets subsumes the rollup/cube shapes inside
     # the window; q_rollup_event_value / q_cube_orders sit in the tail
     "q_grouping_sets_lineitem",
-    "q_distinct_users",
     # The approx sketches (q_approx_distinct_users / q_approx_percentile_
     # value) have no DuckDB value oracle, so inside the window they read
     # as "no_oracle" rather than green; they moved to the tail in favor of

@@ -616,7 +616,8 @@ def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
            CUME_DIST() OVER w AS cume,
            FIRST_VALUE(value) OVER w AS type_min_value
     FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY value ASC NULLS LAST, event_id ASC)
     """,
 )
 def q_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,8 +631,11 @@ def q_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
+    # Null placement pinned on BOTH engines: Spark ASC defaults to
+    # NULLS FIRST, DuckDB to NULLS LAST — latent divergence if value
+    # ever ships nulls (ADVICE r5). asc_nulls_last + NULLS LAST align.
     w = W.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
+        F.col("value").asc_nulls_last(), F.col("event_id").asc()
     )
     return ev.select(
         "event_id",

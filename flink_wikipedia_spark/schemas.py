@@ -218,11 +218,19 @@ def table_schema(name: str) -> StructType:
     return TPCH_SCHEMAS.get(name) or _EXTRA_SCHEMAS[name]
 
 
-# Footer-sniff cache: path -> parquet time unit of events.ts ("ns"/"us"/
-# "ms"/"s"). One pyarrow footer read per distinct path per process — a
-# driver-side metadata lookup, never a data scan, so it costs nothing at
-# cluster scale (executors never run this).
-_TS_UNIT_CACHE: dict[str, str] = {}
+# Footer-sniff cache: (path, probe mtime_ns, probe size) -> parquet time
+# unit of events.ts ("ns"/"us"/"ms"/"s"). One pyarrow footer read per
+# distinct (path, version) per process — a driver-side metadata lookup,
+# never a data scan, so it costs nothing at cluster scale (executors
+# never run this). Keying on the probe file's stat guards a long-lived
+# process against in-place rewrites that flip the unit (the generator
+# has flipped units across rounds — ADVICE r5).
+_TS_UNIT_CACHE: dict[tuple[str, int, int], str] = {}
+
+
+def clear_ts_unit_cache() -> None:
+    """Drop all cached footer sniffs (test hook / manual invalidation)."""
+    _TS_UNIT_CACHE.clear()
 
 
 def _events_ts_unit(path: str) -> str:
@@ -235,9 +243,6 @@ def _events_ts_unit(path: str) -> str:
     way). ``path`` may be a single file or a directory of part files;
     for a directory the first footer wins (one writer ⇒ uniform unit).
     """
-    cached = _TS_UNIT_CACHE.get(path)
-    if cached is not None:
-        return cached
     import pyarrow.parquet as pq
 
     probe = path
@@ -253,9 +258,14 @@ def _events_ts_unit(path: str) -> str:
                 break
         if probe is None:
             raise FileNotFoundError(f"no parquet part files under {path}")
+    st = os.stat(probe)
+    key = (path, st.st_mtime_ns, st.st_size)
+    cached = _TS_UNIT_CACHE.get(key)
+    if cached is not None:
+        return cached
     field = pq.ParquetFile(probe).schema_arrow.field("ts")
     unit = getattr(field.type, "unit", "ns")  # plain int64 ⇒ raw nanos
-    _TS_UNIT_CACHE[path] = unit
+    _TS_UNIT_CACHE[key] = unit
     return unit
 
 

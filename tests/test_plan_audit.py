@@ -77,6 +77,14 @@ def test_driver_window_covers_every_family():
         "relational": ["q_join_orders_customer", "q_semijoin_active_customers",
                        "q_antijoin_quiet_customers", "q_topk_docs_per_lang",
                        "q_grouping_sets_lineitem", "q_asof_join"],
+        # Round-6 rotation (VERDICT r5 item 3): the capstones hold their
+        # window slots until each has at least one driver-recorded row.
+        "capstones": ["q_curation_funnel", "q_token_budget_waterfill",
+                      "q_data_quality_audit", "q_snapshot_merge",
+                      "q_tpch_q21_sole_late_supplier",
+                      "q_funnel_view_click_purchase", "q_cohort_retention",
+                      "q_distribution_ranks", "q_semantic_dedup",
+                      "q_date_functions"],
     }
     missing = {
         fam: [q for q in qs if q not in names]
