@@ -86,6 +86,45 @@ def test_oracle_parity_smoke(spark, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
 
 
+def test_oracle_value_parity_registry_tail(spark):
+    """ADVICE r5: queries outside the 50-slot driver window never get a
+    driver-recorded VALUE check, so a wrong oracle would lurk until the
+    query rotates in. Mirror the driver's order-insensitive value
+    comparison (via tools/verify_local.normalize) for every oracle-
+    bearing tail query at sf0.001. One test, one loop — per-query
+    parametrization would pay Spark-session overhead 70+ times."""
+    from tools.verify_local import normalize, tz_kind
+
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    tail = [n for n in list(qs)[50:] if n in oracles]
+    assert len(tail) > 60  # the tail exists; a registry shrink is a bug
+    failures = []
+    for name in tail:
+        try:
+            sdf = qs[name](spark, SF_SMOKE).toPandas()
+            odf = con.sql(oracles[name]).df()
+            if len(sdf) != len(odf):
+                failures.append(f"{name}: rows {len(sdf)} != {len(odf)}")
+                continue
+            if sorted(sdf.columns) != sorted(odf.columns):
+                failures.append(f"{name}: columns differ")
+                continue
+            tz_bad = [
+                c for c in sdf.columns if tz_kind(sdf[c]) != tz_kind(odf[c])
+            ]
+            if tz_bad:
+                failures.append(f"{name}: tz-awareness differs on {tz_bad}")
+                continue
+            if not normalize(sdf).equals(normalize(odf)):
+                failures.append(f"{name}: values differ")
+        except Exception as exc:  # keep sweeping; report all at the end
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, "\n".join(failures)
+
+
 def test_cli_arg_parsing():
     from flink_wikipedia_spark.__main__ import parse_args
 
