@@ -9,12 +9,28 @@ never O(data)). Each iteration is one join + one aggregate; lineage is
 truncated with localCheckpoint every iteration so plans don't grow
 unboundedly — the standard Spark pattern for iterative workloads.
 
-Scale notes: min-label propagation is the simple O(diameter) variant;
-for 100 TB graphs with long chains, the large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond") halves
-the diameter per round — same join/aggregate building blocks, different
-edge rewiring. Near-dup graphs are overwhelmingly star-shaped (clusters
-of copies), where min-label converges in 2-3 rounds.
+Two distributed variants live here, sharing the driver-loop skeleton:
+
+- **min-label propagation + pointer jumping** (`_minlabel_components`):
+  each round every node takes the min label over its neighborhood, then
+  shortcuts label→label-of-label. Round count O(log diameter); the edge
+  list is joined against the full label table every round, so per-round
+  cost is stable at O(|E|).
+- **large-star / small-star** (`_star_components`; Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", 2014): alternately
+  rewire every node's larger neighbors (large-star) and smaller
+  neighbors (small-star) to the neighborhood minimum until the edge set
+  is a fixed forest of stars centered at component minima. O(log² n)
+  rounds, but the edge set SHRINKS monotonically toward |V|-components,
+  so late rounds are nearly free — the better shape for high-diameter,
+  low-degree (chain-y) graphs where min-label's full-size per-round
+  join dominates.
+
+`connected_components(algorithm="auto")` picks by a cheap degree probe:
+near-dup graphs (clusters of copies) are star-shaped with huge hub
+degrees — min-label converges in 2-3 rounds there — while chain-y
+graphs show bounded max degree and avg degree ≈ 2, where the star
+algorithm's shrinking edge set wins.
 """
 
 from __future__ import annotations
@@ -64,12 +80,22 @@ def _unionfind_components(rows) -> list:
     return [(x, min_member[find(x)]) for x in parent]
 
 
+# Degree-probe thresholds for algorithm="auto" (one aggregate over the
+# edge list). A max degree this small with near-2 average degree means
+# the graph is chains/trees, the regime where large-star/small-star's
+# shrinking edge set beats min-label's constant-size per-round join.
+# Hub-y near-dup graphs blow past the max-degree bound immediately.
+CHAINY_MAX_DEGREE = 8
+CHAINY_AVG_DEGREE = 4.0
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Label each node with the minimum node id reachable from it
     (= component id). Returns (node, component).
@@ -79,10 +105,14 @@ def connected_components(
 
     Scale-adaptive: counts the (already materialized) edge list first;
     small graphs are solved with driver union-find in one collect, large
-    graphs fall through to the distributed min-label loop. The count is
-    ~free (it reads the checkpointed blocks) and the decision is a
-    bounded-memory guard, not a hope — the distributed path stays fully
-    tested (see tests/test_operators.py) and kicks in automatically.
+    graphs fall through to a distributed loop. The count is ~free (it
+    reads the checkpointed blocks) and the decision is a bounded-memory
+    guard, not a hope — the distributed paths stay fully tested (see
+    tests/test_operators.py) and kick in automatically.
+
+    algorithm: "auto" (degree probe, see module docstring), "minlabel",
+    or "star" (large-star/small-star). Every variant produces identical
+    (node, component) labels — pinned by tests/test_operators.py.
     """
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = fwd.union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -102,6 +132,25 @@ def connected_components(
             ]
         )
         return spark.createDataFrame(labeled, schema)
+    if algorithm == "auto":
+        mx, avg = (
+            und.groupBy("u").count().agg(F.max("count"), F.avg("count")).first()
+        )
+        algorithm = (
+            "star"
+            if mx <= CHAINY_MAX_DEGREE and avg <= CHAINY_AVG_DEGREE
+            else "minlabel"
+        )
+    if algorithm == "star":
+        return _star_components(und, max_iter=max(max_iter, 50))
+    return _minlabel_components(und, max_iter)
+
+
+def _minlabel_components(und: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation with pointer jumping over a checkpointed
+    undirected edge list (both directions present). See module
+    docstring; convergence detection rides the materialization job via
+    ``observe`` so each round costs exactly one job."""
     from pyspark.sql import Observation
 
     labels = (
@@ -178,3 +227,84 @@ def connected_components(
         if obs.get["changed"] == 0:
             break
     return labels
+
+
+def _star_components(und: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    Algorithms 3-4, the "two-phase" variant proven to converge in
+    O(log² n) rounds).
+
+    Per round over the current edge set E (kept max>min oriented,
+    distinct):
+
+    - **large-star**: for every center u over BOTH orientations, connect
+      each strictly-larger neighbor v to m = min(Γ(u) ∪ {u}). Every
+      original edge survives through its larger endpoint, so
+      connectivity is preserved while long paths fold toward minima.
+    - **small-star**: for every center u over its smaller-or-equal
+      neighbors, connect each of them AND u itself to the neighborhood
+      minimum — turning local chains into stars.
+
+    Both phases are one groupBy-min + one re-join of the (checkpointed)
+    edge list — the same shuffle shape as a round of min-label, but the
+    edge set shrinks monotonically toward one edge per non-root node,
+    so late rounds get cheaper instead of staying O(|E|). Fixed point =
+    a forest of stars whose centers are component minima; labels read
+    directly off the final edges. Convergence is checked with a
+    subtract-count against the previous round's set — an extra shuffle
+    per round, acceptable because the frames involved are the already
+    shrunken edge sets.
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", "u").alias("m"))
+        )
+        return (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is already max>min oriented, so every (u, v) has v < u
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        to_min = e.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        center = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            to_min.union(center)
+            .where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+
+    all_nodes = und.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    edges = (
+        und.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        unchanged = (
+            new_edges.count() == edges.count()
+            and new_edges.subtract(edges).count() == 0
+        )
+        edges = new_edges
+        if unchanged:
+            break
+    # fixed point: every edge is (member, component-min); roots and
+    # isolated nodes label themselves
+    member_labels = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    )
+    self_labels = all_nodes.join(
+        member_labels.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return member_labels.unionByName(self_labels)

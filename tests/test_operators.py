@@ -168,6 +168,54 @@ def test_connected_components_chain_and_island(spark):
     assert got_dist == expected
 
 
+def test_connected_components_star_variant(spark):
+    """Large-star/small-star must produce labels identical to min-label
+    and driver union-find on every graph shape, including the
+    adversarial chain where naive propagation needs O(n) rounds."""
+    import random
+
+    from flink_wikipedia_spark.operators.graph import connected_components
+
+    def labels(edges, **kw):
+        return {
+            r.node: r.component
+            for r in connected_components(edges, small_graph_edges=0, **kw).collect()
+        }
+
+    # 256-node chain: diameter 255. max_iter=12 would time out any
+    # O(diameter)-round scheme — large-star/small-star's O(log² n)
+    # convergence is what makes the labels come out right at all.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], "doc_a long, doc_b long"
+    )
+    got_star = labels(chain, algorithm="star", max_iter=12)
+    assert got_star == {i: 0 for i in range(256)}
+    assert labels(chain, algorithm="minlabel") == got_star
+    # the degree probe must route a chain (max degree 2) to "star"
+    assert labels(chain, algorithm="auto") == got_star
+
+    # random graphs: star == minlabel == driver union-find
+    rng = random.Random(7)
+    for trial in range(3):
+        pairs = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(40 + 20 * trial)
+        ]
+        edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        ref = {
+            r.node: r.component for r in connected_components(edges).collect()
+        }
+        assert labels(edges, algorithm="star") == ref
+        assert labels(edges, algorithm="minlabel") == ref
+
+    # hub graph (near-dup shape): auto must pick minlabel and stay right
+    hub = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)] + [(100, 101)], "doc_a long, doc_b long"
+    )
+    expected = {i: 0 for i in range(40)} | {100: 100, 101: 100}
+    assert labels(hub, algorithm="auto") == expected
+    assert labels(hub, algorithm="star") == expected
+
+
 def test_map_fold_multikey(spark):
     """q_map_functions' oracle exploits the dataset's single-key props;
     this pins the generic map_values fold on a multi-key map."""
