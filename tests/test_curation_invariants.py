@@ -83,23 +83,99 @@ def test_gapfill_spine_is_dense_and_locf_monotone(spark):
         assert all(r.sum_value is None for r in rs if r.n_events == 0)
 
 
+def _exact_sets(rows) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(approx_rows, exact_sets) -> float:
+    hits = sum(
+        1 for r in approx_rows if r.neighbor_id in exact_sets.get(r.query_id, set())
+    )
+    assert approx_rows
+    return hits / len(approx_rows)
+
+
 def test_ivfpq_recall_against_exact_topk(spark):
-    """ADC over 2-bit-per-subspace codes is lossy and the IVF probe is
-    partial — but on the demo corpus the approximate top-5 should still
-    overlap the exact top-5 (sanity that the index isn't returning
-    noise)."""
-    exact = REGISTRY["q_similarity_topk"].fn(spark, SF).collect()
+    """The oracle-exact q_ivfpq_search uses UNTRAINED synthetic
+    codebooks by construction (static SQL twin ⇒ data-independent
+    literals), so its ADC carries weak ranking signal on the
+    structureless fixture — this floor only pins "not pure noise".
+    The production-quality recall gate lives on q_ann_ivfpq_refined
+    (trained index) in test_ann_refined_recall_at_least_0_7 below."""
+    exact_sets = _exact_sets(REGISTRY["q_similarity_topk"].fn(spark, SF).collect())
     approx = REGISTRY["q_ivfpq_search"].fn(spark, SF).collect()
-    exact_sets: dict[int, set[int]] = {}
-    for r in exact:
-        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
-    hits = total = 0
-    for r in approx:
-        total += 1
-        if r.neighbor_id in exact_sets.get(r.query_id, set()):
-            hits += 1
-    assert total > 0
-    assert hits / total >= 0.2, f"IVF-PQ recall {hits}/{total} vs exact top-k"
+    assert _recall(approx, exact_sets) >= 0.2, "IVF-PQ sank below noise floor"
+
+
+def test_ann_ivf_recall_at_least_0_6(spark):
+    """IVF-Flat (exact cosine within probed cells) recall vs the
+    brute-force exact top-5. Measured 0.92 at both sf0.001 and sf0.01;
+    the 0.6 floor catches a broken cell assignment or probe ranking
+    while tolerating coverage variance of the 2/16-cell probe."""
+    exact_sets = _exact_sets(REGISTRY["q_similarity_topk"].fn(spark, SF).collect())
+    approx = REGISTRY["q_ann_ivf"].fn(spark, SF).collect()
+    assert _recall(approx, exact_sets) >= 0.6
+
+
+def test_ann_refined_recall_at_least_0_7(spark):
+    """THE ANN quality gate (round-6 task): trained IVF-PQ + exact
+    refine must reach recall@10 >= 0.7 vs brute force. Params chosen by
+    a sweep over n_probe/codebook size/rerank depth (SCALE.md): 16
+    trained cells, probe 10, PQ 8x16 trained, exact rerank of ADC
+    top-150 — measured 0.86 (sf0.001) / 0.80 (sf0.01) on the
+    random-unit-vector fixture, ANN's adversarial case. Also pins
+    determinism: two independent builds return identical rows."""
+    from flink_wikipedia_spark.operators.similarity import topk_cosine
+    from flink_wikipedia_spark.schemas import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = topk_cosine(emb.filter(F.col("vec_id") < 5), emb, 10).collect()
+    approx = REGISTRY["q_ann_ivfpq_refined"].fn(spark, SF).collect()
+    rec = _recall(approx, _exact_sets(exact))
+    assert rec >= 0.7, f"trained IVF-PQ+refine recall@10 = {rec}"
+    again = REGISTRY["q_ann_ivfpq_refined"].fn(spark, SF).collect()
+    key = lambda r: (r.query_id, r.rk)  # noqa: E731
+    assert sorted(map(tuple, approx), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, again), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_lsh_buckets_are_locality_sensitive(spark):
+    """What single-band sign-LSH actually promises is AMPLIFICATION —
+    same-bucket collision must be substantially likelier for similar
+    pairs than for random pairs (global top-k recall is explicitly NOT
+    promised at one band; band-OR across tables is the scale lever,
+    exercised by the near-dup family). Buckets come from the production
+    Spark expression; cosines from numpy on the same fixture. Measured
+    ratio at sim>=0.3: 3.5 (sf0.001) / 5.9 (sf0.01); floor 2.0."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from flink_wikipedia_spark.operators.similarity import lsh_bucket_expr
+    from flink_wikipedia_spark.schemas import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.select(
+        "vec_id", lsh_bucket_expr(F.col("embedding")).alias("bucket")
+    ).collect()
+    bucket = np.empty(len(rows), dtype=np.int64)
+    for r in rows:
+        bucket[r.vec_id] = r.bucket
+    X = np.array(
+        pq.read_table(f"{SF}/embeddings.parquet").column("embedding").to_pylist(),
+        dtype=np.float64,
+    )
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    S = X @ X.T
+    iu = np.triu_indices(len(X), 1)
+    sims, coll = S[iu], bucket[iu[0]] == bucket[iu[1]]
+    p_all = coll.mean()
+    p_hi = coll[sims >= 0.3].mean()
+    assert p_all > 0, "no collisions at all — bucketing degenerate"
+    assert p_hi / p_all >= 2.0, f"LSH amplification {p_hi / p_all:.2f} < 2"
 
 
 def test_vocab_ids_dense_and_encode_consistent(spark):
