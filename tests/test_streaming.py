@@ -549,3 +549,85 @@ def test_flagship_stream_rocksdb_state_store(spark, tmp_path):
 
     assert norm(rocks_sink) == norm(heap_sink)
     assert len(norm(rocks_sink)) > 0
+
+
+def test_flagship_kill_and_resume_matches_batch(spark, tmp_path):
+    """End-to-end delivery-contract proof (round-6 task): the flagship
+    stream with the upsert-keyed sink, KILLED mid-stream and restarted
+    from its checkpoint, must converge to exactly the batch flagship on
+    the same data — the reference's Mongo replace-by-key at-least-once
+    contract (DataStreamJob.java:125-135) upgraded to effective
+    exactly-once. stop() can interrupt an epoch whose sink write already
+    published but whose checkpoint commit didn't land; the restart
+    replays that epoch and the (domain, window_start) upsert makes the
+    replay invisible."""
+    from flink_wikipedia_spark.streaming.sinks import UpsertParquetSink
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir, exist_ok=True)
+    base = time.time() - 600
+    # 8 files, ts in order across 4 distinct 5-min windows, 2 domains
+    files = []
+    for i in range(8):
+        ts = f"2024-01-01T10:{2 * i + 1:02d}:30Z"
+        files.append(
+            [
+                ev(100 + 2 * i, ts=ts, old=100, new=100 + 10 * (i + 1)),
+                ev(101 + 2 * i, domain="de.wikipedia.org", ts=ts, old=50, new=50 + i),
+                ev(900 + i, ts=ts, user_type="bot"),  # filtered, O5
+            ]
+        )
+    for i, lines in enumerate(files):
+        write_file(src_dir, f"{i:03d}.json", lines, mtime=base + i * 10)
+
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ckpt")
+    sink = UpsertParquetSink(out_dir, key_cols=["domain", "window_start"])
+    calls = {"n": 0}
+
+    def counting_sink(batch_df, epoch_id):
+        sink(batch_df, epoch_id)
+        calls["n"] += 1
+
+    # phase 1: start over ALL files (1 file per micro-batch), kill after
+    # at least one committed epoch but long before the 8th
+    q1 = build_flagship_stream(
+        spark,
+        file_source(spark, src_dir, max_files_per_trigger=1),
+        counting_sink,
+        ck,
+        output_mode="update",
+    )
+    deadline = time.time() + 120
+    while q1.isActive and calls["n"] < 2 and time.time() < deadline:
+        time.sleep(0.1)
+    q1.stop()
+    q1.awaitTermination(60)
+    killed_after = calls["n"]
+
+    # phase 2: same checkpoint, same sink — run to completion
+    q2 = build_flagship_stream(
+        spark,
+        file_source(spark, src_dir, max_files_per_trigger=1),
+        counting_sink,
+        ck,
+        output_mode="update",
+    )
+    q2.awaitTermination(120)
+
+    got = sorted(
+        (r.domain, r.window_start, r.window_end, r.edit_size)
+        for r in sink.read_current(spark).collect()
+    )
+    # batch flagship on the same files = ground truth
+    batch = flagship_transform(
+        decode_edit_events(spark.read.text(src_dir).withColumnRenamed("value", "value"))
+    )
+    want = sorted(
+        (r.domain, r.window_start, r.window_end, r.edit_size)
+        for r in batch.collect()
+    )
+    assert got == want
+    assert len(want) == 8  # 4 windows x 2 domains
+    # the kill really happened mid-stream (something was left to resume)
+    assert killed_after < 8, "stream finished before the kill — no resume exercised"
