@@ -87,6 +87,111 @@ def stream_throughput(spark, sf_dir: str) -> tuple[int, float]:
     return n_rows, round(n_rows / wall, 1)
 
 
+def skew_bench(spark, sf_dir: str, runs: int = 3) -> dict:
+    """Measured skew evidence (round-6 task): a 99%-one-key fact joined
+    to a per-key dim and globally aggregated — the same logical query
+    timed under three physical strategies on identical MATERIALIZED
+    parquet inputs (generation is outside the timed region):
+
+    - ``sortmerge_unsalted``: broadcast + AQE skew-split disabled — the
+      melt case a static planner ships (one task sorts 99% of the probe
+      side);
+    - ``sortmerge_salted``: operators/skew.salted_join under the same
+      confs — the hot key spreads over 16 (key, salt) partitions;
+    - ``aqe_skew``: unsalted with AQE skew-split re-enabled and the
+      skew thresholds lowered to microbench scale (the 256 MB default
+      never classifies a ~100 MB local partition as skewed).
+
+    Broadcast stays disabled in every leg: this tiny dim would
+    otherwise broadcast and skip the shuffle entirely — which IS the
+    first-choice fix, but not the thing under measurement (the
+    fact⋈fact-shaped problem where neither side broadcasts).
+
+    Design notes from calibration: the aggregate is GLOBAL, not
+    by-key — a downstream groupBy on the join key would reuse the
+    join's hash partitioning and suppress both AQE's split and the
+    restructuring salting buys. Measured on this 32-thread box the
+    salted:unsalted separation is ~1.5× — bounded by how large one
+    in-memory sort can get at 5 M rows; at cluster scale the unsalted
+    hot task grows with the corpus while the salted legs stay flat
+    (the plan-shape guarantee is pinned separately in
+    tests/test_skew_join.py)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_wikipedia_spark.operators.skew import salted_join
+    from flink_wikipedia_spark.schemas import load_table
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    def timed(df) -> float:
+        t0 = time.perf_counter()
+        df.select(F.sum(F.col("value") * F.col("w")).alias("s")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    tmp = tempfile.mkdtemp(prefix="bench-skew-")
+    base_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    aqe_confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+    }
+    saved = {
+        k: spark.conf.get(k, None) for k in {**base_confs, **aqe_confs}
+    }
+    out: dict = {"hot_key_fraction": 0.99, "fact_fanout": 50}
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            F.when(F.col("event_id") % 100 < 99, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .alias("k"),
+            "value",
+        ).withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(49)))
+        ).write.mode("overwrite").parquet(f"{tmp}/fact")
+        ev.select(F.col("user_id").alias("k")).distinct().withColumn(
+            "w", (F.col("k") % 7 + 1).cast("double")
+        ).write.mode("overwrite").parquet(f"{tmp}/dim")
+        fact = spark.read.parquet(f"{tmp}/fact")
+        dim = spark.read.parquet(f"{tmp}/dim")
+
+        for k, v in base_confs.items():
+            spark.conf.set(k, v)
+        legs = {
+            "sortmerge_unsalted_sec": fact.join(dim, "k"),
+            "sortmerge_salted_sec": salted_join(fact, dim, "k"),
+        }
+        for name, df in legs.items():
+            timed(df)  # warm: codegen compile out of the timed region
+            out[name] = round(median([timed(df) for _ in range(runs)]), 3)
+        for k, v in aqe_confs.items():
+            spark.conf.set(k, v)
+        aqe_df = fact.join(dim, "k")
+        timed(aqe_df)
+        out["aqe_skew_sec"] = round(median([timed(aqe_df) for _ in range(runs)]), 3)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -127,6 +232,8 @@ def main() -> None:
     _, eps2 = stream_throughput(spark, sf_dir)
     stream_eps = max(stream_eps, eps2)
 
+    skew = skew_bench(spark, sf_dir, runs=n_runs)
+
     total = round(sum(per_query.values()), 3)
     line = json.dumps(
         {
@@ -139,6 +246,7 @@ def main() -> None:
             "load_avg_1m_5m": load_avg,
             "stream_events": stream_rows,
             "stream_events_per_sec": stream_eps,
+            "skew_join": skew,
         },
         separators=(",", ":"),
     )

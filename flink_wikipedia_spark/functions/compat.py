@@ -72,24 +72,52 @@ def ensure_session_conf(spark: SparkSession) -> None:
     # that the loader, not the session, owns the unit decision.
 
 
-def dec_sum(col: Column | str) -> Column:
-    """Order-independent double sum.
+def dec_to_double_portable(s: Column) -> Column:
+    """Decimal → double conversion that is bit-identical across engines
+    at ANY magnitude (round-6 sf1 find): a direct cast of a DECIMAL(p,6)
+    whose scaled integer exceeds 2^53 double-rounds (scaled-int → double,
+    then /1e6 — Spark and DuckDB land on adjacent ulps; TPC-H Q1's
+    sum_charge diverged at sf1 exactly this way). Splitting first —
+    floor(s) and (s - floor(s)) are EXACT decimal ops — leaves three
+    singly-rounded IEEE steps (int→double is correctly rounded on both
+    engines at any size, frac<1 → correctly rounded, one final add), so
+    both engines produce the same bits.
 
-    DuckDB twin: ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)``
+    DuckDB twin: ``(CAST(FLOOR(s) AS DOUBLE) + CAST(s - FLOOR(s) AS
+    DOUBLE))`` — floor(DECIMAL) stays DECIMAL on both engines (verified;
+    a double-domain floor would re-introduce the rounding it avoids).
+    """
+    whole = F.floor(s)
+    return whole.cast("double") + (s - whole).cast("double")
+
+
+def dec_sum(col: Column | str) -> Column:
+    """Order-independent double sum: exact DECIMAL(28,6) accumulation,
+    then the portable split conversion (dec_to_double_portable).
+
+    DuckDB twin: ``(CAST(FLOOR(SUM(CAST(x AS DECIMAL(28,6)))) AS DOUBLE)
+    + CAST(SUM(CAST(x AS DECIMAL(28,6))) - FLOOR(SUM(CAST(x AS
+    DECIMAL(28,6)))) AS DOUBLE))`` (sql_dec_sum_duckdb builds it).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
+    return dec_to_double_portable(F.sum(c.cast(DEC)))
 
 
 def dec_avg(col: Column | str) -> Column:
-    """Order-independent double mean: exact decimal sum, then one double
-    division (identical operands ⇒ identical quotient on both engines).
+    """Order-independent double mean: exact decimal sum, portable
+    conversion, then one double division (identical operands ⇒
+    identical quotient on both engines).
 
-    DuckDB twin:
-    ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x)``
+    DuckDB twin: ``sql_dec_sum_duckdb(x) / COUNT(x)``
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return dec_to_double_portable(F.sum(c.cast(DEC))) / F.count(c)
+
+
+def sql_dec_sum_duckdb(expr: str) -> str:
+    """The DuckDB twin of dec_sum over a SQL expression string."""
+    s = f"SUM(CAST({expr} AS DECIMAL(28,6)))"
+    return f"(CAST(FLOOR({s}) AS DOUBLE) + CAST({s} - FLOOR({s}) AS DOUBLE))"
 
 
 def ts_bucket(col: Column | str, seconds: int) -> Column:

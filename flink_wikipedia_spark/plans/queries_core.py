@@ -27,7 +27,7 @@ _WS = f"CAST(floor(epoch(ts)/{WINDOW_SEC})*{WINDOW_SEC} AS BIGINT)"
     "q_windowed_edit_size",
     oracle=f"""
     SELECT domain,
-           CAST(SUM(CAST(abs_value AS DECIMAL(28,6))) AS DOUBLE) AS edit_size,
+           (CAST(FLOOR(SUM(CAST(abs_value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(abs_value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(abs_value AS DECIMAL(28,6)))) AS DOUBLE)) AS edit_size,
            CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
            CAST(to_timestamp(ws + {WINDOW_SEC}) AS TIMESTAMP) AS window_end
     FROM (
@@ -71,7 +71,7 @@ def q_windowed_edit_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_keyby_agg_edit_size",
     oracle="""
     SELECT event_type AS domain,
-           CAST(SUM(CAST(ABS(value) AS DECIMAL(28,6))) AS DOUBLE) AS edit_size,
+           (CAST(FLOOR(SUM(CAST(ABS(value) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(ABS(value) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(ABS(value) AS DECIMAL(28,6)))) AS DOUBLE)) AS edit_size,
            COUNT(*) AS n_edits
     FROM events
     GROUP BY event_type
@@ -95,7 +95,7 @@ def q_keyby_agg_edit_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_salted_agg_edit_size",
     oracle="""
     SELECT event_type AS domain,
-           CAST(SUM(CAST(ABS(value) AS DECIMAL(28,6))) AS DOUBLE) AS edit_size,
+           (CAST(FLOOR(SUM(CAST(ABS(value) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(ABS(value) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(ABS(value) AS DECIMAL(28,6)))) AS DOUBLE)) AS edit_size,
            COUNT(*) AS n_edits
     FROM events
     GROUP BY event_type
@@ -159,7 +159,7 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+           (CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE)) AS total_value
     FROM events
     GROUP BY k
     """,
@@ -208,7 +208,7 @@ def q_to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
            CAST(to_timestamp(ws + {2 * WINDOW_SEC}) AS TIMESTAMP) AS window_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(ABS(value) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+           (CAST(FLOOR(SUM(CAST(ABS(value) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(ABS(value) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(ABS(value) AS DECIMAL(28,6)))) AS DOUBLE)) AS total_value
     FROM (
         SELECT e.event_type AS domain, e.value,
                {_WS} - k.k * {WINDOW_SEC} AS ws

@@ -20,7 +20,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     "q_having_active_users",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+           (CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE)) AS total_value
     FROM events
     GROUP BY user_id
     HAVING COUNT(*) > 50
@@ -155,8 +155,8 @@ def q_pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v,
-               CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v2
+               (CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_v,
+               (CAST(FLOOR(SUM(CAST(value * value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(value * value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(value * value AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_v2
         FROM events GROUP BY event_type
     )
     """,
@@ -384,7 +384,7 @@ def q_edit_distance_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INT) AS y,
            CAST(month(o_orderdate) AS INT) AS m,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+           (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue
     FROM orders
     GROUP BY 1, 2
     """,

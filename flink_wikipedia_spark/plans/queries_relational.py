@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_wikipedia_spark.functions.compat import DEC, dec_sum
+from flink_wikipedia_spark.functions.compat import DEC, dec_avg, dec_sum
 from flink_wikipedia_spark.operators.relational import (
     asof_join,
     range_join_count,
@@ -28,7 +28,7 @@ from flink_wikipedia_spark.schemas import load_table
     oracle="""
     SELECT c.c_mktsegment AS mktsegment,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+           (CAST(FLOOR(SUM(CAST(o.o_totalprice AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) - FLOOR(SUM(CAST(o.o_totalprice AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -53,12 +53,12 @@ def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-           CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_qty,
+           (CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_base_price,
+           (CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_disc_price,
+           (CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_charge,
+           (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE)) / COUNT(l_quantity) AS avg_qty,
+           (CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE)) / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -83,10 +83,8 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_extendedprice").alias("sum_base_price"),
             dec_sum(disc_price).alias("sum_disc_price"),
             dec_sum(charge).alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
-             / F.count("l_quantity")).alias("avg_qty"),
-            (F.sum(F.col("l_discount").cast("decimal(28,6)")).cast("double")
-             / F.count("l_discount")).alias("avg_disc"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .select(
@@ -100,7 +98,7 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3_shipping_priority",
     oracle="""
     SELECT o.o_orderkey AS orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue,
            o.o_orderpriority AS orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -146,7 +144,7 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5_regional_revenue",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+           (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -270,7 +268,7 @@ def q_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+           (CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE)) AS total_value
     FROM events
     GROUP BY ROLLUP(event_type)
     """,
@@ -289,7 +287,7 @@ def q_rollup_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+           (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -570,7 +568,7 @@ def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+               (CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_value
         FROM events GROUP BY 1, 2
     ),
     bounds AS (

@@ -225,6 +225,20 @@ def q_embedding_neardup_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dense-bucket cap for embedding near-dup pair enumeration: same-bucket
+# pair work is O(bucket²) and the bucket COUNT is fixed by the plane
+# count, so uncapped pair generation is quadratic in corpus size — the
+# round-6 sf1 gauntlet caught exactly this (the one super-linear query:
+# 20× wall for 10× vectors). Capping each bucket to its first 64
+# members (deterministic vec_id order, mirrored in the oracle) bounds
+# total pair work at buckets × cap²/2 — CONSTANT in corpus size; the
+# scan stays linear. Same design as MinHash's MAX_BUCKET_FOR_PAIRS: a
+# bucket denser than the cap at near-dup similarity is a boilerplate
+# cluster — handle it as a cluster (q_minhash_dedup_clusters shape),
+# not as pairs.
+EMB_BUCKET_CAP = 64
+
+
 @query(
     "q_embedding_neardup_lsh",
     oracle=f"""
@@ -232,10 +246,18 @@ def q_embedding_neardup_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, embedding,
                {sql_lsh_bucket_duckdb('embedding')} AS bucket
         FROM embeddings
+    ),
+    capped AS (
+        SELECT vec_id, embedding, bucket FROM (
+            SELECT vec_id, embedding, bucket,
+                   ROW_NUMBER() OVER (PARTITION BY bucket
+                                      ORDER BY vec_id ASC) AS rk
+            FROM bucketed
+        ) WHERE rk <= {EMB_BUCKET_CAP}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({sql_cosine_duckdb('a.embedding', 'b.embedding')}, 6) AS sim
-    FROM bucketed a JOIN bucketed b
+    FROM capped a JOIN capped b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round({sql_cosine_duckdb('a.embedding', 'b.embedding')}, 6) >= 0.25
     """,
@@ -244,16 +266,45 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1×E2, the scale form: near-dup pairs over the WHOLE corpus with
     candidates restricted to same-LSH-bucket vectors — the cross
     product never exists, and the exact cosine runs only on colliding
-    pairs (same sketch-then-verify shape as q_dedup_pipeline)."""
+    pairs (same sketch-then-verify shape as q_dedup_pipeline). Dense
+    buckets are capped at EMB_BUCKET_CAP members before pair
+    enumeration (see the cap comment above — this is what keeps the
+    operator LINEAR in corpus size; the cap binds only when a bucket
+    holds a boilerplate-scale duplicate cluster, never on the
+    correctness fixtures)."""
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = emb.select(
         "vec_id", "embedding", lsh_bucket_expr(F.col("embedding")).alias("bucket")
     )
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va"), "bucket"
+    w = Window.partitionBy("bucket").orderBy(F.col("vec_id").asc())
+    # each vector's norm is computed ONCE here, not once per pair —
+    # sqrt(dot(v,v)) is the same IEEE tree the inline cosine builds, so
+    # the hoist is bit-transparent to the oracle; per-pair work drops to
+    # one dot + one divide (the folds run interpreted, so each avoided
+    # fold is expensive)
+    from flink_wikipedia_spark.operators.similarity import dot_expr
+
+    capped = (
+        bucketed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= EMB_BUCKET_CAP)
+        .select(
+            "vec_id",
+            "embedding",
+            "bucket",
+            F.sqrt(dot_expr(F.col("embedding"), F.col("embedding"))).alias("_nrm"),
+        )
     )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_vb"), "bucket"
+    a = capped.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("_va"),
+        F.col("_nrm").alias("_na"),
+        "bucket",
+    )
+    b = capped.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
@@ -261,7 +312,11 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+            F.round(
+                dot_expr(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.25)
     )

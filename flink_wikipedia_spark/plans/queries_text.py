@@ -48,7 +48,7 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_lang_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
-           CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           (CAST(FLOOR(SUM(CAST(n_chars AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) - FLOOR(SUM(CAST(n_chars AS DECIMAL(28,6)))) AS DOUBLE)) / COUNT(n_chars) AS avg_chars,
            MAX(n_chars) AS max_chars
     FROM documents GROUP BY lang
     """,

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_wikipedia_spark.functions.compat import dec_sum
+from flink_wikipedia_spark.functions.compat import dec_avg, dec_sum, dec_to_double_portable
 from flink_wikipedia_spark.plans.registry import query
 from flink_wikipedia_spark.schemas import load_table
 
@@ -18,7 +18,7 @@ from flink_wikipedia_spark.schemas import load_table
 @query(
     "q_tpch_q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+    SELECT (CAST(FLOOR(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -51,10 +51,14 @@ def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q14_promo_share",
     oracle="""
-    SELECT CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+    SELECT (CAST(FLOOR(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
-               AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+               AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
+               AS DECIMAL(28,6))) - FLOOR(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
+               AS DECIMAL(28,6)))) AS DOUBLE)) AS promo_revenue,
+           (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS total_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -143,10 +147,10 @@ def q_tpch_q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH part_avg AS (
         SELECT l_partkey,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+               (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE)) / COUNT(l_quantity) AS avg_qty
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+    SELECT (CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))) AS DOUBLE)) / 7.0 AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'SMALL'
@@ -163,8 +167,7 @@ def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataF
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
     part_avg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        (F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
-         / F.count("l_quantity")).alias("avg_qty")
+        dec_avg("l_quantity").alias("avg_qty")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -181,7 +184,7 @@ def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataF
     "q_like_filter_parts",
     oracle="""
     SELECT p_brand, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+           (CAST(FLOOR(SUM(CAST(p_retailprice AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) - FLOOR(SUM(CAST(p_retailprice AS DECIMAL(28,6)))) AS DOUBLE)) AS total_price
     FROM part
     WHERE p_name LIKE '%wid%' OR p_name LIKE 'red%'
     GROUP BY p_brand
@@ -206,7 +209,7 @@ def q_like_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+           (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -221,7 +224,7 @@ def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+               (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -267,7 +270,7 @@ def q_window_share_of_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+           (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -308,7 +311,7 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q18_large_orders",
     oracle="""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+           (CAST(FLOOR(SUM(CAST(l.l_quantity AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_quantity AS DECIMAL(28,6)))) AS DOUBLE)) AS total_qty
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -340,7 +343,7 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q19_disjunctive_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+    SELECT (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1  AND 15 AND l.l_quantity BETWEEN 1  AND 20)
@@ -375,7 +378,7 @@ def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS volume
+           (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS volume
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey  = l.l_orderkey
     JOIN supplier s ON s.s_suppkey   = l.l_suppkey
@@ -485,7 +488,7 @@ def q_tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT l_suppkey,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+               (CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS total_rev
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -532,12 +535,12 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q22_dormant_accounts",
     oracle="""
     WITH avg_bal AS (
-        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS a
+        SELECT (CAST(FLOOR(SUM(CAST(c_acctbal AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) - FLOOR(SUM(CAST(c_acctbal AS DECIMAL(28,6)))) AS DOUBLE)) / COUNT(*) AS a
         FROM customer WHERE c_acctbal > 0.0
     )
     SELECT CAST(c.c_custkey % 7 AS BIGINT) AS code,
            COUNT(*) AS n_custs,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+           (CAST(FLOOR(SUM(CAST(c.c_acctbal AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) - FLOOR(SUM(CAST(c.c_acctbal AS DECIMAL(28,6)))) AS DOUBLE)) AS total_bal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -560,7 +563,9 @@ def q_tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(
             (
-                F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+                dec_to_double_portable(
+                    F.sum(F.col("c_acctbal").cast("decimal(28,6)"))
+                )
                 / F.count(F.lit(1))
             ).alias("_a")
         )
@@ -588,7 +593,7 @@ def q_tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q9_nation_year_profit",
     oracle="""
     SELECT s.s_nationkey AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+           (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE))
              AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l
@@ -751,11 +756,17 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q8_market_share",
     oracle="""
     SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
-           CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
+           (CAST(FLOOR(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
-               AS DECIMAL(28,6))) AS DOUBLE)
-             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-               AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share,
+               AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
+                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
+               AS DECIMAL(28,6))) - FLOOR(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
+                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
+               AS DECIMAL(28,6)))) AS DOUBLE))
+             / (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(28,6)))) AS DOUBLE)) AS mkt_share,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -836,11 +847,11 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n.n_name = 'NATION_0'
     )
     SELECT l_partkey AS ps_partkey,
-           CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS value
+           (CAST(FLOOR(SUM(CAST(v AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(v AS DECIMAL(28,6))) - FLOOR(SUM(CAST(v AS DECIMAL(28,6)))) AS DOUBLE)) AS value
     FROM nation_lines
     GROUP BY 1
-    HAVING CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) >
-           0.002 * (SELECT CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+    HAVING (CAST(FLOOR(SUM(CAST(v AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(v AS DECIMAL(28,6))) - FLOOR(SUM(CAST(v AS DECIMAL(28,6)))) AS DOUBLE)) >
+           0.002 * (SELECT (CAST(FLOOR(SUM(CAST(v AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(v AS DECIMAL(28,6))) - FLOOR(SUM(CAST(v AS DECIMAL(28,6)))) AS DOUBLE))
                     FROM nation_lines)
     """,
 )

@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "q_similarity_topk",      # bounded query-vector kernel (brute-force baseline)
     "q_ann_ivf",              # small centroid table for coarse quantization
     "q_ivfpq_search",         # same coarse-assign centroid broadcast as q_ann_ivf
+    "q_ann_ivfpq_refined",    # same coarse-assign broadcast, trained 16-row centroid table
     "q_semantic_dedup",       # same coarse-assign centroid broadcast as q_ann_ivf
     "q_embedding_neardup_kernel",  # bounded candidate kernel (LSH variant covers full corpus)
     "q_edit_distance_kernel",  # fixed tiny pair set
