@@ -824,7 +824,17 @@ def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(i), [float(v) for v in row]) for i, row in enumerate(cents)],
         "vec_id long, embedding array<double>",
     )
-    # corpus side: nearest cell + PQ codes, one scan, all literal math
+    # corpus side: nearest cell + PQ codes, one scan plus ivf_assign's
+    # broadcast-join ranking. Measured dead end (round 6, sf10): an
+    # expression-argmin over a LITERAL centroid matrix — "shuffle-free,
+    # must be faster" — ran 2.3-2.7× SLOWER than this form (43 s →
+    # 99-115 s at 200 K vectors): a 16×64 literal array-of-arrays is
+    # re-CONSTRUCTED per row before the interpreted fold even starts,
+    # while ivf_assign's centroids arrive as broadcast join columns
+    # with zero per-row construction. Literal codebooks stay the right
+    # call for the PQ layer (pq_d2_cols needs per-subspace tables in
+    # expression form); for the coarse assign, join-the-small-table
+    # wins.
     pq_m = cbs.shape[0]
     cands = (
         ivf_assign(emb, cents_df, n_probe=1)
