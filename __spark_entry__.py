@@ -88,7 +88,9 @@ def entry(spark: SparkSession) -> DataFrame:
         )
     # Collapsed timestamps (e.g. µs read as ns ⇒ ÷1000) compress a
     # month-long fixture into minutes; demand a window count only the
-    # true span can produce (>=1% of the span's 5-min slots, floor 100).
+    # true span can produce: ~1% of the span's 5-min slots, clamped to
+    # [10, 100] (the cap keeps the tripwire from over-demanding on a
+    # long-span fixture whose events are legitimately sparse).
     possible = max(1, int((raw_hi - raw_lo) / five_min))
     floor = min(100, max(10, possible // 100))
     if nwin < floor:

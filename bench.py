@@ -87,6 +87,12 @@ def stream_throughput(spark, sf_dir: str) -> tuple[int, float]:
     return n_rows, round(n_rows / wall, 1)
 
 
+def median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
 def skew_bench(spark, sf_dir: str, runs: int = 3) -> dict:
     """Measured skew evidence (round-6 task): a 99%-one-key fact joined
     to a per-key dim and globally aggregated — the same logical query
@@ -123,11 +129,6 @@ def skew_bench(spark, sf_dir: str, runs: int = 3) -> dict:
 
     from flink_wikipedia_spark.operators.skew import salted_join
     from flink_wikipedia_spark.schemas import load_table
-
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        mid = len(s) // 2
-        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
     def timed(df) -> float:
         t0 = time.perf_counter()
@@ -215,11 +216,6 @@ def main() -> None:
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
-
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        mid = len(s) // 2
-        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
     per_query = {name: round(median(xs), 3) for name, xs in samples.items()}
     load_avg = [round(x, 2) for x in os.getloadavg()[:2]]

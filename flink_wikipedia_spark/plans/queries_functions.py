@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_wikipedia_spark.functions.compat import DEC, dec_sum
+from flink_wikipedia_spark.functions.compat import DEC, dec_sum, sql_dec_sum_duckdb
 from flink_wikipedia_spark.plans.registry import query
 from flink_wikipedia_spark.schemas import load_table
 
@@ -121,8 +121,9 @@ def q_collect_user_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id,
            {", ".join(
-               f"CAST(SUM(CAST(CASE WHEN event_type = '{t}' THEN value ELSE 0.0 END "
-               f"AS DECIMAL(28,6))) AS DOUBLE) AS {t}"
+               sql_dec_sum_duckdb(
+                   f"CASE WHEN event_type = '{t}' THEN value ELSE 0.0 END"
+               ) + f" AS {t}"
                for t in EVENT_TYPES
            )}
     FROM events GROUP BY user_id

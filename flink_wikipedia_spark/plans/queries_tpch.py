@@ -335,7 +335,7 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_qty") > 240)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
-            F.col("_qty").cast("double").alias("total_qty"),
+            dec_to_double_portable(F.col("_qty")).alias("total_qty"),
         )
     )
 

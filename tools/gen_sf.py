@@ -12,10 +12,14 @@ Usage:
     python tools/gen_sf.py [sf] [out_dir]
     # default: sf=1, out_dir=/root/repo/.scratch/sf1
 
-Memory profile: every table is generated in CHUNK-row slices through a
-single pyarrow ParquetWriter, so peak RSS stays bounded (~a few hundred
-MB at sf1) and nothing depends on the table fitting in memory — the
-same loop writes sf10 if asked. Strings with small domains go through
+Memory profile: payload columns are generated in CHUNK-row slices
+through a single pyarrow ParquetWriter, but two tables keep full-length
+KEY arrays in memory — lineitem's globally-sorted orderkeys (+ the
+linenumber rank derived from them) and events' sorted timestamps — so
+peak RSS grows linearly with sf at ~5 int64 columns of the largest
+table: ~2.5 GB transient at sf10 (measured fine), ~25 GB at sf100,
+where the sort/rank would need to move per-chunk (inverse-CDF sampling
+of sorted uniforms). Strings with small domains go through
 dictionary-encoded arrays.
 
 Fidelity notes (profiled sf0.1, duckdb):
