@@ -93,3 +93,34 @@ def test_driver_window_covers_every_family():
         if any(q not in names for q in qs)
     }
     assert not missing, f"driver-window regression: {missing}"
+
+
+def test_no_oracle_uses_nonportable_decimal_to_double():
+    """Every decimal-sum → double conversion in an oracle must go
+    through the portable floor/frac split (functions/compat.py
+    sql_dec_sum_duckdb): a bare CAST(SUM(CAST(... AS DECIMAL)) AS
+    DOUBLE) double-rounds past 2^53 and diverges from Spark by one ulp
+    — exactly the sf1 TPC-H Q1 incident. A FLOOR-free match here means
+    someone added an oracle with the old pattern."""
+    import re
+
+    bare = re.compile(
+        r"CAST\(SUM\(CAST\([^()]*(?:\([^()]*\)[^()]*)*"
+        r" AS DECIMAL\(28,6\)\)\) AS DOUBLE\)"
+    )
+    offenders = []
+    for name, qd in REGISTRY.items():
+        if qd.oracle is None:
+            continue
+        for m in bare.finditer(qd.oracle):
+            # the split form wraps the same text in FLOOR(...) terms;
+            # a bare match NOT preceded by "FLOOR(" is the hazard
+            start = m.start()
+            context = qd.oracle[max(0, start - 30):start]
+            if "FLOOR" not in context:
+                offenders.append(name)
+                break
+    assert not offenders, (
+        f"non-portable decimal→double conversion in oracles: {offenders} "
+        "— use functions.compat.sql_dec_sum_duckdb"
+    )
