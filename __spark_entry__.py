@@ -69,16 +69,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    lo, hi, nwin = df.select(
-        F.min("window_start"), F.max("window_start"),
+    # Compare as UTC epoch seconds computed JVM-side: collect() would
+    # localize timestamps to the driver's OS timezone (Row.fromInternal),
+    # which breaks the comparison against pyarrow's UTC-naive bounds on
+    # any non-UTC driver. unix_timestamp under the session's UTC tz is
+    # timezone-independent.
+    lo_s, hi_s, nwin = df.select(
+        F.unix_timestamp(F.min("window_start")),
+        F.unix_timestamp(F.max("window_start")),
         F.countDistinct("window_start"),
     ).first()
-    if lo is None:
+    if lo_s is None:
         raise AssertionError("flagship produced zero rows at sf0.001")
-    raw_lo, raw_hi = _fixture_ts_bounds(SMOKE_SF_DIR)
     import datetime as dt
 
-    five_min = dt.timedelta(minutes=5)
+    raw_lo, raw_hi = _fixture_ts_bounds(SMOKE_SF_DIR)
+    utc = dt.timezone.utc
+    raw_lo_s = int(raw_lo.replace(tzinfo=utc).timestamp())
+    raw_hi_s = int(raw_hi.replace(tzinfo=utc).timestamp())
+    lo, hi = lo_s, hi_s  # epoch seconds from here on
+    raw_lo, raw_hi = raw_lo_s, raw_hi_s
+    five_min = 300
     if not (raw_lo - five_min <= lo <= raw_lo and raw_hi - five_min <= hi <= raw_hi):
         raise AssertionError(
             f"flagship window_start range [{lo} .. {hi}] disagrees with "

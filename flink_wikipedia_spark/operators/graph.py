@@ -133,6 +133,9 @@ def connected_components(
         )
         return spark.createDataFrame(labeled, schema)
     if algorithm == "auto":
+        # the probe costs one O(|E|) aggregate — ~one round of either
+        # loop — and only runs on >small_graph_edges graphs, where
+        # picking the wrong variant costs far more than one round
         mx, avg = (
             und.groupBy("u").count().agg(F.max("count"), F.avg("count")).first()
         )
@@ -142,7 +145,7 @@ def connected_components(
             else "minlabel"
         )
     if algorithm == "star":
-        return _star_components(und, max_iter=max(max_iter, 50))
+        return _star_components(und, max_iter=max_iter)
     return _minlabel_components(und, max_iter)
 
 
@@ -290,6 +293,7 @@ def _star_components(und: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         new_edges = small_star(large_star(edges)).localCheckpoint()
         unchanged = (
@@ -298,7 +302,17 @@ def _star_components(und: DataFrame, max_iter: int = 50) -> DataFrame:
         )
         edges = new_edges
         if unchanged:
+            converged = True
             break
+    if not converged:
+        # a non-fixed-point edge set is not a star forest: a node could
+        # carry edges to TWO centers and would silently get two labels —
+        # fail loudly instead (O(log² n) convergence means hitting this
+        # indicates a far-too-small max_iter, not a big graph)
+        raise RuntimeError(
+            f"large-star/small-star did not reach a fixed point within "
+            f"max_iter={max_iter} rounds; rerun with a larger max_iter"
+        )
     # fixed point: every edge is (member, component-min); roots and
     # isolated nodes label themselves
     member_labels = edges.select(

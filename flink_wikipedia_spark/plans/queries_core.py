@@ -119,8 +119,12 @@ def q_salted_agg_edit_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"edit_size": F.col("abs_value").cast("decimal(28,6)")},
         count_alias="n_edits",
     )
+    from flink_wikipedia_spark.functions.compat import dec_to_double_portable
+
     return out.select(
-        "domain", F.col("edit_size").cast("double").alias("edit_size"), "n_edits"
+        "domain",
+        dec_to_double_portable(F.col("edit_size")).alias("edit_size"),
+        "n_edits",
     )
 
 

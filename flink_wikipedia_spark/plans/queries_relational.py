@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_wikipedia_spark.functions.compat import DEC, dec_avg, dec_sum
+from flink_wikipedia_spark.functions.compat import (
+    DEC,
+    dec_avg,
+    dec_sum,
+    dec_to_double_portable,
+)
 from flink_wikipedia_spark.operators.relational import (
     asof_join,
     range_join_count,
@@ -415,10 +420,15 @@ def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_running_total",
     oracle="""
     SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
-               PARTITION BY user_id ORDER BY event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-    FROM events
+           (CAST(FLOOR(run_sum) AS DOUBLE)
+            + CAST(run_sum - FLOOR(run_sum) AS DOUBLE)) AS running_value
+    FROM (
+        SELECT user_id, event_id,
+               SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+        FROM events
+    )
     """,
 )
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,9 +444,11 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double").alias(
-            "running_value"
-        ),
+        # portable split conversion: a direct decimal->double cast
+        # double-rounds once the scaled sum passes 2^53 (compat.py)
+        dec_to_double_portable(
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w)
+        ).alias("running_value"),
     )
 
 
@@ -767,19 +779,27 @@ PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 @query(
     "q_pivot_event_daily",
     oracle="""
-    SELECT date_trunc('day', ts) AS day,
-           CAST(SUM(CASE WHEN event_type = 'click'
-                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS click,
-           CAST(SUM(CASE WHEN event_type = 'error'
-                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS error,
-           CAST(SUM(CASE WHEN event_type = 'purchase'
-                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS purchase,
-           CAST(SUM(CASE WHEN event_type = 'signup'
-                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS signup,
-           CAST(SUM(CASE WHEN event_type = 'view'
-                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS view
-    FROM events
-    GROUP BY date_trunc('day', ts)
+    SELECT day,
+           (CAST(FLOOR(click) AS DOUBLE) + CAST(click - FLOOR(click) AS DOUBLE)) AS click,
+           (CAST(FLOOR(error) AS DOUBLE) + CAST(error - FLOOR(error) AS DOUBLE)) AS error,
+           (CAST(FLOOR(purchase) AS DOUBLE) + CAST(purchase - FLOOR(purchase) AS DOUBLE)) AS purchase,
+           (CAST(FLOOR(signup) AS DOUBLE) + CAST(signup - FLOOR(signup) AS DOUBLE)) AS signup,
+           (CAST(FLOOR(view) AS DOUBLE) + CAST(view - FLOOR(view) AS DOUBLE)) AS view
+    FROM (
+        SELECT date_trunc('day', ts) AS day,
+               SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(28,6)) END) AS click,
+               SUM(CASE WHEN event_type = 'error'
+                    THEN CAST(value AS DECIMAL(28,6)) END) AS error,
+               SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(28,6)) END) AS purchase,
+               SUM(CASE WHEN event_type = 'signup'
+                    THEN CAST(value AS DECIMAL(28,6)) END) AS signup,
+               SUM(CASE WHEN event_type = 'view'
+                    THEN CAST(value AS DECIMAL(28,6)) END) AS view
+        FROM events
+        GROUP BY date_trunc('day', ts)
+    )
     """,
 )
 def q_pivot_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,21 +821,31 @@ def q_pivot_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .pivot("event_type", PIVOT_EVENT_TYPES)
-        .agg(F.sum("v").cast("double"))
+        # portable split conversion: a direct decimal->double cast
+        # double-rounds once the scaled sum passes 2^53 (compat.py)
+        .agg(dec_to_double_portable(F.sum("v")))
     )
 
 
 @query(
     "q_unpivot_event_daily",
     oracle="""
-    WITH wide AS (
+    WITH dec_wide AS (
         SELECT date_trunc('day', ts) AS day,
-               CAST(SUM(CASE WHEN event_type = 'purchase'
-                    THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS purchase,
-               CAST(SUM(CASE WHEN event_type = 'error'
-                    THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS error
+               SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(28,6)) END) AS purchase,
+               SUM(CASE WHEN event_type = 'error'
+                    THEN CAST(value AS DECIMAL(28,6)) END) AS error
         FROM events
         GROUP BY date_trunc('day', ts)
+    ),
+    wide AS (
+        SELECT day,
+               (CAST(FLOOR(purchase) AS DOUBLE)
+                + CAST(purchase - FLOOR(purchase) AS DOUBLE)) AS purchase,
+               (CAST(FLOOR(error) AS DOUBLE)
+                + CAST(error - FLOOR(error) AS DOUBLE)) AS error
+        FROM dec_wide
     )
     SELECT day, kind, amount FROM (
         SELECT day, 'purchase' AS kind, purchase AS amount FROM wide
@@ -840,7 +870,7 @@ def q_unpivot_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .pivot("event_type", ["purchase", "error"])
-        .agg(F.sum("v").cast("double"))
+        .agg(dec_to_double_portable(F.sum("v")))
     )
     return wide.unpivot(
         "day", ["purchase", "error"], "kind", "amount"

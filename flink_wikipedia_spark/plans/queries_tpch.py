@@ -235,11 +235,13 @@ def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_share_of_segment",
     oracle="""
     SELECT o_orderkey, mktsegment, o_totalprice,
-           o_totalprice / seg_total AS segment_share
+           o_totalprice
+             / (CAST(FLOOR(seg_sum) AS DOUBLE)
+                + CAST(seg_sum - FLOOR(seg_sum) AS DOUBLE)) AS segment_share
     FROM (
         SELECT o.o_orderkey, c.c_mktsegment AS mktsegment, o.o_totalprice,
-               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6)))
-                    OVER (PARTITION BY c.c_mktsegment) AS DOUBLE) AS seg_total
+               SUM(CAST(o.o_totalprice AS DECIMAL(28,6)))
+                    OVER (PARTITION BY c.c_mktsegment) AS seg_sum
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_totalprice > 450000.0
     )
@@ -254,15 +256,19 @@ def q_window_share_of_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         "o_orderkey", F.col("c_mktsegment").alias("mktsegment"), "o_totalprice"
     )
+    from flink_wikipedia_spark.functions.compat import dec_to_double_portable
+
     w = Window.partitionBy("mktsegment")
+    seg_sum = F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w)
     return j.select(
         "o_orderkey",
         "mktsegment",
         "o_totalprice",
-        (
-            F.col("o_totalprice")
-            / F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double")
-        ).alias("segment_share"),
+        # portable split conversion: a direct decimal->double cast
+        # double-rounds once the scaled sum passes 2^53 (compat.py)
+        (F.col("o_totalprice") / dec_to_double_portable(seg_sum)).alias(
+            "segment_share"
+        ),
     )
 
 

@@ -102,24 +102,46 @@ def test_no_oracle_uses_nonportable_decimal_to_double():
     DOUBLE) double-rounds past 2^53 and diverges from Spark by one ulp
     — exactly the sf1 TPC-H Q1 incident. A FLOOR-free match here means
     someone added an oracle with the old pattern."""
-    import re
-
-    bare = re.compile(
-        r"CAST\(SUM\(CAST\([^()]*(?:\([^()]*\)[^()]*)*"
-        r" AS DECIMAL\(28,6\)\)\) AS DOUBLE\)"
-    )
-    offenders = []
-    for name, qd in REGISTRY.items():
-        if qd.oracle is None:
-            continue
-        for m in bare.finditer(qd.oracle):
-            # the split form wraps the same text in FLOOR(...) terms;
-            # a bare match NOT preceded by "FLOOR(" is the hazard
-            start = m.start()
-            context = qd.oracle[max(0, start - 30):start]
-            if "FLOOR" not in context:
-                offenders.append(name)
-                break
+    def bare_casts(sql: str) -> bool:
+        """True iff the SQL contains CAST(<expr> AS DOUBLE) where <expr>
+        starts with SUM( and is not FLOOR-guarded — walks parens, so the
+        window form CAST(SUM(...) OVER (...) AS DOUBLE) is caught too
+        (the round-6 review found two oracles the old regex missed)."""
+        upper = sql.upper()
+        i = 0
+        while True:
+            i = upper.find("CAST(", i)
+            if i == -1:
+                return False
+            inner_start = i + len("CAST(")
+            # walk to this CAST's closing paren
+            depth, j = 1, inner_start
+            while j < len(upper) and depth:
+                if upper[j] == "(":
+                    depth += 1
+                elif upper[j] == ")":
+                    depth -= 1
+                j += 1
+            inner = upper[inner_start : j - 1]
+            if (
+                inner.rstrip().endswith("AS DOUBLE")
+                and inner.lstrip().startswith("SUM(")
+                # the split form's frac term CAST(S - FLOOR(S) AS DOUBLE)
+                # also starts with SUM( — FLOOR inside the expression
+                # marks it (and the whole-part term) as already portable
+                and "FLOOR" not in inner
+                # scale-0 decimals are exempt: with no /10^scale step the
+                # direct cast is ONE correctly-rounded int->double on both
+                # engines — the double-rounding hazard needs scale > 0
+                and "DECIMAL(38,0)" not in inner
+            ):
+                return True
+            i = inner_start
+    offenders = [
+        name
+        for name, qd in REGISTRY.items()
+        if qd.oracle is not None and bare_casts(qd.oracle)
+    ]
     assert not offenders, (
         f"non-portable decimal→double conversion in oracles: {offenders} "
         "— use functions.compat.sql_dec_sum_duckdb"

@@ -557,10 +557,12 @@ def test_flagship_kill_and_resume_matches_batch(spark, tmp_path):
     from its checkpoint, must converge to exactly the batch flagship on
     the same data — the reference's Mongo replace-by-key at-least-once
     contract (DataStreamJob.java:125-135) upgraded to effective
-    exactly-once. stop() can interrupt an epoch whose sink write already
-    published but whose checkpoint commit didn't land; the restart
-    replays that epoch and the (domain, window_start) upsert makes the
-    replay invisible."""
+    exactly-once. The kill is DETERMINISTIC: the sink crashes right
+    after PUBLISHING its 3rd epoch — before that epoch's checkpoint
+    commit lands — so the restart is guaranteed to replay an
+    already-published epoch, and the (domain, window_start) upsert must
+    make the replay invisible. (A timed stop() raced the stream on fast
+    machines and could miss the mid-stream window entirely.)"""
     from flink_wikipedia_spark.streaming.sinks import UpsertParquetSink
 
     src_dir = str(tmp_path / "src")
@@ -585,12 +587,19 @@ def test_flagship_kill_and_resume_matches_batch(spark, tmp_path):
     sink = UpsertParquetSink(out_dir, key_cols=["domain", "window_start"])
     calls = {"n": 0}
 
+    class InjectedCrash(Exception):
+        pass
+
     def counting_sink(batch_df, epoch_id):
         sink(batch_df, epoch_id)
         calls["n"] += 1
+        if calls["n"] == 3:
+            # epoch published (sink() above ran) but its checkpoint
+            # commit never lands: the query dies here
+            raise InjectedCrash("injected crash after publishing epoch 3")
 
-    # phase 1: start over ALL files (1 file per micro-batch), kill after
-    # at least one committed epoch but long before the 8th
+    # phase 1: start over ALL files (1 file per micro-batch); the sink
+    # kills the query mid-stream after its 3rd published epoch
     q1 = build_flagship_stream(
         spark,
         file_source(spark, src_dir, max_files_per_trigger=1),
@@ -598,11 +607,12 @@ def test_flagship_kill_and_resume_matches_batch(spark, tmp_path):
         ck,
         output_mode="update",
     )
-    deadline = time.time() + 120
-    while q1.isActive and calls["n"] < 2 and time.time() < deadline:
-        time.sleep(0.1)
-    q1.stop()
-    q1.awaitTermination(60)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    try:
+        q1.awaitTermination(120)
+    except StreamingQueryException:
+        pass  # the injected crash surfaces here
     killed_after = calls["n"]
 
     # phase 2: same checkpoint, same sink — run to completion
@@ -629,5 +639,5 @@ def test_flagship_kill_and_resume_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert len(want) == 8  # 4 windows x 2 domains
-    # the kill really happened mid-stream (something was left to resume)
-    assert killed_after < 8, "stream finished before the kill — no resume exercised"
+    # the kill really happened mid-stream (deterministically, epoch 3)
+    assert killed_after == 3, killed_after

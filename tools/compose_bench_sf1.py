@@ -27,6 +27,11 @@ def main() -> None:
     flagged = sorted(
         (k for k, r in ratios.items() if r > 10.0), key=lambda k: -ratios[k]
     )
+    if not ratios:
+        sys.exit(
+            "no comparable queries: the runs share no query that took "
+            ">=0.05s at sf0.1 — check the two inputs cover the same suite"
+        )
     srt = sorted(ratios.values())
     artifact = {
         "metric": "sf0.1_to_sf1_scaling",
@@ -46,8 +51,12 @@ def main() -> None:
             "skew_join": sf1.get("skew_join"),
         },
         "suite_ratio": round(sf1["value"] / sf01["value"], 2),
-        "median_query_ratio": srt[len(srt) // 2],
-        "p90_query_ratio": srt[int(len(srt) * 0.9)],
+        # true median (mean of the two mid elements when even), matching
+        # bench.py's convention; min() guards the p90 index at tiny n
+        "median_query_ratio": round(
+            (srt[(len(srt) - 1) // 2] + srt[len(srt) // 2]) / 2, 3
+        ),
+        "p90_query_ratio": srt[min(len(srt) - 1, int(len(srt) * 0.9))],
         "superlinear_flagged": flagged,
         "per_query_sec_sf1": {k: q1[k] for k in common},
         "per_query_ratio": ratios,
