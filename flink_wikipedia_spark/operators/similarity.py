@@ -120,8 +120,21 @@ def ivf_assign(
     The centroid table is tiny by construction (a real deployment trains
     k-means offline; here the first NC corpus vectors serve as fixed
     centroids) and broadcasts — assignment is a narrow map over the
-    corpus, one pass, no shuffle until the ranking window on vec_id
-    (which AQE keeps local since the join output is already keyed)."""
+    corpus, one pass, no shuffle until the ranking window on vec_id.
+
+    Measured dead end (round 6, sf1, interleaved A/B with shuffle-byte
+    capture): replacing the n_probe=1 ranking with
+    ``min(struct(_d2, centroid_id, vec))`` — "partial agg collapses the
+    |cells|× expansion before the shuffle, must beat the window" — is a
+    net LOSS. Spark's WindowGroupLimit rule already runs a *Partial*
+    top-1 per key below the exchange (see PLANS.md, q_semantic_dedup
+    plan), so the window's shuffle is |corpus| rows too; and the struct
+    aggregate DEFEATS column pruning — Catalyst cannot prune a field out
+    of min(struct(...)), so callers that drop the vector right after
+    assignment (q_ivfpq_search) shuffled 6.08 MB vs 0.84 MB, and
+    q_semantic_dedup 5.69 MB vs 0.44 MB, with wall time equal-or-worse
+    on 3 of 4 consumers. Group-limit + pruning beat a hand-rolled
+    combine; keep the declarative form."""
     from pyspark.sql import Window
 
     c = centroids.select(
