@@ -106,9 +106,16 @@ from flink_wikipedia_spark.functions.constants import HM_MOD
 
 @query(
     "q_dedup_pipeline",
+    # MATERIALIZED stages pin the candidate-driven join order: without
+    # them DuckDB's planner may start from toks(a) ⋈ toks(b) on the
+    # modular token hash — quadratic in the corpus (the sf1 gauntlet
+    # had it spill >80 GB of temp before failing; staged form runs in
+    # 14 s there, bit-identical at sf0.01/sf0.1, and 45 s → 0.7 s even
+    # at sf0.1). The oracle must scale like the engine does: candidates
+    # first, token expansion only on candidate pairs.
     oracle=f"""
-    WITH pairs AS ({sql_minhash_pairs_duckdb()}),
-    toks AS (
+    WITH pairs AS MATERIALIZED ({sql_minhash_pairs_duckdb()}),
+    toks AS MATERIALIZED (
         SELECT DISTINCT doc_id,
                CAST('0x' || substring(md5(token),1,15) AS BIGINT) % {HM_MOD} AS hm
         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
@@ -116,12 +123,15 @@ from flink_wikipedia_spark.functions.constants import HM_MOD
         WHERE token <> ''
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    a_side AS MATERIALIZED (
+        SELECT p.doc_a, p.doc_b, a.hm
+        FROM pairs p JOIN toks a ON a.doc_id = p.doc_a
+    ),
     inter AS (
-        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
-        FROM pairs p
-        JOIN toks a ON a.doc_id = p.doc_a
-        JOIN toks b ON b.doc_id = p.doc_b AND b.hm = a.hm
-        GROUP BY p.doc_a, p.doc_b
+        SELECT s.doc_a, s.doc_b, COUNT(*) AS n_inter
+        FROM a_side s
+        JOIN toks b ON b.doc_id = s.doc_b AND b.hm = s.hm
+        GROUP BY s.doc_a, s.doc_b
     )
     SELECT doc_a, doc_b,
            CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) AS jaccard
