@@ -72,11 +72,13 @@ def main() -> int:
         ).getOrCreate()
     else:
         spark = get_spark("verify-local")
-    con = duckdb.connect()
-    for t in ALL_TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    def fresh_con():
+        c = duckdb.connect()
+        for t in ALL_TABLES:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures: list[str] = []
@@ -101,6 +103,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            # a resource failure (temp-disk fill, OOM) can wedge the
+            # shared connection and cascade spurious OOMs into every
+            # later oracle (seen in the sf1 gauntlet) — isolate it
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+            con = fresh_con()
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(name)
