@@ -146,7 +146,7 @@ _D2 = sql_dist2_duckdb("v.embedding", "c.embedding")
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY sim DESC, neighbor_id ASC) AS rk
         FROM (
-            SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
                    round({sql_cosine_duckdb('q.embedding', 'a.embedding')}, 6) AS sim
             FROM probes p
             JOIN embeddings q ON q.vec_id = p.vec_id
@@ -174,6 +174,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("_cv"),
         "centroid_id",
     )
+    # (query, neighbor) pairs are unique by construction — each corpus
+    # vector lives in exactly ONE cell (n_probe=1 assignment) and each
+    # query probes IVF_NPROBE *distinct* cells (row_number over unique
+    # centroid ids) — so no dedup is needed; a .distinct() here would
+    # add a full extra exchange on the widest intermediate for nothing.
     scored = (
         probes.join(cands, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -182,7 +187,6 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
