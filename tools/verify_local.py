@@ -74,6 +74,9 @@ def main() -> int:
         spark = get_spark("verify-local")
     def fresh_con():
         c = duckdb.connect()
+        # bound the spill: a pathological oracle plan once wrote >80 GB
+        # of temp before dying — fail it fast instead of filling the disk
+        c.sql("SET max_temp_directory_size='24GB'")
         for t in ALL_TABLES:
             c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
