@@ -137,7 +137,6 @@ def test_ann_refined_recall_at_least_0_7(spark):
     rec = _recall(approx, _exact_sets(exact))
     assert rec >= 0.7, f"trained IVF-PQ+refine recall@10 = {rec}"
     again = REGISTRY["q_ann_ivfpq_refined"].fn(spark, SF).collect()
-    key = lambda r: (r.query_id, r.rk)  # noqa: E731
     assert sorted(map(tuple, approx), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, again), key=lambda t: (t[0], t[3])
     )

@@ -631,7 +631,7 @@ def test_flagship_kill_and_resume_matches_batch(spark, tmp_path):
     )
     # batch flagship on the same files = ground truth
     batch = flagship_transform(
-        decode_edit_events(spark.read.text(src_dir).withColumnRenamed("value", "value"))
+        decode_edit_events(spark.read.text(src_dir))
     )
     want = sorted(
         (r.domain, r.window_start, r.window_end, r.edit_size)

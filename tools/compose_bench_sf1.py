@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import math
 import sys
 
 
@@ -56,7 +57,9 @@ def main() -> None:
         "median_query_ratio": round(
             (srt[(len(srt) - 1) // 2] + srt[len(srt) // 2]) / 2, 3
         ),
-        "p90_query_ratio": srt[min(len(srt) - 1, int(len(srt) * 0.9))],
+        # nearest-rank p90: index ceil(0.9n)-1 — int(0.9n) is one rank
+        # high and degenerates to the MAX when n is divisible by 10
+        "p90_query_ratio": srt[max(0, math.ceil(len(srt) * 0.9) - 1)],
         "superlinear_flagged": flagged,
         "per_query_sec_sf1": {k: q1[k] for k in common},
         "per_query_ratio": ratios,
