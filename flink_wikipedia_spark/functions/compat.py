@@ -114,10 +114,19 @@ def dec_avg(col: Column | str) -> Column:
     return dec_to_double_portable(F.sum(c.cast(DEC))) / F.count(c)
 
 
+def sql_dec_to_double_duckdb(dec_expr: str) -> str:
+    """The DuckDB twin of dec_to_double_portable over an already-decimal
+    SQL expression (e.g. a windowed-sum alias): exact floor/frac split,
+    three singly-rounded IEEE steps, bit-stable past 2^53."""
+    return (
+        f"(CAST(FLOOR({dec_expr}) AS DOUBLE) + "
+        f"CAST({dec_expr} - FLOOR({dec_expr}) AS DOUBLE))"
+    )
+
+
 def sql_dec_sum_duckdb(expr: str) -> str:
     """The DuckDB twin of dec_sum over a SQL expression string."""
-    s = f"SUM(CAST({expr} AS DECIMAL(28,6)))"
-    return f"(CAST(FLOOR({s}) AS DOUBLE) + CAST({s} - FLOOR({s}) AS DOUBLE))"
+    return sql_dec_to_double_duckdb(f"SUM(CAST({expr} AS DECIMAL(28,6)))")
 
 
 def ts_bucket(col: Column | str, seconds: int) -> Column:

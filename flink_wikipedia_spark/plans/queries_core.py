@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_wikipedia_spark.functions.compat import dec_sum, ts_bucket
+from flink_wikipedia_spark.functions.compat import dec_sum, ts_bucket, sql_dec_sum_duckdb
 from flink_wikipedia_spark.plans.registry import query
 from flink_wikipedia_spark.schemas import load_table
 
@@ -27,7 +27,7 @@ _WS = f"CAST(floor(epoch(ts)/{WINDOW_SEC})*{WINDOW_SEC} AS BIGINT)"
     "q_windowed_edit_size",
     oracle=f"""
     SELECT domain,
-           (CAST(FLOOR(SUM(CAST(abs_value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(abs_value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(abs_value AS DECIMAL(28,6)))) AS DOUBLE)) AS edit_size,
+           {sql_dec_sum_duckdb("abs_value")} AS edit_size,
            CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
            CAST(to_timestamp(ws + {WINDOW_SEC}) AS TIMESTAMP) AS window_end
     FROM (
@@ -69,9 +69,9 @@ def q_windowed_edit_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_keyby_agg_edit_size",
-    oracle="""
+    oracle=f"""
     SELECT event_type AS domain,
-           (CAST(FLOOR(SUM(CAST(ABS(value) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(ABS(value) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(ABS(value) AS DECIMAL(28,6)))) AS DOUBLE)) AS edit_size,
+           {sql_dec_sum_duckdb("ABS(value)")} AS edit_size,
            COUNT(*) AS n_edits
     FROM events
     GROUP BY event_type
@@ -93,9 +93,9 @@ def q_keyby_agg_edit_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_salted_agg_edit_size",
-    oracle="""
+    oracle=f"""
     SELECT event_type AS domain,
-           (CAST(FLOOR(SUM(CAST(ABS(value) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(ABS(value) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(ABS(value) AS DECIMAL(28,6)))) AS DOUBLE)) AS edit_size,
+           {sql_dec_sum_duckdb("ABS(value)")} AS edit_size,
            COUNT(*) AS n_edits
     FROM events
     GROUP BY event_type
@@ -160,10 +160,10 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_json_extract",
-    oracle="""
+    oracle=f"""
     SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            COUNT(*) AS n,
-           (CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE)) AS total_value
+           {sql_dec_sum_duckdb("value")} AS total_value
     FROM events
     GROUP BY k
     """,
@@ -212,7 +212,7 @@ def q_to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
            CAST(to_timestamp(ws + {2 * WINDOW_SEC}) AS TIMESTAMP) AS window_end,
            COUNT(*) AS n_events,
-           (CAST(FLOOR(SUM(CAST(ABS(value) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(ABS(value) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(ABS(value) AS DECIMAL(28,6)))) AS DOUBLE)) AS total_value
+           {sql_dec_sum_duckdb("ABS(value)")} AS total_value
     FROM (
         SELECT e.event_type AS domain, e.value,
                {_WS} - k.k * {WINDOW_SEC} AS ws

@@ -18,9 +18,9 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 @query(
     "q_having_active_users",
-    oracle="""
+    oracle=f"""
     SELECT user_id, COUNT(*) AS n_events,
-           (CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE)) AS total_value
+           {sql_dec_sum_duckdb("value")} AS total_value
     FROM events
     GROUP BY user_id
     HAVING COUNT(*) > 50
@@ -149,15 +149,15 @@ def q_pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_value_moment_stats",
-    oracle="""
+    oracle=f"""
     SELECT event_type, n,
            sum_v / n AS mean_value,
            sqrt((sum_v2 - sum_v * sum_v / n) / n) AS stddev_pop_value
     FROM (
         SELECT event_type,
                COUNT(*) AS n,
-               (CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_v,
-               (CAST(FLOOR(SUM(CAST(value * value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(value * value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(value * value AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_v2
+               {sql_dec_sum_duckdb("value")} AS sum_v,
+               {sql_dec_sum_duckdb("value * value")} AS sum_v2
         FROM events GROUP BY event_type
     )
     """,
@@ -381,11 +381,11 @@ def q_edit_distance_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_orders_by_month",
-    oracle="""
+    oracle=f"""
     SELECT CAST(year(o_orderdate) AS INT) AS y,
            CAST(month(o_orderdate) AS INT) AS m,
            COUNT(*) AS n_orders,
-           (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue
+           {sql_dec_sum_duckdb("o_totalprice")} AS revenue
     FROM orders
     GROUP BY 1, 2
     """,

@@ -18,6 +18,8 @@ from flink_wikipedia_spark.functions.compat import (
     dec_avg,
     dec_sum,
     dec_to_double_portable,
+    sql_dec_sum_duckdb,
+    sql_dec_to_double_duckdb,
 )
 from flink_wikipedia_spark.operators.relational import (
     asof_join,
@@ -30,10 +32,10 @@ from flink_wikipedia_spark.schemas import load_table
 
 @query(
     "q_join_orders_customer",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment AS mktsegment,
            COUNT(*) AS n_orders,
-           (CAST(FLOOR(SUM(CAST(o.o_totalprice AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) - FLOOR(SUM(CAST(o.o_totalprice AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue
+           {sql_dec_sum_duckdb("o.o_totalprice")} AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -56,14 +58,14 @@ def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_qty,
-           (CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_base_price,
-           (CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_disc_price,
-           (CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_charge,
-           (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE)) / COUNT(l_quantity) AS avg_qty,
-           (CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE)) / COUNT(l_discount) AS avg_disc,
+           {sql_dec_sum_duckdb("l_quantity")} AS sum_qty,
+           {sql_dec_sum_duckdb("l_extendedprice")} AS sum_base_price,
+           {sql_dec_sum_duckdb("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {sql_dec_sum_duckdb("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           {sql_dec_sum_duckdb("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+           {sql_dec_sum_duckdb("l_discount")} / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -101,9 +103,9 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT o.o_orderkey AS orderkey,
-           (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue,
+           {sql_dec_sum_duckdb("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
            o.o_orderpriority AS orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -147,9 +149,9 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q5_regional_revenue",
-    oracle="""
+    oracle=f"""
     SELECT r.r_name AS region, n.n_name AS nation,
-           (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue
+           {sql_dec_sum_duckdb("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -270,10 +272,10 @@ def q_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_rollup_event_value",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            COUNT(*) AS n,
-           (CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE)) AS total_value
+           {sql_dec_sum_duckdb("value")} AS total_value
     FROM events
     GROUP BY ROLLUP(event_type)
     """,
@@ -289,10 +291,10 @@ def q_rollup_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_cube_orders",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n,
-           (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue
+           {sql_dec_sum_duckdb("o_totalprice")} AS revenue
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -418,10 +420,9 @@ def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_running_total",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id,
-           (CAST(FLOOR(run_sum) AS DOUBLE)
-            + CAST(run_sum - FLOOR(run_sum) AS DOUBLE)) AS running_value
+           {sql_dec_to_double_duckdb("run_sum")} AS running_value
     FROM (
         SELECT user_id, event_id,
                SUM(CAST(value AS DECIMAL(28,6))) OVER (
@@ -576,11 +577,11 @@ def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_gapfill_rollup",
-    oracle="""
+    oracle=f"""
     WITH agg AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket,
                COUNT(*) AS n_events,
-               (CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(value AS DECIMAL(28,6))) - FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_value
+               {sql_dec_sum_duckdb("value")} AS sum_value
         FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -778,13 +779,13 @@ PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 @query(
     "q_pivot_event_daily",
-    oracle="""
+    oracle=f"""
     SELECT day,
-           (CAST(FLOOR(click) AS DOUBLE) + CAST(click - FLOOR(click) AS DOUBLE)) AS click,
-           (CAST(FLOOR(error) AS DOUBLE) + CAST(error - FLOOR(error) AS DOUBLE)) AS error,
-           (CAST(FLOOR(purchase) AS DOUBLE) + CAST(purchase - FLOOR(purchase) AS DOUBLE)) AS purchase,
-           (CAST(FLOOR(signup) AS DOUBLE) + CAST(signup - FLOOR(signup) AS DOUBLE)) AS signup,
-           (CAST(FLOOR(view) AS DOUBLE) + CAST(view - FLOOR(view) AS DOUBLE)) AS view
+           {sql_dec_to_double_duckdb("click")} AS click,
+           {sql_dec_to_double_duckdb("error")} AS error,
+           {sql_dec_to_double_duckdb("purchase")} AS purchase,
+           {sql_dec_to_double_duckdb("signup")} AS signup,
+           {sql_dec_to_double_duckdb("view")} AS view
     FROM (
         SELECT date_trunc('day', ts) AS day,
                SUM(CASE WHEN event_type = 'click'
@@ -829,7 +830,7 @@ def q_pivot_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_unpivot_event_daily",
-    oracle="""
+    oracle=f"""
     WITH dec_wide AS (
         SELECT date_trunc('day', ts) AS day,
                SUM(CASE WHEN event_type = 'purchase'
@@ -841,10 +842,8 @@ def q_pivot_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     wide AS (
         SELECT day,
-               (CAST(FLOOR(purchase) AS DOUBLE)
-                + CAST(purchase - FLOOR(purchase) AS DOUBLE)) AS purchase,
-               (CAST(FLOOR(error) AS DOUBLE)
-                + CAST(error - FLOOR(error) AS DOUBLE)) AS error
+               {sql_dec_to_double_duckdb("purchase")} AS purchase,
+               {sql_dec_to_double_duckdb("error")} AS error
         FROM dec_wide
     )
     SELECT day, kind, amount FROM (

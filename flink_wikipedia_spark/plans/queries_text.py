@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_wikipedia_spark.functions.compat import dec_avg, stable_token_hash
+from flink_wikipedia_spark.functions.compat import dec_avg, stable_token_hash, sql_dec_sum_duckdb
 from flink_wikipedia_spark.functions.constants import HM_MOD
 from flink_wikipedia_spark.operators.text import (
     BIGRAMS_EXPR,
@@ -46,9 +46,9 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_lang_stats",
-    oracle="""
+    oracle=f"""
     SELECT lang, COUNT(*) AS n_docs,
-           (CAST(FLOOR(SUM(CAST(n_chars AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) - FLOOR(SUM(CAST(n_chars AS DECIMAL(28,6)))) AS DOUBLE)) / COUNT(n_chars) AS avg_chars,
+           {sql_dec_sum_duckdb("n_chars")} / COUNT(n_chars) AS avg_chars,
            MAX(n_chars) AS max_chars
     FROM documents GROUP BY lang
     """,

@@ -10,15 +10,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_wikipedia_spark.functions.compat import dec_avg, dec_sum, dec_to_double_portable
+from flink_wikipedia_spark.functions.compat import (
+    dec_avg,
+    dec_sum,
+    dec_to_double_portable,
+    sql_dec_sum_duckdb,
+    sql_dec_to_double_duckdb,
+)
 from flink_wikipedia_spark.plans.registry import query
 from flink_wikipedia_spark.schemas import load_table
 
 
 @query(
     "q_tpch_q6_forecast_revenue",
-    oracle="""
-    SELECT (CAST(FLOOR(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue,
+    oracle=f"""
+    SELECT {sql_dec_sum_duckdb("l_extendedprice * l_discount")} AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -48,17 +54,17 @@ def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROMO_CASE = (
+    "CASE WHEN p.p_type = 'PROMO' "
+    "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END"
+)
+
+
 @query(
     "q_tpch_q14_promo_share",
-    oracle="""
-    SELECT (CAST(FLOOR(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
-                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
-               AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
-                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
-               AS DECIMAL(28,6))) - FLOOR(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
-                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
-               AS DECIMAL(28,6)))) AS DOUBLE)) AS promo_revenue,
-           (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS total_revenue
+    oracle=f"""
+    SELECT {sql_dec_sum_duckdb(_PROMO_CASE)} AS promo_revenue,
+           {sql_dec_sum_duckdb("l.l_extendedprice * (1 - l.l_discount)")} AS total_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -144,13 +150,13 @@ def q_tpch_q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q17_small_quantity_revenue",
-    oracle="""
+    oracle=f"""
     WITH part_avg AS (
         SELECT l_partkey,
-               (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE)) / COUNT(l_quantity) AS avg_qty
+               {sql_dec_sum_duckdb("l_quantity")} / COUNT(l_quantity) AS avg_qty
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT (CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))) AS DOUBLE)) / 7.0 AS avg_yearly,
+    SELECT {sql_dec_sum_duckdb("l.l_extendedprice")} / 7.0 AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'SMALL'
@@ -182,9 +188,9 @@ def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataF
 
 @query(
     "q_like_filter_parts",
-    oracle="""
+    oracle=f"""
     SELECT p_brand, COUNT(*) AS n_parts,
-           (CAST(FLOOR(SUM(CAST(p_retailprice AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) - FLOOR(SUM(CAST(p_retailprice AS DECIMAL(28,6)))) AS DOUBLE)) AS total_price
+           {sql_dec_sum_duckdb("p_retailprice")} AS total_price
     FROM part
     WHERE p_name LIKE '%wid%' OR p_name LIKE 'red%'
     GROUP BY p_brand
@@ -206,10 +212,10 @@ def q_like_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_grouping_sets_lineitem",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_qty
+           {sql_dec_sum_duckdb("l_quantity")} AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -221,10 +227,10 @@ def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry point, SURVEY.md §2.2 'SQL parser / catalog: free')."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(28,6)))) AS DOUBLE)) AS sum_qty
+               {sql_dec_sum_duckdb("l_quantity")} AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -233,11 +239,10 @@ def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_window_share_of_segment",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, mktsegment, o_totalprice,
            o_totalprice
-             / (CAST(FLOOR(seg_sum) AS DOUBLE)
-                + CAST(seg_sum - FLOOR(seg_sum) AS DOUBLE)) AS segment_share
+             / {sql_dec_to_double_duckdb("seg_sum")} AS segment_share
     FROM (
         SELECT o.o_orderkey, c.c_mktsegment AS mktsegment, o.o_totalprice,
                SUM(CAST(o.o_totalprice AS DECIMAL(28,6)))
@@ -274,9 +279,9 @@ def q_window_share_of_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name, n_name,
-           (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue
+           {sql_dec_sum_duckdb("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -315,9 +320,9 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q18_large_orders",
-    oracle="""
+    oracle=f"""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           (CAST(FLOOR(SUM(CAST(l.l_quantity AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_quantity AS DECIMAL(28,6)))) AS DOUBLE)) AS total_qty
+           {sql_dec_sum_duckdb("l.l_quantity")} AS total_qty
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -348,8 +353,8 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q19_disjunctive_revenue",
-    oracle="""
-    SELECT (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS revenue,
+    oracle=f"""
+    SELECT {sql_dec_sum_duckdb("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1  AND 15 AND l.l_quantity BETWEEN 1  AND 20)
@@ -381,10 +386,10 @@ def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "q_tpch_q7_volume_shipping",
-    oracle="""
+    oracle=f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-           (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS volume
+           {sql_dec_sum_duckdb("l.l_extendedprice * (1 - l.l_discount)")} AS volume
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey  = l.l_orderkey
     JOIN supplier s ON s.s_suppkey   = l.l_suppkey
@@ -491,10 +496,10 @@ def q_tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
         SELECT l_suppkey,
-               (CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))) AS DOUBLE)) AS total_rev
+               {sql_dec_sum_duckdb("l_extendedprice * (1 - l_discount)")} AS total_rev
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -539,14 +544,14 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q22_dormant_accounts",
-    oracle="""
+    oracle=f"""
     WITH avg_bal AS (
-        SELECT (CAST(FLOOR(SUM(CAST(c_acctbal AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) - FLOOR(SUM(CAST(c_acctbal AS DECIMAL(28,6)))) AS DOUBLE)) / COUNT(*) AS a
+        SELECT {sql_dec_sum_duckdb("c_acctbal")} / COUNT(*) AS a
         FROM customer WHERE c_acctbal > 0.0
     )
     SELECT CAST(c.c_custkey % 7 AS BIGINT) AS code,
            COUNT(*) AS n_custs,
-           (CAST(FLOOR(SUM(CAST(c.c_acctbal AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) - FLOOR(SUM(CAST(c.c_acctbal AS DECIMAL(28,6)))) AS DOUBLE)) AS total_bal
+           {sql_dec_sum_duckdb("c.c_acctbal")} AS total_bal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -597,9 +602,9 @@ def q_tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q9_nation_year_profit",
-    oracle="""
+    oracle=f"""
     SELECT s.s_nationkey AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
-           (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))) AS DOUBLE))
+           {sql_dec_sum_duckdb("l.l_extendedprice * (1 - l.l_discount)")}
              AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l
@@ -758,21 +763,18 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q8_NATION_REV = (
+    "CASE WHEN sn.n_name = 'NATION_2' "
+    "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END"
+)
+
+
 @query(
     "q_tpch_q8_market_share",
-    oracle="""
+    oracle=f"""
     SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
-           (CAST(FLOOR(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
-                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
-               AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
-                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
-               AS DECIMAL(28,6))) - FLOOR(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
-                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
-               AS DECIMAL(28,6)))) AS DOUBLE))
-             / (CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-               AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-               AS DECIMAL(28,6))) - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-               AS DECIMAL(28,6)))) AS DOUBLE)) AS mkt_share,
+           {sql_dec_sum_duckdb(_Q8_NATION_REV)}
+             / {sql_dec_sum_duckdb("l.l_extendedprice * (1 - l.l_discount)")} AS mkt_share,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -844,7 +846,7 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q11_important_stock",
-    oracle="""
+    oracle=f"""
     WITH nation_lines AS (
         SELECT l.l_partkey, l.l_extendedprice * l.l_quantity AS v
         FROM lineitem l
@@ -853,11 +855,11 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n.n_name = 'NATION_0'
     )
     SELECT l_partkey AS ps_partkey,
-           (CAST(FLOOR(SUM(CAST(v AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(v AS DECIMAL(28,6))) - FLOOR(SUM(CAST(v AS DECIMAL(28,6)))) AS DOUBLE)) AS value
+           {sql_dec_sum_duckdb("v")} AS value
     FROM nation_lines
     GROUP BY 1
-    HAVING (CAST(FLOOR(SUM(CAST(v AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(v AS DECIMAL(28,6))) - FLOOR(SUM(CAST(v AS DECIMAL(28,6)))) AS DOUBLE)) >
-           0.002 * (SELECT (CAST(FLOOR(SUM(CAST(v AS DECIMAL(28,6)))) AS DOUBLE) + CAST(SUM(CAST(v AS DECIMAL(28,6))) - FLOOR(SUM(CAST(v AS DECIMAL(28,6)))) AS DOUBLE))
+    HAVING {sql_dec_sum_duckdb("v")} >
+           0.002 * (SELECT {sql_dec_sum_duckdb("v")}
                     FROM nation_lines)
     """,
 )
