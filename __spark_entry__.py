@@ -60,12 +60,13 @@ def entry(spark: SparkSession) -> DataFrame:
     window_start range must bracket the RAW ts range read independently
     via pyarrow (so a generator change to the date range self-adjusts —
     no hard-coded year, ADVICE r5), and the distinct-window count must
-    be consistent with that span. The frame is persisted first so the
-    invariant job materializes it once and the driver's own action on
-    the returned DataFrame reuses the cache instead of re-running the
-    pipeline.
+    be consistent with that span. No persist: the invariant is a single
+    aggregation job and the driver's own action re-runs the (sf0.001,
+    sub-second) pipeline once more — cheaper than leaking a cached frame
+    into whatever the driver session does next (ADVICE r6: the old
+    version persisted and never unpersisted).
     """
-    df = REGISTRY["q_windowed_edit_size"].fn(spark, SMOKE_SF_DIR).persist()
+    df = REGISTRY["q_windowed_edit_size"].fn(spark, SMOKE_SF_DIR)
 
     from pyspark.sql import functions as F
 

@@ -145,7 +145,14 @@ def connected_components(
             else "minlabel"
         )
     if algorithm == "star":
-        return _star_components(und, max_iter=max_iter)
+        # star convergence is O(log² n) rounds vs min-label's
+        # O(log diameter), and since round 6 a non-fixed-point is a loud
+        # RuntimeError rather than a silently-correct truncation — so the
+        # shared default of 25 would turn a 26-50-round chain-heavy graph
+        # into a hard failure. Floor the star budget at 50 (2500 rounds'
+        # worth of log² growth ⇒ graphs beyond any realistic size);
+        # callers passing max_iter > 50 keep their larger budget.
+        return _star_components(und, max_iter=max(max_iter, 50))
     return _minlabel_components(und, max_iter)
 
 
@@ -253,11 +260,14 @@ def _star_components(und: DataFrame, max_iter: int = 50) -> DataFrame:
     edge set shrinks monotonically toward one edge per non-root node,
     so late rounds get cheaper instead of staying O(|E|). Fixed point =
     a forest of stars whose centers are component minima; labels read
-    directly off the final edges. Convergence is checked with a
-    subtract-count against the previous round's set — an extra shuffle
-    per round, acceptable because the frames involved are the already
-    shrunken edge sets.
+    directly off the final edges. Convergence is an exact set-equality
+    check (full-outer join of new vs old edges, counting rows missing
+    on either side) observed as a metric of the SAME action that
+    materializes the round's lazy checkpoint — one job per round, same
+    pattern as ``_minlabel_components``; at cluster scale each avoided
+    job is a scheduler round-trip per iteration.
     """
+    from pyspark.sql import Observation
 
     def large_star(e: DataFrame) -> DataFrame:
         nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -295,13 +305,31 @@ def _star_components(und: DataFrame, max_iter: int = 50) -> DataFrame:
     )
     converged = False
     for _ in range(max_iter):
-        new_edges = small_star(large_star(edges)).localCheckpoint()
-        unchanged = (
-            new_edges.count() == edges.count()
-            and new_edges.subtract(edges).count() == 0
+        # lazy: materialized by the observed comparison job below, so
+        # each round costs exactly ONE job (join shuffles ride inside it)
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=False)
+        obs = Observation()
+        compared = (
+            new_edges.withColumn("_new", F.lit(1))
+            .join(edges.withColumn("_old", F.lit(1)), ["u", "v"], "full_outer")
+            .observe(
+                obs,
+                # rows present on only one side = symmetric difference;
+                # coalesce: sum over an empty join (both sets empty) is
+                # null, which must read as converged, not changed
+                F.coalesce(
+                    F.sum(
+                        (F.col("_new").isNull() | F.col("_old").isNull()).cast(
+                            "long"
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("diff"),
+            )
         )
+        compared.count()
         edges = new_edges
-        if unchanged:
+        if obs.get["diff"] == 0:
             converged = True
             break
     if not converged:

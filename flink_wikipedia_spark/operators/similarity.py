@@ -239,7 +239,11 @@ def train_ivfpq_index(
     """Train coarse (IVF) and product-quantizer codebooks on a sample of
     the embeddings table. Returns (coarse_centroids [n_cells × dim],
     codebooks [pq_m × pq_k × dim/pq_m]) as float64 numpy arrays, cached
-    per (file, mtime, params) so repeated query builds don't retrain.
+    per (file, content-fingerprint, params) so repeated query builds
+    don't retrain. The fingerprint is size + md5 of the parquet footer
+    (which carries row-group statistics, so any data rewrite changes it)
+    rather than mtime — an in-place rewrite by the data generator that
+    lands within mtime granularity can't serve a stale index (ADVICE r6).
 
     Driver-side by design (see section comment): the sample read is a
     bounded pyarrow scan of the first ANN_TRAIN_SAMPLE rows — at cluster
@@ -252,8 +256,13 @@ def train_ivfpq_index(
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(path)
-    key = (path, st.st_mtime_ns, n_cells, pq_m, pq_k, iters, seed)
+    import hashlib
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        fh.seek(max(0, size - 65536))
+        footprint = hashlib.md5(fh.read()).hexdigest()
+    key = (path, size, footprint, n_cells, pq_m, pq_k, iters, seed)
     hit = _ANN_INDEX_CACHE.get(key)
     if hit is not None:
         return hit

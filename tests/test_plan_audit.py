@@ -101,42 +101,81 @@ def test_no_oracle_uses_nonportable_decimal_to_double():
     sql_dec_sum_duckdb): a bare CAST(SUM(CAST(... AS DECIMAL)) AS
     DOUBLE) double-rounds past 2^53 and diverges from Spark by one ulp
     — exactly the sf1 TPC-H Q1 incident. A FLOOR-free match here means
-    someone added an oracle with the old pattern."""
+    someone added an oracle with the old pattern.
+
+    Two forms are flagged (ADVICE r6: the alias form previously evaded
+    the audit entirely once subquery refactors routed sums through
+    aliases):
+
+    1. direct: CAST(SUM(... AS DECIMAL ...) [OVER (...)] AS DOUBLE)
+    2. aliased: CAST(<ident> AS DOUBLE) where <ident> was assigned from
+       SUM(CAST(... AS DECIMAL(>0 scale)...)) earlier in the same oracle
+    """
+    import re
+
+    def _walk_parens(upper: str, start: int) -> int:
+        """Index just past the ')' closing the paren opened before start."""
+        depth, j = 1, start
+        while j < len(upper) and depth:
+            if upper[j] == "(":
+                depth += 1
+            elif upper[j] == ")":
+                depth -= 1
+            j += 1
+        return j
+
+    def decimal_sum_aliases(upper: str) -> set:
+        """Aliases assigned from a scale>0 decimal SUM: SUM(...DECIMAL...)
+        [OVER (...)] AS <ident>."""
+        out, i = set(), 0
+        while True:
+            i = upper.find("SUM(", i)
+            if i == -1:
+                return out
+            j = _walk_parens(upper, i + len("SUM("))
+            inner = upper[i + len("SUM(") : j - 1]
+            i = j
+            if "AS DECIMAL" not in inner or "DECIMAL(38,0)" in inner:
+                continue
+            rest = upper[j:]
+            m = re.match(r"\s*OVER\s*\(", rest)
+            if m:
+                rest = rest[_walk_parens(rest, m.end()) :]
+            m = re.match(r"\s*AS\s+([A-Z_][A-Z0-9_]*)", rest)
+            if m:
+                out.add(m.group(1))
+
     def bare_casts(sql: str) -> bool:
         """True iff the SQL contains CAST(<expr> AS DOUBLE) where <expr>
-        starts with SUM( and is not FLOOR-guarded — walks parens, so the
-        window form CAST(SUM(...) OVER (...) AS DOUBLE) is caught too
-        (the round-6 review found two oracles the old regex missed)."""
+        is a decimal SUM (directly, or via an alias defined in the same
+        oracle) and is not FLOOR-guarded — walks parens, so the window
+        form CAST(SUM(...) OVER (...) AS DOUBLE) is caught too."""
         upper = sql.upper()
+        aliases = decimal_sum_aliases(upper)
         i = 0
         while True:
             i = upper.find("CAST(", i)
             if i == -1:
                 return False
             inner_start = i + len("CAST(")
-            # walk to this CAST's closing paren
-            depth, j = 1, inner_start
-            while j < len(upper) and depth:
-                if upper[j] == "(":
-                    depth += 1
-                elif upper[j] == ")":
-                    depth -= 1
-                j += 1
+            j = _walk_parens(upper, inner_start)
             inner = upper[inner_start : j - 1]
-            if (
-                inner.rstrip().endswith("AS DOUBLE")
-                and inner.lstrip().startswith("SUM(")
-                # the split form's frac term CAST(S - FLOOR(S) AS DOUBLE)
-                # also starts with SUM( — FLOOR inside the expression
-                # marks it (and the whole-part term) as already portable
-                and "FLOOR" not in inner
-                # scale-0 decimals are exempt: with no /10^scale step the
-                # direct cast is ONE correctly-rounded int->double on both
-                # engines — the double-rounding hazard needs scale > 0
-                and "DECIMAL(38,0)" not in inner
-            ):
-                return True
             i = inner_start
+            if not inner.rstrip().endswith("AS DOUBLE"):
+                continue
+            # the split form's terms CAST(FLOOR(S) AS DOUBLE) and
+            # CAST(S - FLOOR(S) AS DOUBLE) are the portable pattern —
+            # FLOOR inside the expression marks both as already safe
+            if "FLOOR" in inner:
+                continue
+            expr = inner.rstrip()[: -len("AS DOUBLE")].strip()
+            # scale-0 decimals are exempt from the direct form: with no
+            # /10^scale step the direct cast is ONE correctly-rounded
+            # int->double on both engines — the hazard needs scale > 0
+            if expr.startswith("SUM(") and "DECIMAL(38,0)" not in inner:
+                return True
+            if re.fullmatch(r"[A-Z_][A-Z0-9_]*", expr) and expr in aliases:
+                return True
     offenders = [
         name
         for name, qd in REGISTRY.items()

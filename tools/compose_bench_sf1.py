@@ -53,7 +53,9 @@ def main() -> None:
         },
         "suite_ratio": round(sf1["value"] / sf01["value"], 2),
         # true median (mean of the two mid elements when even), matching
-        # bench.py's convention; min() guards the p90 index at tiny n
+        # bench.py's convention; the p90 index below is clamped at the
+        # LOW end by max(0, ...) (ceil(0.9n)-1 <= n-1 already holds for
+        # every n >= 1, so no high-end clamp is needed)
         "median_query_ratio": round(
             (srt[(len(srt) - 1) // 2] + srt[len(srt) // 2]) / 2, 3
         ),
