@@ -55,21 +55,24 @@ _PRIORITY = [
     # the tail — its window-fn shape is already proven by q_topk_docs
     "q_pack_sequences",
     "q_stratified_sample",
-    # Round-6 rotation: the ten capstones below earn their first
-    # driver-recorded CORRECTNESS rows (VERDICT r5 item 3). They replace
-    # ten slots that were driver-green in r01-r05 and whose operator
-    # shapes stay covered by pinned window members (see the composition
-    # test in tests/test_plan_audit.py).
-    "q_curation_funnel",            # 13-stage curation capstone
-    "q_token_budget_waterfill",     # closed-form budget allocation
-    "q_data_quality_audit",         # FK/null/range audit rules
-    "q_snapshot_merge",             # FULL OUTER snapshot reconcile
-    "q_tpch_q21_sole_late_supplier",  # heaviest TPC-H composition
-    "q_funnel_view_click_purchase",  # behavioral funnel
-    "q_cohort_retention",           # behavioral retention matrix
-    "q_distribution_ranks",         # ntile/percent_rank/cume_dist
-    "q_semantic_dedup",             # SemDeDup IVF-cell cosine
-    "q_date_functions",             # date/time scalar suite
+    # Round-7 rotation (VERDICT r6 item 2): the ten r6 capstones each
+    # earned their driver-recorded row in CORRECTNESS_r06 (50/50 green)
+    # and move to the tail; their slots go to the TPC-H shapes — which
+    # had NEVER had a driver row (q21 aside) — plus three
+    # never-driver-recorded function-suite queries. Operator shapes the
+    # capstones covered stay in-window: FULL OUTER via the TPC-H
+    # multi-joins + q_asof_join, window ranks via q_window_navigation +
+    # q_topk_docs_per_lang, date scalars via q_tpch_q1/q9's date preds.
+    "q_tpch_q1_pricing_summary",    # decimal agg battery (the 2^53 case)
+    "q_tpch_q7_volume_shipping",    # 6-way join, disjunctive nation pair
+    "q_tpch_q9_nation_year_profit",  # 6-way join + LIKE + per-year agg
+    "q_tpch_q16_supplier_variety",  # anti-join + count-distinct
+    "q_tpch_q17_small_quantity_revenue",  # correlated avg subquery
+    "q_tpch_q18_large_orders",      # having-filtered IN subquery
+    "q_tpch_q19_disjunctive_revenue",  # OR-of-ANDs pushdown
+    "q_pivot_event_daily",          # pivot (daily matrix)
+    "q_window_navigation",          # lead/lag/first/last navigation
+    "q_corr_quantity_price",        # corr/covar/stddev statistics
     # Deduplication (E1 + MinHash/LSH/SimHash/CC pipeline + substring).
     # q_dedup_events (second exact-dedup proof) moved to the tail in
     # favor of q_duplicate_spans — a distinct capability (substring-

@@ -78,14 +78,16 @@ def test_driver_window_covers_every_family():
         "relational": ["q_join_orders_customer", "q_semijoin_active_customers",
                        "q_antijoin_quiet_customers", "q_topk_docs_per_lang",
                        "q_grouping_sets_lineitem", "q_asof_join"],
-        # Round-6 rotation (VERDICT r5 item 3): the capstones hold their
-        # window slots until each has at least one driver-recorded row.
-        "capstones": ["q_curation_funnel", "q_token_budget_waterfill",
-                      "q_data_quality_audit", "q_snapshot_merge",
-                      "q_tpch_q21_sole_late_supplier",
-                      "q_funnel_view_click_purchase", "q_cohort_retention",
-                      "q_distribution_ranks", "q_semantic_dedup",
-                      "q_date_functions"],
+        # Round-7 rotation (VERDICT r6 item 2): the r6 capstones earned
+        # their driver rows (CORRECTNESS_r06 50/50) and moved to the
+        # tail; TPC-H + the remaining never-driver-recorded function
+        # suites hold these slots until each has at least one row.
+        "tpch": ["q_tpch_q1_pricing_summary", "q_tpch_q7_volume_shipping",
+                 "q_tpch_q9_nation_year_profit", "q_tpch_q16_supplier_variety",
+                 "q_tpch_q17_small_quantity_revenue", "q_tpch_q18_large_orders",
+                 "q_tpch_q19_disjunctive_revenue"],
+        "functions": ["q_pivot_event_daily", "q_window_navigation",
+                      "q_corr_quantity_price"],
     }
     missing = {
         fam: [q for q in qs if q not in names]
