@@ -329,3 +329,45 @@ def pq_code_cols(pq_m: int) -> list[Column]:
         .alias(f"code_{m}")
         for m in range(pq_m)
     ]
+
+
+def pq_encode_pandas(
+    df: DataFrame, codebooks, vec_col: str = "embedding"
+) -> DataFrame:
+    """Arrow mapInPandas twin of pq_d2_cols + pq_code_cols for the
+    full-corpus encode scan: each Arrow batch becomes one vectorized
+    numpy distance computation ([B × sub] against [K × sub] per
+    subspace) instead of B interpreted expression folds. Map-only —
+    same shuffle profile as the expression form (none); the codebooks
+    ride the pickled closure (a few KB). argmin's first-min tie-break
+    matches pq_code_cols' array_position-of-min.
+
+    Kept alongside the expression form because the choice is measured,
+    not assumed — see SCALE.md's scorer A/B and ANN_ENCODER in
+    plans/queries_similarity.py for which one is registered."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    m_, _k, sub = codebooks.shape
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    keep = [f for f in df.schema.fields if f.name != vec_col]
+    schema = StructType(
+        keep + [StructField(f"code_{m}", IntegerType(), False) for m in range(m_)]
+    )
+    keep_names = [f.name for f in keep]
+
+    def encode(batches):
+        for pdf in batches:
+            out = pdf[keep_names].copy()
+            if len(pdf):
+                x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                xs = x.reshape(len(x), m_, sub)
+                for m in range(m_):
+                    d2 = ((xs[:, m, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+                    out[f"code_{m}"] = d2.argmin(1).astype("int32")
+            else:
+                for m in range(m_):
+                    out[f"code_{m}"] = np.array([], dtype="int32")
+            yield out
+
+    return df.mapInPandas(encode, schema=schema)

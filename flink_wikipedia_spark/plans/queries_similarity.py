@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -791,6 +793,18 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pinned ≥ 0.7 by tests/test_curation_invariants.py. See SCALE.md.
 RF_NPROBE, RF_RERANK, RF_TOPK = 10, 150, 10
 
+# Corpus-encode scorer for the trained index: "numpy" (Arrow mapInPandas,
+# one vectorized batch op per Arrow batch) vs "expr" (interpreted
+# expression folds over literal codebook arrays). Measured head-to-head,
+# interleaved median-of-reps, identical results asserted
+# (tools/bench_ann_scorer.py): numpy 1.40× faster at sf0.1 (3.07 s vs
+# 4.30 s), 1.44× at sf1, 1.17× at sf10 — the end-to-end gap narrows at
+# scale because the probe-join + refine stages start to dominate, but
+# numpy never loses, so it is the registered path. "expr" stays for the
+# A/B and as the no-Python-worker fallback. Env override is for
+# benchmarking only.
+ANN_ENCODER = os.environ.get("SPARK_GRAFT_ANN_ENCODER", "numpy")
+
 
 @query("q_ann_ivfpq_refined", oracle=None)
 def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,6 +833,7 @@ def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_wikipedia_spark.operators.similarity import (
         pq_code_cols,
         pq_d2_cols,
+        pq_encode_pandas,
         train_ivfpq_index,
     )
 
@@ -835,20 +850,25 @@ def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 99-115 s at 200 K vectors): a 16×64 literal array-of-arrays is
     # re-CONSTRUCTED per row before the interpreted fold even starts,
     # while ivf_assign's centroids arrive as broadcast join columns
-    # with zero per-row construction. Literal codebooks stay the right
-    # call for the PQ layer (pq_d2_cols needs per-subspace tables in
-    # expression form); for the coarse assign, join-the-small-table
-    # wins.
+    # with zero per-row construction. For the PQ encode of the assigned
+    # corpus, ANN_ENCODER picks between the vectorized Arrow scorer and
+    # the expression-fold form (both map-only) — see the constant above.
     pq_m = cbs.shape[0]
-    cands = (
-        ivf_assign(emb, cents_df, n_probe=1)
-        .select("vec_id", "centroid_id", *pq_d2_cols(F.col("embedding"), cbs))
-        .select(
+    assigned = ivf_assign(emb, cents_df, n_probe=1).select(
+        "vec_id", "centroid_id", "embedding"
+    )
+    if ANN_ENCODER == "numpy":
+        cands = pq_encode_pandas(assigned, cbs).withColumnRenamed(
+            "vec_id", "neighbor_id"
+        )
+    else:
+        cands = assigned.select(
+            "vec_id", "centroid_id", *pq_d2_cols(F.col("embedding"), cbs)
+        ).select(
             F.col("vec_id").alias("neighbor_id"),
             "centroid_id",
             *pq_code_cols(pq_m),
         )
-    )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     # query side: probed cells + ADC lookup tables ride the broadcast
     probes = (

@@ -42,7 +42,12 @@ def get_spark(
     and the driver can call this freely.
     """
     if master is None:
-        master = f"local[{_DEFAULT_CPUS}]"
+        # SPARK_GRAFT_MASTER lets the verify/bench tooling run the same
+        # code under multi-JVM masters — local-cluster[N,cores,memMB]
+        # spawns real executor processes with serialized exchanges,
+        # remote broadcasts, and per-executor Python workers, the class
+        # of bug single-JVM local[*] structurally cannot surface.
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{_DEFAULT_CPUS}]")
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", _DEFAULT_CPUS)
@@ -88,13 +93,67 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Connector jars for the optional real-endpoint integration tests
+    # (tests/test_integration_endpoints.py): e.g.
+    # SPARK_GRAFT_JARS_PACKAGES="org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2,
+    # org.mongodb.spark:mongo-spark-connector_2.13:10.5.0". Must be set
+    # BEFORE the first get_spark of the process (jars resolve at JVM start).
+    pkgs = os.environ.get("SPARK_GRAFT_JARS_PACKAGES")
+    if pkgs:
+        builder = builder.config("spark.jars.packages", pkgs)
+    if master.startswith("local-cluster["):
+        # size each executor to its worker's full memory grant (the
+        # third bracket field, MB) — the 1g default would waste 3/4 of
+        # a local-cluster[4,8,4096] worker — and pin the executor-side
+        # Python to the driver's interpreter so pandas/pyarrow versions
+        # can't skew between the two ends of the Arrow boundary.
+        import sys
+
+        mem_mb = master.rstrip("]").split(",")[-1]
+        builder = builder.config("spark.executor.memory", f"{mem_mb}m").config(
+            "spark.pyspark.python", sys.executable
+        )
     if state_store == "rocksdb":
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Any non-single-JVM master (local-cluster, standalone, YARN, k8s)
+    # runs Python workers that must IMPORT this package: module-level
+    # functions used as UDFs are cloudpickled by reference, not value.
+    # Ship the package zip — the programmatic --py-files. (Found by the
+    # round-7 local-cluster gauntlet: q_multimodal_decode's module-level
+    # mapInPandas fn raised ModuleNotFoundError on remote workers while
+    # closure-defined UDFs, pickled by value, sailed through.)
+    if not spark.sparkContext.master.startswith("local["):
+        _ship_package(spark)
+    return spark
+
+
+_SHIPPED_APP_IDS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Zip flink_wikipedia_spark and addPyFile it so executor Python
+    workers can unpickle by-reference UDFs. Once per application."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APP_IDS:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    stage = tempfile.mkdtemp(prefix="fws_pyfiles_")
+    archive = shutil.make_archive(
+        os.path.join(stage, "flink_wikipedia_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(archive)
+    _SHIPPED_APP_IDS.add(app_id)
 
 
 def stop_spark() -> None:
