@@ -101,6 +101,18 @@ def main() -> int:
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {el:.1f}s)")
             continue
+        # Per-oracle wall cap (SPARK_GRAFT_ORACLE_TIMEOUT seconds, off by
+        # default): at 100× the CHECKER is the scaling risk before the
+        # engine (see SCALE.md) — a runaway oracle plan should fail that
+        # one query, not stall the whole gate.
+        cap = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0") or 0)
+        timer = None
+        if cap > 0:
+            import threading
+
+            timer = threading.Timer(cap, con.interrupt)
+            timer.start()
+        t1 = time.time()
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
@@ -109,12 +121,17 @@ def main() -> int:
             # a resource failure (temp-disk fill, OOM) can wedge the
             # shared connection and cascade spurious OOMs into every
             # later oracle (seen in the sf1 gauntlet) — isolate it
+            if timer is not None:
+                timer.cancel()
             try:
                 con.close()
             except Exception:  # noqa: BLE001
                 pass
             con = fresh_con()
             continue
+        if timer is not None:
+            timer.cancel()
+        oel = time.time() - t1
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(name)
             print(
@@ -151,7 +168,7 @@ def main() -> int:
             print("  spark:", a[mask].head(3).to_dict("records"))
             print("  oracle:", b[mask].head(3).to_dict("records"))
             continue
-        print(f"ok   {name}: {len(sdf)} rows match ({el:.1f}s)")
+        print(f"ok   {name}: {len(sdf)} rows match ({el:.1f}s, oracle {oel:.1f}s)")
     print(f"\n{attempted - len(failures)}/{attempted} pass")
     return 1 if failures else 0
 
