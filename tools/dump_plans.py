@@ -42,7 +42,7 @@ SHOWCASE = {
     "q_pii_redact": "PII scrub is pure codegen regexp — map-only, ZERO exchanges",
     "q_shuffle_shards": "deterministic global shuffle: ONE hash exchange on shard + in-partition sort (no global range sort)",
     "q_ivfpq_search": "IVF-PQ: candidates join as (cell, 8 codes) — ADC lookup sum in codegen, raw floats never shuffle",
-    "q_ann_ivfpq_refined": "trained IVF-PQ + refine: codebooks as plan literals (index application = map), ADC shortlist window, then a tiny broadcast join back to raw vectors for exact re-rank",
+    "q_ann_ivfpq_refined": "trained IVF-PQ + refine: corpus encode is ONE map-only Arrow MapInPandas (numpy ADC codes — measured faster than expression folds, SCALE.md), ADC shortlist window, then a tiny broadcast join back to raw vectors for exact re-rank",
     "q_gapfill_rollup": "gap-fill: spine GENERATED from |types|-row bounds, joined to the rollup (never to raw events)",
     "q_duplicate_spans": "substring dedup: 16-byte (doc_id, hash) rows on the wire, ONE uniform groupBy, HAVING prunes to the dup tail",
     "q_pagerank_parts_suppliers": "iterative PR: checkpointed edge list, per-iteration join+groupBy — integer fixed-point, so exact under any partition order",
@@ -60,6 +60,11 @@ KEEP = (
     "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
     "TakeOrderedAndProject", "Window", "Sort ", "Filter", "Generate",
     "InMemoryTableScan", "BroadcastNestedLoop", "CartesianProduct", "Project",
+    # Python-boundary nodes: the dump must SHOW every Arrow crossing,
+    # not hide it — a reviewer checking "UDFs off the hot path" reads
+    # these lines
+    "MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
+    "BatchEvalPython",
 )
 
 
