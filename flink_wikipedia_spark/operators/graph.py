@@ -156,6 +156,47 @@ def connected_components(
     return _minlabel_components(und, max_iter)
 
 
+def sql_components_duckdb(rounds: int = 24) -> str:
+    """DuckDB oracle twin of ``connected_components``: UNROLLED
+    min-label propagation + pointer jumping — the same algorithm
+    ``_minlabel_components`` runs — as ``rounds`` MATERIALIZED CTE
+    stages over an ``edges(u, v)`` CTE that must already contain BOTH
+    directions. Emits CTE text defining ``comp(node, component)``;
+    splice it into a WITH list after ``edges``.
+
+    Why not a WITH RECURSIVE transitive closure: ``reach`` materializes
+    every (node, reachable-node) pair — Σ|component|² rows, quadratic in
+    cluster size — which made the sf10 oracle the correctness gate's
+    bottleneck (>300 s wall while the engine side ran in seconds; the
+    same checker-scales-worse-than-engine failure mode SCALE.md records
+    for the dedup-pipeline oracle). The ladder is O(rounds × |E|), and
+    pointer jumping makes rounds O(log diameter): 24 covers diameters
+    past 10^6. Under-iteration cannot pass silently — unconverged labels
+    mismatch the engine's and fail the gate."""
+    parts = [
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM edges)"
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+        SELECT n.node, LEAST(n.lab, COALESCE(m.minlab, n.lab)) AS lab
+        FROM l{k - 1} n LEFT JOIN (
+            SELECT e.u AS node, MIN(x.lab) AS minlab
+            FROM edges e JOIN l{k - 1} x ON x.node = e.v
+            GROUP BY e.u
+        ) m USING (node)
+    )"""
+        )
+        parts.append(
+            f"""l{k} AS MATERIALIZED (
+        SELECT a.node, COALESCE(b.lab, a.lab) AS lab
+        FROM p{k} a LEFT JOIN p{k} b ON b.node = a.lab
+    )"""
+        )
+    parts.append(f"comp AS (SELECT node, lab AS component FROM l{rounds})")
+    return ",\n    ".join(parts)
+
+
 def _minlabel_components(und: DataFrame, max_iter: int) -> DataFrame:
     """Min-label propagation with pointer jumping over a checkpointed
     undirected edge list (both directions present). See module

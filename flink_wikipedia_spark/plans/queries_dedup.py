@@ -19,6 +19,7 @@ from flink_wikipedia_spark.operators.dedup import (
     sql_minhash_signatures_duckdb,
     sql_simhash_duckdb,
 )
+from flink_wikipedia_spark.operators.graph import sql_components_duckdb
 from flink_wikipedia_spark.operators.text import fingerprint_cols
 from flink_wikipedia_spark.plans.registry import query
 from flink_wikipedia_spark.schemas import load_table
@@ -187,34 +188,28 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_components",
     oracle=f"""
-    WITH RECURSIVE
-    pairs AS ({sql_minhash_pairs_duckdb()}),
-    edges AS (
+    WITH
+    pairs AS MATERIALIZED ({sql_minhash_pairs_duckdb()}),
+    edges AS MATERIALIZED (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION ALL
         SELECT doc_b AS u, doc_a AS v FROM pairs
     ),
-    reach(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    )
+    {sql_components_duckdb()}
     SELECT node, component, CAST(n_members AS BIGINT) AS n_members FROM (
         SELECT node, component,
                COUNT(*) OVER (PARTITION BY component) AS n_members
-        FROM (
-            SELECT u AS node, LEAST(u, MIN(v)) AS component
-            FROM reach GROUP BY u
-        )
+        FROM comp
     )
     """,
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS, not just pairs: connected components over the
     MinHash candidate-pair graph via iterative min-label propagation
-    (operators/graph.connected_components). The oracle computes the same
-    transitive closure with a recursive CTE — a genuinely iterative
-    Spark algorithm checked against genuinely recursive SQL."""
+    (operators/graph.connected_components). The oracle runs the SAME
+    algorithm as unrolled SQL stages (graph.sql_components_duckdb) —
+    the earlier recursive-CTE transitive closure was Σ|component|²
+    rows and became the sf10 gate's bottleneck (checker, not engine)."""
     from pyspark.sql import Window
 
     from flink_wikipedia_spark.operators.graph import connected_components
@@ -240,21 +235,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_canonical",
     oracle=f"""
-    WITH RECURSIVE
-    pairs AS ({sql_minhash_pairs_duckdb()}),
-    edges AS (
+    WITH
+    pairs AS MATERIALIZED ({sql_minhash_pairs_duckdb()}),
+    edges AS MATERIALIZED (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION ALL
         SELECT doc_b AS u, doc_a AS v FROM pairs
     ),
-    reach(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    ),
-    comp AS (
-        SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
-    ),
+    {sql_components_duckdb()},
     labeled AS (
         SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
