@@ -73,10 +73,19 @@ def main() -> int:
     else:
         spark = get_spark("verify-local")
     def fresh_con():
+        # drop any buffers the previous (possibly OOM-wedged) connection
+        # still pins — without this a single runaway oracle cascaded
+        # "bad allocation" into every later fresh_con at sf10
+        import gc
+
+        gc.collect()
         c = duckdb.connect()
         # bound the spill: a pathological oracle plan once wrote >80 GB
         # of temp before dying — fail it fast instead of filling the disk
         c.sql("SET max_temp_directory_size='24GB'")
+        # bound RAM per connection too: DuckDB's default (80% of the
+        # box) ignores the Spark driver JVM sharing this process space
+        c.sql("SET memory_limit='24GB'")
         for t in ALL_TABLES:
             c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
