@@ -507,19 +507,25 @@ def _pagerank_iter_sql(prev: str) -> str:
 @query(
     "q_pagerank_parts_suppliers",
     oracle=f"""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
         SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
         FROM lineitem
         UNION
         SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
         FROM lineitem
     ),
-    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-    r0 AS (SELECT src AS node, CAST({PR_UNIT} AS BIGINT) AS rank FROM deg),
-    it1 AS ({_pagerank_iter_sql("r0")}),
-    it2 AS ({_pagerank_iter_sql("it1")})
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS MATERIALIZED (
+        SELECT src AS node, CAST({PR_UNIT} AS BIGINT) AS rank FROM deg
+    ),
+    it1 AS MATERIALIZED ({_pagerank_iter_sql("r0")}),
+    it2 AS MATERIALIZED ({_pagerank_iter_sql("it1")})
     SELECT node, rank FROM it{PR_ITERS}
     """,
+    # MATERIALIZED throughout (round 7): plain CTEs inline, so it2's
+    # plan re-evaluated the 60 M-row double-DISTINCT edges subtree ~6x
+    # concurrently at sf10 (>48 GB working set / 22 GiB spilled);
+    # staged, each stage is computed once over <1 M rows.
 )
 def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative graph centrality with a FULL value oracle: {PR_ITERS}

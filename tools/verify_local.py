@@ -84,8 +84,11 @@ def main() -> int:
         # of temp before dying — fail it fast instead of filling the disk
         c.sql("SET max_temp_directory_size='24GB'")
         # bound RAM per connection too: DuckDB's default (80% of the
-        # box) ignores the Spark driver JVM sharing this process space
-        c.sql("SET memory_limit='24GB'")
+        # box) ignores the Spark driver JVM sharing this process space.
+        # 48 GB, not 24: the unrolled-pagerank oracle at sf10 legitimately
+        # holds ~23 GB of materialized stages — under a 24 GB cap it
+        # spills all of it and then blows the temp cap instead
+        c.sql("SET memory_limit='48GB'")
         for t in ALL_TABLES:
             c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
