@@ -718,26 +718,36 @@ def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            COUNT(*) AS n_tokens,
            CAST(SUM(CASE WHEN tid = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
-           CAST('0x' || substring(md5(
-               array_to_string(list(tid ORDER BY pos), ',')
-           ), 1, 15) AS BIGINT) AS ids_fp
+           CAST(SUM(CAST(CAST('0x' || substring(md5(
+                   CAST(pos AS VARCHAR) || ':' || CAST(tid AS VARCHAR)
+               ), 1, 15) AS BIGINT) AS DECIMAL(38,0))) % {2**60} AS BIGINT)
+               AS ids_fp
     FROM enc GROUP BY doc_id
     """,
 )
 def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus→token-id encode pass: every document's tokens joined
     against the frequency-ranked vocabulary (q_vocab_ids), OOV mapping
-    to ``<unk>``=1, re-assembled in document order — surfaced as a
-    per-doc (length, unk count, 60-bit sequence fingerprint) row.
-    The fingerprint stands in for the id array itself: it proves the
-    exact encoded sequence while keeping every output column scalar.
+    to ``<unk>``=1 — surfaced as a per-doc (length, unk count, 60-bit
+    sequence fingerprint) row. The fingerprint is the SUM of a
+    position-keyed 60-bit hash, md5("pos:tid"), mod 2^60 over exact
+    decimal accumulation: each position appears exactly once, so the
+    sum determines the pos→id map — it proves the exact encoded
+    sequence like the old md5-of-joined-ids did, but as a PLAIN
+    aggregate with map-side partials instead of a per-doc ordered list
+    build. (Round 7: the list(tid ORDER BY pos) form made the DuckDB
+    oracle allocate per-group ordered state for 500 K groups × 27.5 M
+    rows under a memory cap — >65 K memory mappings, the kernel's
+    vm.max_map_count, wedging the whole gate process at sf10. The
+    commutative-hash-sum form is also the better Spark shape: no
+    collect_list state, pure partial→final aggregation.)
 
     Scale: the vocab is morphology-bounded and joins as a broadcast
     (the one corpus-sized structure — exploded (doc, pos, token) rows —
     is immediately narrowed to 24-byte (doc, pos, id) rows); the
-    re-assembly groups by doc_id, bounded per group by document length.
-    This is the canonical encode shape: one explode, one broadcast
-    join, one keyed shuffle."""
+    fingerprint aggregate carries 16-byte decimal partials. This is the
+    canonical encode shape: one explode, one broadcast join, one keyed
+    shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
@@ -763,17 +773,17 @@ def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         F.coalesce("token_id", F.lit(1)).alias("tid"),
     )
-    ids_str = F.concat_ws(
-        ",",
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-            lambda s: s.tid.cast("string"),
-        ),
+    pos_hash = stable_token_hash(
+        F.concat(
+            F.col("pos").cast("string"), F.lit(":"), F.col("tid").cast("string")
+        )
     )
     return enc.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("tid") == 1, 1).otherwise(0)).cast("long").alias("n_unk"),
-        stable_token_hash(ids_str).alias("ids_fp"),
+        (F.sum(pos_hash.cast("decimal(38,0)")) % F.lit(2**60))
+        .cast("long")
+        .alias("ids_fp"),
     )
 
 

@@ -93,6 +93,20 @@ def main() -> int:
             c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
 
+    def map_count() -> int:
+        """Current number of memory mappings (Linux). The kernel's
+        vm.max_map_count default is 65530; a long gate at sf10 walks
+        into it — DuckDB + JVM + glibc arenas accumulate mappings until
+        EVERY allocator in the process fails with OOM-shaped errors
+        (std::bad_alloc at 4 KB, numpy MemoryError at 11 MB) while the
+        box has 100+ GB free. Diagnosed round 7 from /proc/self/maps
+        sitting at exactly 65532 lines."""
+        try:
+            with open("/proc/self/maps") as fh:
+                return sum(1 for _ in fh)
+        except OSError:
+            return 0
+
     con = fresh_con()
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -101,6 +115,17 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # recycle the oracle connection before the map table fills:
+        # closing + gc releases DuckDB's buffer mappings (verified — the
+        # gate recovers after a rebuild), so proactive recycling keeps
+        # the whole 130-query sf10 gate inside one process
+        if map_count() > 40_000:
+            print("  [recycling DuckDB connection: map count high]")
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+            con = fresh_con()
         attempted += 1
         t0 = time.time()
         try:
@@ -180,7 +205,12 @@ def main() -> int:
             print("  spark:", a[mask].head(3).to_dict("records"))
             print("  oracle:", b[mask].head(3).to_dict("records"))
             continue
-        print(f"ok   {name}: {len(sdf)} rows match ({el:.1f}s, oracle {oel:.1f}s)")
+        dbg = (
+            f" maps={map_count()}" if os.environ.get("SPARK_GRAFT_DEBUG_MAPS") else ""
+        )
+        print(
+            f"ok   {name}: {len(sdf)} rows match ({el:.1f}s, oracle {oel:.1f}s){dbg}"
+        )
     print(f"\n{attempted - len(failures)}/{attempted} pass")
     return 1 if failures else 0
 
