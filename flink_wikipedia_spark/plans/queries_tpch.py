@@ -672,27 +672,39 @@ def q_tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     sole offender on a multi-supplier order.
 
     Scale: the correlated-subquery formulation rescans lineitem twice
-    per probe; this shape reads it once, aggregates by orderkey (the
-    join key — no extra exchange beyond the fact join), and joins the
-    per-order flags back on the same key."""
+    per probe, and even the flagged⋈per-order join-back shape computes
+    the fact join TWICE (the countDistinct exchange carries partial-agg
+    rows, so Spark cannot reuse it for the probe side — at sf100 the
+    duplicated lineitem+orders shuffle exhausted a 43 GB local disk).
+    This shape shuffles each fact ONCE: the per-order distinct-supplier
+    counts are collect_set windows directly over the flagged line rows
+    (count-distinct-over-window spelled the one way Spark supports it),
+    so when the orderkey join is sort-merge the window inherits both its
+    partitioning AND its ordering — zero exchanges and zero sorts past
+    the join itself; line counts per order stay small (TPC-H ≤ 7), so
+    the window buffers are bounded."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).cast("int")
-    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey", "l_suppkey", late.alias("late")
-    )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        flagged.join(per_order, "l_orderkey")
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late") == 1, F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
         .filter(
-            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
         )
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(F.count(F.lit(1)).alias("n_blocking_lines"))

@@ -34,6 +34,7 @@ SHOWCASE = {
     "q_funnel_view_click_purchase": "three layered per-user windows REUSE one user_id exchange (no per-step self-joins)",
     "q_zscore_docs": "per-lang stats via two-pass agg (map-side collapse to |langs| rows) joined back — docs never shuffled by the skew-prone lang key; all codegen, no Python",
     "q_tpch_q12_late_shipments": "the schema's one fact⋈fact join: no hint, shuffle on orderkey (bucketed layout removes even that — tests/test_bucketing.py)",
+    "q_tpch_q21_sole_late_supplier": "EXISTS/NOT-EXISTS pair as ONE pass: per-order distinct-supplier counts are collect_set windows over the flagged lines, inheriting the fact join's partitioning AND ordering (zero extra exchanges/sorts under SMJ) — the join-back form computed the fact join twice and exhausted sf100's local disk",
     "q_contamination_check": "5-gram hashes (longs) on the wire, benchmark set broadcast as hit-marker, ONE groupBy pass",
     "q_pack_sequences": "running-sum window partitioned by (lang, shard) — packing parallelism without a global sort",
     "q_simhash": "row-local SimHash: higher-order folds over the token-hash array — ZERO exchanges (the explode+groupBy form shuffled every token row)",
