@@ -187,3 +187,15 @@ def test_no_oracle_uses_nonportable_decimal_to_double():
         f"non-portable decimal→double conversion in oracles: {offenders} "
         "— use functions.compat.sql_dec_sum_duckdb"
     )
+
+
+def test_q21_single_scan_per_fact(spark):
+    """Q21 regression: the EXISTS/NOT-EXISTS pair must stay a one-pass
+    window plan. The earlier join-back formulation planned the
+    lineitem⋈orders join TWICE (the countDistinct exchange carries
+    partial-agg rows, so the probe side could not reuse it), doubling
+    the dominant fact shuffle — at sf100 the duplication exhausted
+    local disk. Each fact file may appear exactly once in the plan."""
+    plan = _plan(spark, "q_tpch_q21_sole_late_supplier")
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+    assert plan.count("orders.parquet") == 1, "orders scanned more than once"
