@@ -48,10 +48,22 @@ def get_spark(
         # remote broadcasts, and per-executor Python workers, the class
         # of bug single-JVM local[*] structurally cannot surface.
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{_DEFAULT_CPUS}]")
+    # When nobody pins a partition count, let AQE size every exchange
+    # from map-output statistics: start each shuffle at a HIGH initial
+    # partition count and coalesce down by the 64 MB advisory size.
+    # Small SFs coalesce to a handful of tasks (measured: bench.py at
+    # sf0.1 unchanged); big inputs keep enough partitions that per-task
+    # sort/join state stays bounded — the sf100 gauntlet's Q9/Q21 ran
+    # 19 M-row partitions into GC thrash and heap OOM under a static
+    # count of 32, and 2.4× faster once partition count scaled with the
+    # data. A 100 TB cluster tunes the SAME way: high initial, AQE
+    # coalesces. Explicit settings (arg or env) stay exact.
+    adaptive_initial: int | None = None
     if shuffle_partitions is None:
-        shuffle_partitions = int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", _DEFAULT_CPUS)
-        )
+        env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        shuffle_partitions = int(env_parts) if env_parts else int(_DEFAULT_CPUS)
+        if env_parts is None:
+            adaptive_initial = 512
 
     # Streaming state store: the heap-backed default is ~2× faster while
     # state fits in memory (measured: 33K vs 15K ev/s on the flagship at
@@ -77,6 +89,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(adaptive_initial if adaptive_initial else shuffle_partitions),
+        )
         # dim tables (region/nation/customer/supplier/part at our SFs) stay
         # broadcastable; 64 MB is a deliberate bump over the 10 MB default —
         # at 100 TB fact scale, broadcasting a 50 MB dim beats shuffling
