@@ -14,10 +14,13 @@ large cluster up front:
   diverges.
 - **Arrow enabled** — every Python↔JVM crossing (the few we allow) is
   columnar-batched.
-- **Shuffle partitions** sized from the environment: tests run tiny SFs
-  on a laptop-shaped ``local[*]``; the same code on a 1000-executor
-  cluster should set ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` to ~2-3× total
-  cores (or rely on AQE coalescing from a high initial value).
+- **Shuffle partitions scale with the data, not a constant**: by
+  default every exchange starts at a high AQE initial partition count
+  and coalesces to the 64 MB advisory size from map-output statistics —
+  the same session handles sf0.001 (coalesces to a few tasks) and sf100
+  (keeps hundreds, bounding per-task sort/join state) with zero knobs.
+  ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` pins an exact static count when a
+  deployment needs one.
 """
 
 from __future__ import annotations
