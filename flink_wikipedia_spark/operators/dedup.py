@@ -202,9 +202,15 @@ def sql_minhash_pairs_duckdb(
     id_col: str = "doc_id",
     max_bucket: int = MAX_BUCKET_FOR_PAIRS,
 ) -> str:
+    # sigs/bands MATERIALIZED: DuckDB inlines plain CTEs, and bands is
+    # referenced twice (small + pruned) with sigs referenced once per
+    # band inside it — at sf100 the re-inlined tokenize+DISTINCT over
+    # 5M docs spilled past a 24 GB temp cap before any join ran.
+    # Materializing pins one computation per stage (same fix as the
+    # dedup-pipeline oracles, queries_dedup.py).
     return f"""
-    WITH sigs AS ({sql_minhash_signatures_duckdb(table, id_col)}),
-    bands AS ({_sql_band_rows(id_col)}),
+    WITH sigs AS MATERIALIZED ({sql_minhash_signatures_duckdb(table, id_col)}),
+    bands AS MATERIALIZED ({_sql_band_rows(id_col)}),
     small AS (
         SELECT band, bucket FROM bands GROUP BY band, bucket
         HAVING COUNT(*) <= {max_bucket}
@@ -218,7 +224,7 @@ def sql_minhash_pairs_duckdb(
 
 def sql_minhash_clusters_duckdb(table: str = "documents", id_col: str = "doc_id") -> str:
     return f"""
-    WITH sigs AS ({sql_minhash_signatures_duckdb(table, id_col)}),
+    WITH sigs AS MATERIALIZED ({sql_minhash_signatures_duckdb(table, id_col)}),
     bands AS ({_sql_band_rows(id_col)})
     SELECT bucket, MIN({id_col}) AS keeper_doc_id, COUNT(*) AS n_members
     FROM bands WHERE band = 0

@@ -107,7 +107,15 @@ def get_spark(
         # schemas.load_table, which sniffs the parquet footer and sets
         # spark.sql.legacy.parquet.nanosAsLong only for NANOS files
 
-        .config("spark.driver.maxResultSize", "4g")
+        # 4g is the production default; the local verify gate collects
+        # full results to compare against the oracle, and a map-only
+        # 100M-row × 9-col result (q_date_functions at sf100) serializes
+        # past 4 GiB — the CHECKER's collect, not the engine, is what
+        # needs the headroom, so big-SF gauntlets override via env.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "4g"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
