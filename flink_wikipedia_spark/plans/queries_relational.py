@@ -41,13 +41,15 @@ from flink_wikipedia_spark.schemas import load_table
     """,
 )
 def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5: fact⋈dim equi-join + aggregate. `customer` is explicitly
-    broadcast — at 100 TB the orders side never shuffles for this join;
-    only the 5-row result's aggregate exchange remains."""
+    """E5: fact⋈dim equi-join + aggregate. `customer` joins un-hinted:
+    the planner broadcasts it from file stats while it fits (so at
+    small SF the orders side never shuffles for this join), and falls
+    back to a shuffled join at the scale where 150M customers cannot
+    ride a broadcast. Only the 5-row aggregate exchange is fixed."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -120,7 +122,8 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-10.
-    customer(filtered) broadcasts into orders; orders⋈lineitem is the
+    customer(filtered) auto-broadcasts into orders while it fits the
+    threshold (un-hinted — at SF1000 it shuffles); orders⋈lineitem is the
     one real shuffle (both sides hash on orderkey — at scale, bucketing
     both tables by orderkey makes it shuffle-free). Top-10 via
     TakeOrderedAndProject: no global sort ever materializes."""
@@ -132,7 +135,7 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("o_orderkey").alias("orderkey"),
@@ -162,10 +165,11 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table join. All four dims (region, nation,
-    customer, supplier) broadcast; the only shuffle joins orders to
-    lineitem on orderkey. Catalyst + AQE order the join tree; we only
-    declare it."""
+    """TPC-H Q5 shape: 6-table join. The constant dims (region, nation)
+    are forced broadcasts; customer and supplier join un-hinted (auto-
+    broadcast while under the threshold, shuffled at SF1000); the one
+    unavoidable shuffle joins orders to lineitem on orderkey. Catalyst
+    + AQE order the join tree; we only declare it."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -174,8 +178,8 @@ def q_tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -689,11 +693,14 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline gates a 100 TB ingest on.
 
     Scale: single-table rules share ONE scan each via conditional
-    aggregation (never a scan per rule); the temporal rule rides the
-    fact⋈dim join with the dim broadcast; FK-orphan rules are LEFT ANTI
-    counts (the cheapest existence check — no row wider than the key
-    crosses the wire). Every branch reduces to a single row before the
-    union, so the result is |rules| rows regardless of input size."""
+    aggregation (never a scan per rule); the temporal rule is a
+    fact⋈fact equi-join on the order key — shuffled, never broadcast
+    (orders grows with the data: 150M rows at sf100 blew the 8 GB
+    broadcast ceiling before round 7 removed the forced broadcast);
+    FK-orphan rules are LEFT ANTI counts (the cheapest existence check
+    — no row wider than the key crosses the wire). Every branch reduces
+    to a single row before the union, so the result is |rules| rows
+    regardless of input size."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -741,7 +748,10 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     shipped = li.join(
-        F.broadcast(o.select("o_orderkey", "o_orderdate")),
+        # no broadcast hint: orders is fact-sized (1.5B rows at TPC-H
+        # SF1000), so this must stay a shuffled equi-join; both sides
+        # hash on the order key, the natural co-partitioning.
+        o.select("o_orderkey", "o_orderdate"),
         li.l_orderkey == F.col("o_orderkey"),
     )
     return (

@@ -3,6 +3,19 @@ queries_relational.py): selective scan aggregates, conditional
 aggregation, correlated EXISTS, outer-join histograms, per-group scalar
 subqueries, LIKE filters, grouping sets — the relational idioms any
 engine user expects, adapted to the driver's star schema.
+
+Broadcast policy (round 7): ``F.broadcast`` is forced ONLY for sides
+that are bounded at ANY scale factor — nation/region (constant 25/5
+rows), single-row scalar aggregates, and trained/capped artifacts.
+Tables that grow linearly with the data (customer, part, supplier,
+orders — 150M customers / 200M parts at TPC-H SF1000) carry NO hint:
+the planner auto-broadcasts them from parquet size stats while they
+fit under autoBroadcastJoinThreshold (64 MB here), and AQE converts a
+shuffled join to broadcast at runtime when a filtered/derived side
+turns out small — so the same plan text is broadcast-fast at sf0.1 and
+shuffle-safe at SF1000. A forced hint on a linear table is a deferred
+OOM: q_data_quality_audit's forced orders broadcast (150M rows) died
+with "Not enough memory to build and broadcast" at sf100.
 """
 
 from __future__ import annotations
@@ -72,7 +85,8 @@ _PROMO_CASE = (
 )
 def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional aggregation (CASE inside SUM) over a
-    fact⋈dim join — part broadcasts, the CASE folds in the partial
+    fact⋈dim join — part joins un-hinted (auto-broadcast while it fits,
+    shuffled at SF1000 where 200M parts cannot), the CASE folds in the partial
     aggregate."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -81,7 +95,7 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             dec_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).alias(
                 "promo_revenue"
@@ -176,7 +190,7 @@ def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataF
         dec_avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(part_avg, li.l_partkey == part_avg._pk)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -258,7 +272,7 @@ def q_window_share_of_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row division."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
     c = load_table(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", F.col("c_mktsegment").alias("mktsegment"), "o_totalprice"
     )
     from flink_wikipedia_spark.functions.compat import dec_to_double_portable
@@ -309,7 +323,7 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dec_sum(rev).alias("revenue"))
@@ -340,7 +354,7 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_qty"))
         .filter(F.col("_qty") > 240)
@@ -378,7 +392,7 @@ def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(band)
         .agg(dec_sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
@@ -403,7 +417,8 @@ def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation trade volume by year — a 5-way
     star join where the same dimension (nation) enters under two roles
-    (supplier's and customer's); all four dims broadcast, so the only
+    (supplier's and customer's); nation stays broadcast, supplier and
+    customer join un-hinted (auto-broadcast at small SF), so the only
     shuffle is the final group-by."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -419,8 +434,8 @@ def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -454,7 +469,7 @@ def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        ps.join(p, ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -615,7 +630,8 @@ def q_tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: the profit rollup — fact⋈fact (lineitem⋈orders on
-    orderkey, no hint) plus a broadcast supplier dim, grouped by
+    orderkey, no hint) plus an un-hinted supplier join (auto-broadcast
+    while small), grouped by
     (supplier nation, order year).
 
     Scale: the only large exchange is the orderkey join; the group-by
@@ -627,7 +643,7 @@ def q_tpch_q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(
             F.col("s_nationkey").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -767,8 +783,8 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("l_partkey")
     return (
-        ps.join(F.broadcast(eu_supp), ps.l_suppkey == eu_supp.s_suppkey)
-        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        ps.join(eu_supp, ps.l_suppkey == eu_supp.s_suppkey)
+        .join(p, ps.l_partkey == p.p_partkey)
         .withColumn("min_cost", F.min("supplycost").over(w))
         .filter(F.col("supplycost") == F.col("min_cost"))
         .select("p_partkey", "s_suppkey", "s_name", "n_name", "s_acctbal", "supplycost")
@@ -809,7 +825,8 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines.
 
     Scale: every dimension (part-filtered, customer→nation→region,
-    supplier→nation) broadcasts; lineitem⋈orders on orderkey is the one
+    supplier→nation and the constant dims broadcast; customer/part/
+    supplier join un-hinted); lineitem⋈orders on orderkey is the one
     large exchange, and the date filter on orders cuts the build side
     before it. Group key is |years| — the final agg collapses
     map-side."""
@@ -837,9 +854,9 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(cust_region), o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(cust_region, o.o_custkey == F.col("c_custkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -886,7 +903,8 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part doubles), so the 0.002×total threshold compares
     bit-identical doubles on both engines.
 
-    Scale: supplier⋈nation broadcasts and filters the fact scan; one
+    Scale: supplier⋈nation (nation broadcast, product un-hinted)
+    filters the fact scan; one
     shuffle on l_partkey; the scalar total rides the same scan as a
     broadcast single row — two passes over a pre-filtered fraction of
     lineitem, no giant exchange."""
@@ -897,7 +915,7 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     v = F.col("l_extendedprice") * F.col("l_quantity")
-    lines = li.join(F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey")).select(
+    lines = li.join(nation_supp, li.l_suppkey == F.col("s_suppkey")).select(
         "l_partkey", v.alias("v")
     )
     per_part = lines.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
@@ -934,7 +952,7 @@ def q_tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataF
     semi-joins. The availqty threshold is a constant proxy (no partsupp
     table): half of a nominal availability of 60 units.
 
-    Scale: the part-name filter broadcasts into a semi-join that prunes
+    Scale: the part-name filter semi-joins (un-hinted) and prunes
     the fact scan before the (suppkey, partkey) aggregate; the HAVING
     output collapses to a supplier-id set that semi-joins the supplier
     dim. No distinct needed — left-semi absorbs duplicates. The decimal
@@ -948,7 +966,7 @@ def q_tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataF
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_qty"))
         .filter(F.col("_qty") > 30)
