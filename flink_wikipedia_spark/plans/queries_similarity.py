@@ -942,7 +942,11 @@ SEMDEDUP_TAU = 0.3
         SELECT vec_id AS centroid_id, embedding FROM embeddings
         WHERE vec_id < {IVF_NC}
     ),
-    assign AS (
+    -- MATERIALIZED: `assign` is referenced twice (reps + final join);
+    -- un-pinned, DuckDB re-inlines the |V|x|C| cross-join distance
+    -- computation per reference — at sf100 (2M vectors) the doubled
+    -- 32M-row list-valued intermediate OOM-killed the checker.
+    assign AS MATERIALIZED (
         SELECT vec_id, embedding, centroid_id FROM (
             SELECT v.vec_id, v.embedding, c.centroid_id,
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
