@@ -538,11 +538,15 @@ def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each iteration is edges ⋈ ranks on src + one groupBy(dst) —
     the standard distributed PR shape; the degreed edge list is
-    localCheckpoint-ed once so K iterations don't re-derive the
-    distinct-pair subtree (Catalyst re-plans per reference), and
-    lineage stays flat however many iterations run (same control as
-    operators/graph.connected_components). Hub skew in the groupBy is
-    absorbed by map-side partial sums.
+    persisted once (spillable columnar cache) so K iterations don't
+    re-derive the distinct-pair subtree (Catalyst re-plans per
+    reference). Persist, NOT localCheckpoint: local checkpointing pins
+    whole partitions as deserialized row arrays, and at sf100 (160M
+    edges AQE-coalesced to 64MB-serialized partitions ≈ 1 GB heap
+    each × 32 concurrent tasks) that OOMed the executor heap — the
+    columnar cache stores compressed batches and spills to disk
+    instead. Hub skew in the groupBy is absorbed by map-side partial
+    sums.
 
     Shuffle budget (round-5 rework, measured 2.3x fresh-plan / 1.6x
     steady-state at sf0.1): dedup the 2-column pair BEFORE mirroring
@@ -560,10 +564,12 @@ def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("src"),
         (F.col("l_partkey") * 2).alias("dst"),
     )
+    from pyspark import StorageLevel
+
     withdeg = (
         fwd.union(rev)
         .withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("src")))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = (
         withdeg.select(F.col("src").alias("node"))

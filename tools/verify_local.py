@@ -61,17 +61,20 @@ def main() -> int:
     vanilla = "--vanilla" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
-    if vanilla:
-        # Driver fidelity: the driver builds its OWN SparkSession without
-        # our factory configs — every per-query conf the engine needs
-        # must come from ensure_session_conf at query build time.
-        from pyspark.sql import SparkSession
+    def build_spark():
+        if vanilla:
+            # Driver fidelity: the driver builds its OWN SparkSession
+            # without our factory configs — every per-query conf the
+            # engine needs must come from ensure_session_conf at query
+            # build time.
+            from pyspark.sql import SparkSession
 
-        spark = SparkSession.builder.master("local[8]").appName(
-            "verify-vanilla"
-        ).getOrCreate()
-    else:
-        spark = get_spark("verify-local")
+            return SparkSession.builder.master("local[8]").appName(
+                "verify-vanilla"
+            ).getOrCreate()
+        return get_spark("verify-local")
+
+    spark = build_spark()
     def fresh_con():
         # drop any buffers the previous (possibly OOM-wedged) connection
         # still pins — without this a single runaway oracle cascaded
@@ -133,6 +136,17 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            # Isolate the engine failure like the oracle path isolates
+            # DuckDB's: one heap-OOMed query left the local JVM wedged
+            # and cascaded spurious getResult errors into all 20 later
+            # queries of an sf100 batch. stop() + getOrCreate() builds
+            # a fresh context in the same process — best-effort, but it
+            # restores service after task-level OOMs.
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001
+                pass
+            spark = build_spark()
             continue
         el = time.time() - t0
         if name not in oracles:
