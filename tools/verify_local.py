@@ -225,6 +225,18 @@ def main() -> int:
         print(
             f"ok   {name}: {len(sdf)} rows match ({el:.1f}s, oracle {oel:.1f}s){dbg}"
         )
+        # Long single-session gates accumulate shuffle files: Spark's
+        # ContextCleaner only deletes them when the DRIVER JVM garbage-
+        # collects the shuffle handles, and a 32 GB heap may not GC
+        # old-gen for hours — the sf100 heavy batch piled 42 GB of
+        # blockmgr spill and ENOSPC'd an oracle. Queries are
+        # independent here, so drop caches and nudge the JVM between
+        # them.
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
     print(f"\n{attempted - len(failures)}/{attempted} pass")
     return 1 if failures else 0
 
