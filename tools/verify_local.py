@@ -149,6 +149,17 @@ def main() -> int:
             spark = build_spark()
             continue
         el = time.time() - t0
+        # The engine result is fully in pandas now — release Spark's
+        # caches and shuffle files BEFORE the oracle runs, not after
+        # the compare: the ContextCleaner only deletes shuffle spill
+        # when the driver JVM GCs the handles, and a heavy query's
+        # ~40 GB of live blockmgr spill twice ENOSPC'd the pagerank
+        # oracle's own DuckDB temp on this 60 GB-headroom box.
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {el:.1f}s)")
             continue
@@ -225,18 +236,6 @@ def main() -> int:
         print(
             f"ok   {name}: {len(sdf)} rows match ({el:.1f}s, oracle {oel:.1f}s){dbg}"
         )
-        # Long single-session gates accumulate shuffle files: Spark's
-        # ContextCleaner only deletes them when the DRIVER JVM garbage-
-        # collects the shuffle handles, and a 32 GB heap may not GC
-        # old-gen for hours — the sf100 heavy batch piled 42 GB of
-        # blockmgr spill and ENOSPC'd an oracle. Queries are
-        # independent here, so drop caches and nudge the JVM between
-        # them.
-        try:
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-        except Exception:  # noqa: BLE001
-            pass
     print(f"\n{attempted - len(failures)}/{attempted} pass")
     return 1 if failures else 0
 
