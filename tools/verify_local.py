@@ -86,6 +86,15 @@ def main() -> int:
         # bound the spill: a pathological oracle plan once wrote >80 GB
         # of temp before dying — fail it fast instead of filling the disk
         c.sql("SET max_temp_directory_size='24GB'")
+        # Big-SF gauntlets can point the oracle's spill at a roomier
+        # (or RAM-backed, e.g. /dev/shm) location: the default .tmp
+        # shares the repo filesystem with Spark's blockmgr, and on a
+        # ~60 GB-headroom box the pagerank oracle's ~25 GB spill
+        # ENOSPC'd whenever any Spark shuffle residue was still live.
+        tmp = os.environ.get("SPARK_GRAFT_ORACLE_TMP")
+        if tmp:
+            os.makedirs(tmp, exist_ok=True)
+            c.sql(f"SET temp_directory='{tmp}'")
         # bound RAM per connection too: DuckDB's default (80% of the
         # box) ignores the Spark driver JVM sharing this process space.
         # 48 GB, not 24: the unrolled-pagerank oracle at sf10 legitimately
@@ -157,6 +166,13 @@ def main() -> int:
         # oracle's own DuckDB temp on this 60 GB-headroom box.
         try:
             spark.catalog.clearCache()
+            # Python first: the query's DataFrame objects hold py4j
+            # bindings that keep the JVM-side plans (and their shuffle
+            # handles) strongly referenced until Python GC detaches
+            # them — System.gc() alone frees nothing while they live.
+            import gc
+
+            gc.collect()
             spark.sparkContext._jvm.System.gc()
         except Exception:  # noqa: BLE001
             pass
