@@ -85,7 +85,10 @@ def main() -> int:
         c = duckdb.connect()
         # bound the spill: a pathological oracle plan once wrote >80 GB
         # of temp before dying — fail it fast instead of filling the disk
-        c.sql("SET max_temp_directory_size='24GB'")
+        c.sql(
+            "SET max_temp_directory_size="
+            f"'{os.environ.get('SPARK_GRAFT_ORACLE_TEMP_CAP', '24GB')}'"
+        )
         # Big-SF gauntlets can point the oracle's spill at a roomier
         # (or RAM-backed, e.g. /dev/shm) location: the default .tmp
         # shares the repo filesystem with Spark's blockmgr, and on a
@@ -99,8 +102,16 @@ def main() -> int:
         # box) ignores the Spark driver JVM sharing this process space.
         # 48 GB, not 24: the unrolled-pagerank oracle at sf10 legitimately
         # holds ~23 GB of materialized stages — under a 24 GB cap it
-        # spills all of it and then blows the temp cap instead
-        c.sql("SET memory_limit='48GB'")
+        # spills all of it and then blows the temp cap instead.
+        # Env-overridable for the one oracle that outgrows even that:
+        # the sf100 part↔supplier graph is FACT-sized (599,991,075
+        # distinct pairs from 600 M lineitems → 1.2 B mirrored edges),
+        # so its materialized stages need ~70 GB once the Spark side
+        # has released the box.
+        c.sql(
+            "SET memory_limit="
+            f"'{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '48GB')}'"
+        )
         for t in ALL_TABLES:
             c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
