@@ -507,12 +507,17 @@ def _pagerank_iter_sql(prev: str) -> str:
 @query(
     "q_pagerank_parts_suppliers",
     oracle=f"""
-    WITH edges AS MATERIALIZED (
-        SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-        FROM lineitem
-        UNION
-        SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
-        FROM lineitem
+    WITH base AS MATERIALIZED (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ),
+    -- edges stays a PLAIN CTE on purpose: with base materialized it is
+    -- a pure projection, so re-inlining per reference costs one cheap
+    -- re-read of base, while materializing it wrote the 1.2 B-row
+    -- mirrored list (~20 GB) to temp a second time at sf100.
+    edges AS (
+        SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM base
+        UNION ALL
+        SELECT sk * 2 + 1 AS src, pk * 2 AS dst FROM base
     ),
     deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
     r0 AS MATERIALIZED (
@@ -526,6 +531,12 @@ def _pagerank_iter_sql(prev: str) -> str:
     # plan re-evaluated the 60 M-row double-DISTINCT edges subtree ~6x
     # concurrently at sf10 (>48 GB working set / 22 GiB spilled);
     # staged, each stage is computed once over <1 M rows.
+    # Dedup-before-mirror (sf100): the old double-DISTINCT + outer
+    # UNION hash-deduped 1.2 B mirrored rows — the namespaced halves
+    # are disjoint, so ONE distinct over the raw pair + UNION ALL does
+    # the same work at half the hash state (the engine's own round-5
+    # shape). The single-UNION form needed >75 GB RAM + 46 GiB spill
+    # at sf100 and still died.
 )
 def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative graph centrality with a FULL value oracle: {PR_ITERS}

@@ -23,7 +23,12 @@ LOGS = [
     ".scratch/logs/verify_sf100_b4_light.out",
     ".scratch/logs/verify_sf100_b4_events.out",
     ".scratch/logs/verify_sf100_b4_heavy.out",
+    ".scratch/logs/verify_sf100_b4_heavy2.out",
+    ".scratch/logs/verify_sf100_b4_heavy3.out",
     ".scratch/logs/verify_sf100_b5.out",
+    ".scratch/logs/verify_sf100_pagerank.out",
+    ".scratch/logs/verify_sf100_pagerank2.out",
+    ".scratch/logs/verify_sf100_pagerank3.out",
 ]
 
 LINE = re.compile(r"^(ok|FAIL)\s+(q_\w+):(.*)$")
