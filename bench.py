@@ -25,6 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_wikipedia_spark.plans import REGISTRY  # noqa: E402
+from flink_wikipedia_spark.plans.registry import release_caches  # noqa: E402
 from flink_wikipedia_spark.session import get_spark  # noqa: E402
 
 
@@ -216,6 +217,9 @@ def main() -> None:
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            # free builder-persisted frames (e.g. pagerank's edge list)
+            # OUTSIDE the timed region so run N+1 can't ride run N's cache
+            release_caches()
 
     per_query = {name: round(median(xs), 3) for name, xs in samples.items()}
     load_avg = [round(x, 2) for x in os.getloadavg()[:2]]

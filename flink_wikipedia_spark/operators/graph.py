@@ -93,12 +93,20 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int | None = None,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
     algorithm: str = "auto",
 ) -> DataFrame:
     """Label each node with the minimum node id reachable from it
     (= component id). Returns (node, component).
+
+    max_iter: round budget; a non-fixed-point at the budget raises
+    RuntimeError rather than returning truncated labels. ``None``
+    (default) picks per algorithm — 25 for min-label (O(log diameter)),
+    50 for star (O(log² n) needs more rounds). An EXPLICIT value is
+    honored as given for either algorithm (ADVICE r7: the old code
+    silently raised small star budgets to 50, so a test's max_iter=12
+    no longer bounded work as written).
 
     edges: undirected pair list (each pair once is fine — both
     directions are added internally).
@@ -145,15 +153,14 @@ def connected_components(
             else "minlabel"
         )
     if algorithm == "star":
-        # star convergence is O(log² n) rounds vs min-label's
-        # O(log diameter), and since round 6 a non-fixed-point is a loud
-        # RuntimeError rather than a silently-correct truncation — so the
-        # shared default of 25 would turn a 26-50-round chain-heavy graph
-        # into a hard failure. Floor the star budget at 50 (2500 rounds'
-        # worth of log² growth ⇒ graphs beyond any realistic size);
-        # callers passing max_iter > 50 keep their larger budget.
-        return _star_components(und, max_iter=max(max_iter, 50))
-    return _minlabel_components(und, max_iter)
+        # default budget 50, not min-label's 25: star convergence is
+        # O(log² n) rounds vs min-label's O(log diameter), and a
+        # non-fixed-point is a loud RuntimeError rather than a silently
+        # -correct truncation — a shared default of 25 would turn a
+        # 26-50-round chain-heavy graph into a hard failure. Explicit
+        # budgets are honored as given (see docstring).
+        return _star_components(und, max_iter=50 if max_iter is None else max_iter)
+    return _minlabel_components(und, 25 if max_iter is None else max_iter)
 
 
 def sql_components_duckdb(rounds: int = 24) -> str:

@@ -270,11 +270,17 @@ def train_ivfpq_index(
     path = os.path.join(sf_dir, "embeddings.parquet")
     import hashlib
 
-    size = os.path.getsize(path)
+    st = os.stat(path)
+    size = st.st_size
     with open(path, "rb") as fh:
         fh.seek(max(0, size - 65536))
         footprint = hashlib.md5(fh.read()).hexdigest()
-    key = (path, size, footprint, n_cells, pq_m, pq_k, iters, seed)
+    # size + footer hash + mtime_ns (ADVICE r7): the footer carries
+    # row-group stats so data rewrites normally change it, but a
+    # same-size rewrite touching only early row groups could leave the
+    # final 64 KB identical — mtime_ns is the zero-cost belt-and-braces
+    # that catches exactly that in-place case.
+    key = (path, size, footprint, st.st_mtime_ns, n_cells, pq_m, pq_k, iters, seed)
     hit = _ANN_INDEX_CACHE.get(key)
     if hit is not None:
         return hit

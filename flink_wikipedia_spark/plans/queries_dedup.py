@@ -577,7 +577,12 @@ def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark import StorageLevel
 
-    withdeg = (
+    from flink_wikipedia_spark.plans.registry import track_cache
+
+    # The persist outlives this builder on purpose (the caller's action
+    # replays K iterations over it); track it so release_caches() /
+    # clearCache() can free it once the result is consumed (ADVICE r7).
+    withdeg = track_cache(
         fwd.union(rev)
         .withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -28,6 +28,36 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
+# Frames a query builder persisted to serve its own multi-pass plan
+# (e.g. PageRank's degreed edge list, reused across K iterations).
+# Spark gives the builder no hook to unpersist AFTER the caller's
+# action — the DataFrame contract returns a lazy plan — so builders
+# register such frames here and embedding drivers call
+# ``release_caches()`` once the result is consumed (ADVICE r7: without
+# this, every pagerank call leaked a fact-sized cached frame into the
+# session). The gates (tools/verify_local.py, bench.py) call it between
+# queries; ``spark.catalog.clearCache()`` also subsumes it.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Record a builder-persisted frame for later release_caches()."""
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every builder-persisted frame; returns the count."""
+    n = 0
+    for df in _LIVE_CACHES:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _LIVE_CACHES.clear()
+    return n
+
 
 def alias(new_name: str, existing: str) -> None:
     """Register an additional name for an existing query (used where

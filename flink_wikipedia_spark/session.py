@@ -134,9 +134,18 @@ def get_spark(
         # a local-cluster[4,8,4096] worker — and pin the executor-side
         # Python to the driver's interpreter so pandas/pyarrow versions
         # can't skew between the two ends of the Arrow boundary.
+        import re
         import sys
 
-        mem_mb = master.rstrip("]").split(",")[-1]
+        m = re.fullmatch(
+            r"local-cluster\[\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\]", master
+        )
+        if m is None:
+            raise ValueError(
+                f"malformed local-cluster master {master!r}: expected "
+                "local-cluster[numWorkers,coresPerWorker,memoryPerWorkerMB]"
+            )
+        mem_mb = int(m.group(3))
         builder = builder.config("spark.executor.memory", f"{mem_mb}m").config(
             "spark.pyspark.python", sys.executable
         )

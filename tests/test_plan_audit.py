@@ -61,33 +61,36 @@ def test_driver_window_covers_every_family():
     verdict. Pin the composition."""
     names = list(REGISTRY)[:50]
     assert names[0] == "q_windowed_edit_size"  # flagship = entry()
+    # Round-8 rotation (the completion round — see plans/__init__.py):
+    # every query that had never earned a driver record is in-window,
+    # alongside one-to-two long-proven anchors per family.
     families = {
-        "core": ["q_filter_events", "q_project", "q_json_extract",
-                 "q_sliding_window_counts", "q_edit_event_decode"],
-        "text": ["q_word_count", "q_lang_id", "q_quality_score",
-                 "q_token_count", "q_tfidf_top_terms", "q_zscore_docs"],
-        "curation": ["q_doc_chunks", "q_contamination_check",
-                     "q_pack_sequences", "q_stratified_sample"],
-        "dedup": ["q_dedup_docs_exact", "q_minhash_dedup_pairs",
-                  "q_dedup_pipeline", "q_dedup_components",
-                  "q_dedup_canonical", "q_simhash"],
-        "similarity": ["q_similarity_topk", "q_similarity_lsh",
-                       "q_ann_ivf", "q_pq_codes"],
-        "multimodal": ["q_multimodal_meta", "q_multimodal_features",
-                       "q_multimodal_decode", "q_multimodal_frames"],
+        "core": ["q_keyby_agg_edit_size", "q_filter_events", "q_json_extract"],
+        "text": ["q_word_count", "q_bigram_counts", "q_top_tokens_per_lang",
+                 "q_repetition_stats", "q_repetition_signals",
+                 "q_vocab_ids", "q_encode_tokens"],
+        "curation": ["q_source_blocklist", "q_pii_redact",
+                     "q_shuffle_shards", "q_stratified_sample"],
+        "dedup": ["q_dedup_events", "q_span_mask_stats",
+                  "q_dedup_docs_exact", "q_minhash_dedup_pairs",
+                  "q_dedup_pipeline"],
+        "similarity": ["q_embedding_neardup_kernel", "q_ivfpq_search",
+                       "q_ann_ivfpq_refined", "q_similarity_topk"],
+        "multimodal": ["q_multimodal_decode", "q_multimodal_frames"],
         "relational": ["q_join_orders_customer", "q_semijoin_active_customers",
                        "q_antijoin_quiet_customers", "q_topk_docs_per_lang",
                        "q_grouping_sets_lineitem", "q_asof_join"],
-        # Round-7 rotation (VERDICT r6 item 2): the r6 capstones earned
-        # their driver rows (CORRECTNESS_r06 50/50) and moved to the
-        # tail; TPC-H + the remaining never-driver-recorded function
-        # suites hold these slots until each has at least one row.
-        "tpch": ["q_tpch_q1_pricing_summary", "q_tpch_q7_volume_shipping",
-                 "q_tpch_q9_nation_year_profit", "q_tpch_q16_supplier_variety",
-                 "q_tpch_q17_small_quantity_revenue", "q_tpch_q18_large_orders",
-                 "q_tpch_q19_disjunctive_revenue"],
-        "functions": ["q_pivot_event_daily", "q_window_navigation",
-                      "q_corr_quantity_price"],
+        "tpch": ["q_tpch_q1_pricing_summary", "q_tpch_q2_min_cost_supplier",
+                 "q_tpch_q8_market_share", "q_tpch_q11_important_stock",
+                 "q_tpch_q12_late_shipments", "q_tpch_q15_top_supplier",
+                 "q_tpch_q20_excess_stock_suppliers",
+                 "q_tpch_q22_dormant_accounts"],
+        "functions": ["q_unpivot_event_daily", "q_rank_functions",
+                      "q_string_functions", "q_ship_latency_histogram",
+                      "q_edit_distance_kernel", "q_orders_by_month",
+                      "q_array_functions", "q_regex_extract_props",
+                      "q_map_functions"],
+        "udf_kmeans": ["q_kmeans_doclen"],
     }
     missing = {
         fam: [q for q in qs if q not in names]

@@ -176,6 +176,12 @@ def main() -> int:
         # ~40 GB of live blockmgr spill twice ENOSPC'd the pagerank
         # oracle's own DuckDB temp on this 60 GB-headroom box.
         try:
+            # drop builder-tracked persisted frames first: the registry
+            # list holds py4j handles that would otherwise pin JVM plans
+            # across the whole gate (and grow per pagerank call)
+            from flink_wikipedia_spark.plans.registry import release_caches
+
+            release_caches()
             spark.catalog.clearCache()
             # Python first: the query's DataFrame objects hold py4j
             # bindings that keep the JVM-side plans (and their shuffle
@@ -196,15 +202,42 @@ def main() -> int:
         # one query, not stall the whole gate.
         cap = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0") or 0)
         timer = None
+        fired = [False]
         if cap > 0:
             import threading
 
-            timer = threading.Timer(cap, con.interrupt)
+            guard = threading.Lock()
+            settled = [False]
+
+            # ADVICE r7: a bare Timer(cap, con.interrupt) can fire in
+            # the window between con.sql() returning and timer.cancel(),
+            # leaving an interrupt PENDING on the shared connection that
+            # spuriously aborts the NEXT oracle. Guard the callback with
+            # a flag set under a lock, and record whether it actually
+            # interrupted so the caller can recycle the connection.
+            def _interrupt(guard=guard, settled=settled, fired=fired, con=con):
+                with guard:
+                    if not settled[0]:
+                        fired[0] = True
+                        con.interrupt()
+
+            def _settle(guard=guard, settled=settled):
+                with guard:
+                    settled[0] = True
+
+            timer = threading.Timer(cap, _interrupt)
             timer.start()
+        else:
+
+            def _settle():
+                pass
+
         t1 = time.time()
         try:
             odf = con.sql(oracles[name]).df()
+            _settle()
         except Exception as e:  # noqa: BLE001
+            _settle()
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             # a resource failure (temp-disk fill, OOM) can wedge the
@@ -220,6 +253,16 @@ def main() -> int:
             continue
         if timer is not None:
             timer.cancel()
+            if fired[0]:
+                # the timer interrupted AFTER the query completed (the
+                # race window hit): the interrupt may still be pending on
+                # the shared connection — recycle it so the next oracle
+                # can't be spuriously aborted
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                con = fresh_con()
         oel = time.time() - t1
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(name)
