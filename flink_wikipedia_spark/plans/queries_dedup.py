@@ -494,14 +494,47 @@ PR_DAMP_NUM, PR_DAMP_DEN = 850, 1000
 PR_BASE = 150_000            # (1 - d) * PR_UNIT
 
 
-def _pagerank_iter_sql(prev: str) -> str:
-    return f"""
-        SELECT e.dst AS node,
-               CAST({PR_BASE} + ({PR_DAMP_NUM} * SUM(r.rank // d.d))
-                    // {PR_DAMP_DEN} AS BIGINT) AS rank
-        FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
-        GROUP BY e.dst
+def _pagerank_iter_sql(prev: str, n: int) -> str:
+    """One direction-split PageRank iteration as CTE text.
+
+    The graph is bipartite by construction (parts = even node ids,
+    suppliers = odd) and the edge list is an exact mirror, so a
+    receiver's inbound contributions come from exactly ONE direction:
+    odd nodes receive only from even srcs and vice versa. That lets the
+    oracle iterate WITHOUT ever forming the 1.2 B-row mirrored edge
+    list the engine streams through its shuffle: each direction is a
+    base-table probe (600 M rows at sf100) against a MATERIALIZED
+    ≤|nodes|-row contribution table — exact stats, so DuckDB always
+    builds the hash table on the small side — and the UNION ALL of the
+    two grouped halves IS the final per-node sum (parities are
+    disjoint). The old single-edges-CTE form left DuckDB to estimate an
+    un-materialized 1.2 B-row CTE and needed >100 GB RAM + >41 GiB
+    spill at sf100 (three OOM/ENOSPC failures); this form's working set
+    is bounded by base + two node-sized tables per iteration.
     """
+    return f"""
+    cp{n} AS MATERIALIZED (
+        SELECT r.node AS src, r.rank // d.d AS contrib
+        FROM {prev} r JOIN degp d ON d.pk * 2 = r.node
+    ),
+    cs{n} AS MATERIALIZED (
+        SELECT r.node AS src, r.rank // d.d AS contrib
+        FROM {prev} r JOIN degs d ON d.sk * 2 + 1 = r.node
+    ),
+    it{n} AS MATERIALIZED (
+        SELECT node,
+               CAST({PR_BASE} + ({PR_DAMP_NUM} * s) // {PR_DAMP_DEN} AS BIGINT)
+                   AS rank
+        FROM (
+            SELECT b.sk * 2 + 1 AS node, SUM(c.contrib) AS s
+            FROM base b JOIN cp{n} c ON c.src = b.pk * 2
+            GROUP BY b.sk
+            UNION ALL
+            SELECT b.pk * 2 AS node, SUM(c.contrib) AS s
+            FROM base b JOIN cs{n} c ON c.src = b.sk * 2 + 1
+            GROUP BY b.pk
+        )
+    )"""
 
 
 @query(
@@ -510,33 +543,26 @@ def _pagerank_iter_sql(prev: str) -> str:
     WITH base AS MATERIALIZED (
         SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
     ),
-    -- edges stays a PLAIN CTE on purpose: with base materialized it is
-    -- a pure projection, so re-inlining per reference costs one cheap
-    -- re-read of base, while materializing it wrote the 1.2 B-row
-    -- mirrored list (~20 GB) to temp a second time at sf100.
-    edges AS (
-        SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM base
-        UNION ALL
-        SELECT sk * 2 + 1 AS src, pk * 2 AS dst FROM base
-    ),
-    deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    -- per-parity degrees: deg(2k) = |pairs with pk=k|, deg(2k+1) =
+    -- |pairs with sk=k| — identical to COUNT(*) per src over the
+    -- mirrored edge list, computed from base without mirroring.
+    degp AS MATERIALIZED (SELECT pk, COUNT(*) AS d FROM base GROUP BY pk),
+    degs AS MATERIALIZED (SELECT sk, COUNT(*) AS d FROM base GROUP BY sk),
     r0 AS MATERIALIZED (
-        SELECT src AS node, CAST({PR_UNIT} AS BIGINT) AS rank FROM deg
+        SELECT pk * 2 AS node, CAST({PR_UNIT} AS BIGINT) AS rank FROM degp
+        UNION ALL
+        SELECT sk * 2 + 1 AS node, CAST({PR_UNIT} AS BIGINT) AS rank FROM degs
     ),
-    it1 AS MATERIALIZED ({_pagerank_iter_sql("r0")}),
-    it2 AS MATERIALIZED ({_pagerank_iter_sql("it1")})
+    {_pagerank_iter_sql("r0", 1)},
+    {_pagerank_iter_sql("it1", 2)}
     SELECT node, rank FROM it{PR_ITERS}
     """,
-    # MATERIALIZED throughout (round 7): plain CTEs inline, so it2's
-    # plan re-evaluated the 60 M-row double-DISTINCT edges subtree ~6x
-    # concurrently at sf10 (>48 GB working set / 22 GiB spilled);
-    # staged, each stage is computed once over <1 M rows.
-    # Dedup-before-mirror (sf100): the old double-DISTINCT + outer
-    # UNION hash-deduped 1.2 B mirrored rows — the namespaced halves
-    # are disjoint, so ONE distinct over the raw pair + UNION ALL does
-    # the same work at half the hash state (the engine's own round-5
-    # shape). The single-UNION form needed >75 GB RAM + 46 GiB spill
-    # at sf100 and still died.
+    # Oracle-scaling history (each form died at the next SF up):
+    # r6: recursive/rescanning forms → MATERIALIZED stages (sf10 fix).
+    # r7: double-DISTINCT over mirrored rows → dedup-before-mirror.
+    # r8: the mirrored-edges CTE itself → direction-split iterations
+    # (see _pagerank_iter_sql) after three >100 GB OOM/ENOSPC failures
+    # at sf100; the split form verified sf100 in-box.
 )
 def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative graph centrality with a FULL value oracle: {PR_ITERS}

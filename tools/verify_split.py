@@ -29,6 +29,103 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def split_ctes(sql: str):
+    """Parse a top-level ``WITH name AS [MATERIALIZED] (body), ...
+    <final query>`` into ([(name, body), ...], final_query).
+
+    A single statement keeps EVERY materialized CTE live until the
+    statement finishes — at sf100 the pagerank oracle's cumulative
+    stages plus the running operator's own spill exceeded 100 GB RAM +
+    ~48 GiB temp (four failures). Statement-at-a-time staging lets the
+    allocator reclaim each stage's working memory before the next
+    starts. The scanner respects -- comments and single-quoted strings
+    (the oracle prose contains unbalanced parens inside comments).
+    """
+    import re
+
+    s = sql
+    m = re.search(r"\bWITH\b", s, re.IGNORECASE)
+    if not m:
+        return [], sql
+    i = m.end()
+    ctes = []
+    n = len(s)
+
+    def skip_noise(j: int) -> int:
+        while j < n:
+            if s[j].isspace():
+                j += 1
+            elif s.startswith("--", j):
+                j = s.find("\n", j)
+                j = n if j == -1 else j + 1
+            else:
+                break
+        return j
+
+    while True:
+        i = skip_noise(i)
+        mm = re.match(r"([A-Za-z_][A-Za-z0-9_]*)", s[i:])
+        if not mm:
+            raise ValueError(f"expected CTE name at …{s[i:i+40]!r}")
+        cname = mm.group(1)
+        i = skip_noise(i + mm.end())
+        if not re.match(r"AS\b", s[i:], re.IGNORECASE):
+            raise ValueError(f"expected AS after CTE {cname}")
+        i = skip_noise(i + 2)
+        mat = re.match(r"MATERIALIZED\b", s[i:], re.IGNORECASE)
+        if mat:
+            i = skip_noise(i + mat.end())
+        if s[i] != "(":
+            raise ValueError(f"expected ( for CTE {cname} body")
+        depth, j = 1, i + 1
+        while j < n and depth:
+            c = s[j]
+            if c == "-" and s.startswith("--", j):
+                j = s.find("\n", j)
+                j = n if j == -1 else j
+            elif c == "'":
+                j += 1
+                while j < n and s[j] != "'":
+                    j += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError(f"unbalanced parens in CTE {cname}")
+        ctes.append((cname, s[i + 1 : j - 1]))
+        i = skip_noise(j)
+        if i < n and s[i] == ",":
+            i += 1
+            continue
+        return ctes, s[i:]
+
+
+def run_staged(con, sql: str):
+    """Execute a WITH-query one stage at a time: each CTE becomes a
+    TEMP TABLE, and a table is dropped as soon as no later stage (or
+    the final query) references its name. Same math, bounded peak."""
+    import re
+
+    ctes, final = split_ctes(sql)
+    bodies = [b for _, b in ctes] + [final]
+    live = set()
+    for k, (cname, body) in enumerate(ctes):
+        print(f"  stage {k + 1}/{len(ctes)}: {cname}", flush=True)
+        con.sql(f'CREATE TEMP TABLE "{cname}" AS {body}')
+        live.add(cname)
+        for t in sorted(live):
+            needed = any(
+                re.search(rf"\b{re.escape(t)}\b", later)
+                for later in bodies[k + 1 :]
+            )
+            if not needed:
+                con.sql(f'DROP TABLE "{t}"')
+                live.discard(t)
+    return con.sql(final).df()
+
+
 def main() -> int:
     phase, sf_dir, name, result_path = sys.argv[1:5]
     import __spark_entry__ as entrymod
@@ -56,6 +153,17 @@ def main() -> int:
     normalize = vl.normalize
 
     con = duckdb.connect()
+    # Fewer threads = fewer concurrent per-thread operator states (hash
+    # builds, sort runs) = lower peak memory AND spill, at some wall
+    # cost — the trade a box-sized oracle on a fact-sized graph needs.
+    threads = os.environ.get("SPARK_GRAFT_ORACLE_THREADS")
+    if threads:
+        con.sql(f"SET threads={int(threads)}")
+    # The compare is order-insensitive (normalize sorts), so let DuckDB
+    # drop insertion-order preservation: with it on, wide scans and
+    # aggregations buffer ordered batches and the pagerank oracle's
+    # 600 M-row stages OOMed; with it off they stream.
+    con.sql("SET preserve_insertion_order=false")
     con.sql(
         "SET max_temp_directory_size="
         f"'{os.environ.get('SPARK_GRAFT_ORACLE_TEMP_CAP', '24GB')}'"
@@ -69,7 +177,11 @@ def main() -> int:
         con.sql(f"SET temp_directory='{tmp}'")
     for t in ALL_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    odf = con.sql(entrymod.oracle_sql()[name]).df()
+    sql = entrymod.oracle_sql()[name]
+    if os.environ.get("SPARK_GRAFT_ORACLE_STAGED"):
+        odf = run_staged(con, sql)
+    else:
+        odf = con.sql(sql).df()
     sdf = con.sql(f"SELECT * FROM '{result_path}/*.parquet'").df()
     if sorted(sdf.columns) != sorted(odf.columns):
         print(f"FAIL {name}: columns differ")
