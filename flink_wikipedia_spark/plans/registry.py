@@ -32,31 +32,134 @@ REGISTRY: dict[str, QueryDef] = {}
 # (e.g. PageRank's degreed edge list, reused across K iterations).
 # Spark gives the builder no hook to unpersist AFTER the caller's
 # action — the DataFrame contract returns a lazy plan — so builders
-# register such frames here and embedding drivers call
-# ``release_caches()`` once the result is consumed (ADVICE r7: without
-# this, every pagerank call leaked a fact-sized cached frame into the
-# session). The gates (tools/verify_local.py, bench.py) call it between
-# queries; ``spark.catalog.clearCache()`` also subsumes it.
+# register such frames here. Release is AUTOMATIC: the first registry
+# call on a session installs a QueryExecutionListener that frees every
+# MATERIALIZED tracked frame after each action completes (the K
+# PageRank iterations share the cache within one action; across
+# actions a fresh run re-materializes — correct, and never a leak).
+# ``release_caches()`` stays public for gates (tools/verify_local.py,
+# bench.py call it between queries, synchronously — the listener fires
+# on the async listener bus) and for non-registry embedders;
+# ``spark.catalog.clearCache()`` also subsumes it.
 _LIVE_CACHES: list[DataFrame] = []
+_CACHES_LOCK = __import__("threading").Lock()
+_log = __import__("logging").getLogger(__name__)
 
 
 def track_cache(df: DataFrame) -> DataFrame:
     """Record a builder-persisted frame for later release_caches()."""
-    _LIVE_CACHES.append(df)
+    with _CACHES_LOCK:
+        _LIVE_CACHES.append(df)
     return df
 
 
-def release_caches() -> int:
-    """Unpersist every builder-persisted frame; returns the count."""
+def _session_stopped(df: DataFrame) -> bool:
+    try:
+        sc = df.sparkSession.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True
+
+
+def _buffers_loaded(df: DataFrame) -> bool | None:
+    """True/False = this frame's cache buffers are/aren't materialized;
+    None = no CacheManager entry at all (already unpersisted). Any
+    introspection failure (internal API drift across Spark versions)
+    reports True — worst case an eager release costs a re-derivation,
+    never correctness."""
+    try:
+        cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        cd = cm.lookupCachedData(df._jdf)
+        if not cd.isDefined():
+            return None
+        return bool(
+            cd.get().cachedRepresentation().cacheBuilder()
+            .isCachedColumnBuffersLoaded()
+        )
+    except Exception:
+        return True
+
+
+def release_caches(materialized_only: bool = False) -> int:
+    """Unpersist builder-persisted frames; returns the count released.
+
+    With ``materialized_only`` (the listener's mode), frames whose cache
+    buffers were never loaded are kept tracked: an action on an
+    UNRELATED DataFrame must not strip a cache intent the tracked
+    frame's own upcoming action relies on."""
     n = 0
-    for df in _LIVE_CACHES:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
-    _LIVE_CACHES.clear()
+    with _CACHES_LOCK:
+        frames = list(_LIVE_CACHES)
+        keep: list[DataFrame] = []
+        for df in frames:
+            loaded = _buffers_loaded(df) if materialized_only else True
+            if loaded is False:
+                keep.append(df)
+                continue
+            if loaded is None:  # already gone from the CacheManager
+                continue
+            try:
+                df.unpersist()
+                n += 1
+            except Exception as exc:
+                # ADVICE r8: only the stopped-session case is expected
+                # here; anything else is a real failure — surface it.
+                if not _session_stopped(df):
+                    _log.warning("release_caches: unpersist failed: %s", exc)
+        _LIVE_CACHES[:] = keep
     return n
+
+
+class _CacheReleaseListener:
+    """py4j-implemented org.apache.spark.sql.util.QueryExecutionListener:
+    after any action completes (success or failure), free tracked frames
+    whose buffers materialized during it. Driver-side only; fires on the
+    listener bus, so gates that need synchronous reclamation still call
+    release_caches() directly."""
+
+    class Java:
+        implements = ["org.apache.spark.sql.util.QueryExecutionListener"]
+
+    def onSuccess(self, funcName, qe, durationNs):
+        try:
+            release_caches(materialized_only=True)
+        except Exception:  # never poison the listener bus
+            _log.exception("cache-release listener failed")
+
+    def onFailure(self, funcName, qe, exception):
+        self.onSuccess(funcName, qe, None)
+
+    # py4j object-protocol hooks the JVM may invoke on any callback
+    def toString(self):
+        return "PythonCacheReleaseListener"
+
+    def equals(self, other):
+        return other is self
+
+    def hashCode(self):
+        return id(self)
+
+
+_LISTENER_APP_IDS: set[str] = set()
+
+
+def install_cache_release_listener(spark: SparkSession) -> None:
+    """Idempotently attach the auto-release listener to this app's
+    session (keyed by applicationId — getOrCreate reuses sessions).
+    Requires the py4j callback server; pyspark starts it on demand."""
+    try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _LISTENER_APP_IDS:
+            return
+        from pyspark.java_gateway import ensure_callback_server_started
+
+        ensure_callback_server_started(spark.sparkContext._gateway)
+        spark._jsparkSession.listenerManager().register(_CacheReleaseListener())
+        _LISTENER_APP_IDS.add(app_id)
+    except Exception as exc:
+        # Auto-release is an ergonomics layer; the synchronous
+        # release_caches() contract still holds without it.
+        _log.warning("cache-release listener not installed: %s", exc)
 
 
 def alias(new_name: str, existing: str) -> None:
@@ -78,6 +181,7 @@ def query(name: str, oracle: str | None = None):
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_session_conf(spark)
+            install_cache_release_listener(spark)
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QueryDef(name, wrapped, oracle, fn.__doc__ or "")

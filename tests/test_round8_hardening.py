@@ -20,12 +20,21 @@ def test_pagerank_cache_is_tracked_and_released(spark):
     release_caches()  # clean slate (other tests may have run queries)
     df = REGISTRY["q_pagerank_parts_suppliers"].fn(spark, SF_SMOKE)
     assert len(_LIVE_CACHES) == 1, "pagerank must register exactly one cache"
-    df.count()  # the action that materializes (and caches) the edge list
     cached = _LIVE_CACHES[0]
     assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
-    assert release_caches() == 1
+    df.count()  # the action that materializes (and caches) the edge list
+    # Round 9 made release automatic (an async QueryExecutionListener
+    # may free the cache before we do) — the invariant is the
+    # post-state, not which path released: after a synchronous
+    # release_caches() nothing is tracked and nothing stays persistent.
+    release_caches()
     assert not _LIVE_CACHES
-    assert not (cached.storageLevel.useMemory or cached.storageLevel.useDisk)
+    import time as _time
+
+    deadline = _time.time() + 10
+    while _time.time() < deadline and spark.sparkContext._jsc.getPersistentRDDs().size():
+        _time.sleep(0.2)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
 
 def test_release_caches_survives_stopped_session():

@@ -38,17 +38,21 @@ def split_ctes(sql: str):
     stages plus the running operator's own spill exceeded 100 GB RAM +
     ~48 GiB temp (four failures). Statement-at-a-time staging lets the
     allocator reclaim each stage's working memory before the next
-    starts. The scanner respects -- comments and single-quoted strings
-    (the oracle prose contains unbalanced parens inside comments).
+    starts.
+
+    Supported SQL subset (oracle authors stay inside it; violations
+    raise, never silently mis-split): the statement either STARTS with
+    ``WITH`` (after leading whitespace / ``--`` / ``/* */`` comments) or
+    is passed through untouched — a ``WITH`` buried in a subquery,
+    string, or comment is NOT treated as a CTE header (ADVICE r8). The
+    scanner understands ``--`` line comments, ``/* */`` block comments
+    (non-nesting, per the SQL standard), and ``'...'`` literals with
+    ``''`` escape doubling; it does NOT understand e'...' escape
+    strings or $$ dollar quoting — don't use them in staged oracles.
     """
     import re
 
     s = sql
-    m = re.search(r"\bWITH\b", s, re.IGNORECASE)
-    if not m:
-        return [], sql
-    i = m.end()
-    ctes = []
     n = len(s)
 
     def skip_noise(j: int) -> int:
@@ -58,9 +62,25 @@ def split_ctes(sql: str):
             elif s.startswith("--", j):
                 j = s.find("\n", j)
                 j = n if j == -1 else j + 1
+            elif s.startswith("/*", j):
+                j = s.find("*/", j + 2)
+                if j == -1:
+                    raise ValueError("unterminated /* comment")
+                j += 2
             else:
                 break
         return j
+
+    # WITH must be the statement's first token — anywhere else it is a
+    # nested CTE / string content / comment word and staging must not
+    # touch the statement (ADVICE r8: the old first-\bWITH\b-anywhere
+    # anchor misparsed `SELECT ... FROM (WITH ...)`).
+    start = skip_noise(0)
+    m = re.match(r"WITH\b", s[start:], re.IGNORECASE)
+    if not m:
+        return [], sql
+    i = start + m.end()
+    ctes = []
 
     while True:
         i = skip_noise(i)
@@ -83,7 +103,14 @@ def split_ctes(sql: str):
             if c == "-" and s.startswith("--", j):
                 j = s.find("\n", j)
                 j = n if j == -1 else j
+            elif c == "/" and s.startswith("/*", j):
+                e = s.find("*/", j + 2)
+                if e == -1:
+                    raise ValueError(f"unterminated /* comment in CTE {cname}")
+                j = e + 1  # land on '/', the j += 1 below steps past it
             elif c == "'":
+                # '' doubling: each pair scans as close-then-reopen, so the
+                # generic loop already handles it; scan to the next quote.
                 j += 1
                 while j < n and s[j] != "'":
                     j += 1
@@ -105,9 +132,19 @@ def split_ctes(sql: str):
 def run_staged(con, sql: str):
     """Execute a WITH-query one stage at a time: each CTE becomes a
     TEMP TABLE, and a table is dropped as soon as no later stage (or
-    the final query) references its name. Same math, bounded peak."""
+    the final query) references its name. Same math, bounded peak.
+
+    Liveness is a textual scan, deliberately conservative in both
+    ADVICE-r8 directions: DuckDB identifiers are case-insensitive, so
+    the match is too (a case-mismatched reference must keep its table
+    alive), and a CTE whose name shadows a base view is NEVER dropped
+    early — a premature drop would silently rebind later references to
+    the base view instead of failing loudly."""
     import re
 
+    from flink_wikipedia_spark.schemas import ALL_TABLES
+
+    shadowing = {t.lower() for t in ALL_TABLES}
     ctes, final = split_ctes(sql)
     bodies = [b for _, b in ctes] + [final]
     live = set()
@@ -116,8 +153,10 @@ def run_staged(con, sql: str):
         con.sql(f'CREATE TEMP TABLE "{cname}" AS {body}')
         live.add(cname)
         for t in sorted(live):
+            if t.lower() in shadowing:
+                continue
             needed = any(
-                re.search(rf"\b{re.escape(t)}\b", later)
+                re.search(rf"\b{re.escape(t)}\b", later, re.IGNORECASE)
                 for later in bodies[k + 1 :]
             )
             if not needed:
