@@ -551,29 +551,37 @@ def _pq_d2_frame(emb: DataFrame) -> DataFrame:
     the argmin of each array is its PQ code; for a QUERY vector the
     arrays ARE the asymmetric-distance lookup tables (FAISS-style ADC).
     Each distance is a zip_with+aggregate fold over literal centroids —
-    same staged shape as the oracle's list_reduce, identical IEEE trees."""
-    d2_cols = [F.col("vec_id")]
+    same staged shape as the oracle's list_reduce, identical IEEE trees.
+
+    Each subspace column is ONE ``F.expr`` SQL string, not a DSL tree:
+    the DSL form issued ~50 py4j round trips per subspace (4×8 literal
+    calls plus nested lambda plumbing) × 16 subspace builds per
+    q_ivfpq_search plan = ~2.3 s of DRIVER time before any task ran
+    (round-9 profile; the whole execution is ~1 s at sf0.1). The SQL
+    string parses JVM-side in one call to the same Catalyst operators
+    (ZipWith/ArrayAggregate/ArrayTransform), so the resolved plan — and
+    the IEEE result bits — are identical; plan build drops to
+    milliseconds. Literals use repr() (shortest round-trip decimal) +
+    the D suffix: Double.parseDouble is correctly rounded, so the JVM
+    recovers the exact Python float bits."""
+    d2_cols = ["vec_id"]
     for m in range(PQ_M):
-        sub = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
-        cents = F.array(
-            *[
-                F.array(*[F.lit(_pq_centroid(m, c, d)) for d in range(PQ_SUB)])
-                for c in range(PQ_K)
-            ]
+        cents = ", ".join(
+            "array("
+            + ", ".join(f"{_pq_centroid(m, c, d)!r}D" for d in range(PQ_SUB))
+            + ")"
+            for c in range(PQ_K)
         )
-        d2_arr = F.transform(
-            cents,
-            lambda cv: F.aggregate(
-                F.zip_with(
-                    sub, cv,
-                    lambda x, co: (x.cast("double") - co) * (x.cast("double") - co),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+        d2_cols.append(
+            f"""transform(array({cents}),
+                cv -> aggregate(
+                    zip_with(slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB}), cv,
+                             (x, co) -> (CAST(x AS DOUBLE) - co)
+                                      * (CAST(x AS DOUBLE) - co)),
+                    0.0D,
+                    (acc, v) -> acc + v)) AS d2_{m}"""
         )
-        d2_cols.append(d2_arr.alias(f"d2_{m}"))
-    return emb.select(*d2_cols)
+    return emb.selectExpr(*d2_cols)
 
 
 def _pq_code_frame(emb: DataFrame) -> DataFrame:

@@ -146,7 +146,12 @@ _LISTENER_APP_IDS: set[str] = set()
 def install_cache_release_listener(spark: SparkSession) -> None:
     """Idempotently attach the auto-release listener to this app's
     session (keyed by applicationId — getOrCreate reuses sessions).
-    Requires the py4j callback server; pyspark starts it on demand."""
+    Requires the py4j callback server; pyspark starts it on demand.
+
+    An atexit hook unregisters the listener: when the interpreter exits
+    without spark.stop(), the JVM listener bus would otherwise keep
+    calling back into a dying py4j callback server and spray protocol
+    errors over stderr during teardown (observed in round-9 profiling)."""
     try:
         app_id = spark.sparkContext.applicationId
         if app_id in _LISTENER_APP_IDS:
@@ -154,8 +159,20 @@ def install_cache_release_listener(spark: SparkSession) -> None:
         from pyspark.java_gateway import ensure_callback_server_started
 
         ensure_callback_server_started(spark.sparkContext._gateway)
-        spark._jsparkSession.listenerManager().register(_CacheReleaseListener())
+        listener = _CacheReleaseListener()
+        manager = spark._jsparkSession.listenerManager()
+        manager.register(listener)
         _LISTENER_APP_IDS.add(app_id)
+
+        import atexit
+
+        def _unregister() -> None:
+            try:
+                manager.unregister(listener)
+            except Exception:
+                pass  # JVM already gone — nothing left to call back
+
+        atexit.register(_unregister)
     except Exception as exc:
         # Auto-release is an ergonomics layer; the synchronous
         # release_caches() contract still holds without it.
