@@ -196,6 +196,10 @@ def skew_bench(spark, sf_dir: str, runs: int = 3) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Load BEFORE the run (judge protocol, round 9): a contaminated run
+    # must be self-evident from the artifact alone — the end-of-run
+    # averages miss co-tenant load that died mid-suite.
+    load_before = [round(x, 2) for x in os.getloadavg()[:2]]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -244,6 +248,7 @@ def main() -> None:
             "sf": sf_from_dir(sf_dir),
             "runs": n_runs,
             "load_avg_1m_5m": load_avg,
+            "load_avg_before": load_before,
             "stream_events": stream_rows,
             "stream_events_per_sec": stream_eps,
             "skew_join": skew,
