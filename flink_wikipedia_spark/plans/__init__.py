@@ -26,79 +26,76 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 # suites — redundant coverage of already-proven operators — fill the
 # tail past the cutoff.
 _PRIORITY = [
-    # ROUND-8 ROTATION — the completion round. After CORRECTNESS_r07,
-    # exactly 33 of the 128 primary queries had never earned a driver
-    # record: 29 oracled (7 TPC-H shapes, 9 scalar-function suites,
-    # 6 text, 2 dedup, 2 similarity, 3 curation) plus 2 no-oracle
-    # (q_kmeans_doclen, q_ann_ivfpq_refined — the other two no-oracle
-    # sketches got rows-only records in r01/r02). ALL 31 are in this
-    # window, so after round 8 every registry query has at least one
-    # driver-recorded row — 124/124 oracled queries hash-verified by
-    # the driver across rounds, 4/4 no-oracle queries rows-recorded.
-    # The other 19 slots are family anchors (the flagship + one-to-two
-    # long-proven queries per family) so a regression in any family
-    # still trips the gate. Expect r8 to read 48 hash-green + 2
-    # rows-only — the 2 rows-only slots are the deliberate price of
-    # completing the coverage story.
+    # ROUND-9 ROTATION — the refresh round. Round 8 closed coverage
+    # (every registry query has a driver record), so windows now cycle
+    # by EVIDENCE AGE: this round re-records (a) the six queries whose
+    # implementation changed in round 9 (the _pq_d2_frame selectExpr
+    # rewrite touches q_pq_codes / q_ivfpq_search / q_ann_ivfpq_refined;
+    # the automatic cache-release listener touches q_pagerank and, via
+    # shared ivf/kernel helpers, q_ann_ivf / q_semantic_dedup), and
+    # (b) every query whose newest driver record is from rounds 1-5 —
+    # 26 queries last recorded r1-r2 under much older code, plus the
+    # r4/r5 vintage (11). Six per-family anchors keep every family
+    # tripwired. Expected r9 outcome: 47 hash-green + 3 rows-only —
+    # the window's three no-oracle-by-design queries
+    # (q_ann_ivfpq_refined: trained ANN has no deterministic DuckDB
+    # twin, recall property-pinned; q_approx_distinct_users /
+    # q_approx_percentile_value: HLL and quantile sketches are
+    # engine-specific, each with an exact oracled twin in the registry).
     "q_windowed_edit_size",  # FLAGSHIP (O7+O8+O9) — must be slot 1
-    # core anchors (O-queries; 7 prior green rounds each)
-    "q_keyby_agg_edit_size",
-    "q_filter_events",  # O5 (SURVEY name: q_filter_human_main)
-    "q_json_extract",
-    # text: six never-recorded + one anchor
-    "q_word_count",
-    "q_bigram_counts",
-    "q_top_tokens_per_lang",
-    "q_repetition_stats",
-    "q_repetition_signals",
-    "q_vocab_ids",
-    "q_encode_tokens",
-    "q_kmeans_doclen",  # no-oracle: first rows-only driver record
-    # curation: three never-recorded + one anchor
-    "q_source_blocklist",
-    "q_pii_redact",
-    "q_shuffle_shards",
-    "q_stratified_sample",
-    # dedup: two never-recorded + three anchors (chain stays pinned)
-    "q_dedup_events",
-    "q_span_mask_stats",
-    "q_dedup_docs_exact",
-    "q_minhash_dedup_pairs",
-    "q_dedup_pipeline",
-    # similarity: two never-recorded + trained-ANN first record + anchor
-    "q_embedding_neardup_kernel",
+    # round-9 changed code paths
+    "q_pq_codes",
     "q_ivfpq_search",
-    "q_ann_ivfpq_refined",  # no-oracle: first rows-only driver record
-    "q_similarity_topk",
-    # multimodal anchors (real-codec decode + frame sampling)
-    "q_multimodal_decode",
-    "q_multimodal_frames",
-    # relational anchors
-    "q_join_orders_customer",
-    "q_semijoin_active_customers",
-    "q_antijoin_quiet_customers",  # SURVEY name: q_antijoin_inactive_users
-    "q_grouping_sets_lineitem",
-    "q_topk_docs_per_lang",
-    "q_asof_join",
-    # TPC-H: the seven never-recorded shapes + the decimal-battery anchor
-    "q_tpch_q1_pricing_summary",    # decimal agg battery (the 2^53 case)
-    "q_tpch_q2_min_cost_supplier",  # correlated min subquery, 8-way join
-    "q_tpch_q8_market_share",       # CASE-inside-agg market share
-    "q_tpch_q11_important_stock",   # global-scalar HAVING threshold
-    "q_tpch_q12_late_shipments",    # two-way CASE agg on ship modes
-    "q_tpch_q15_top_supplier",      # view + global-max equi-select
-    "q_tpch_q20_excess_stock_suppliers",  # nested IN chains
-    "q_tpch_q22_dormant_accounts",  # substring country codes + NOT EXISTS
-    # scalar-function suites: all nine never-recorded
-    "q_unpivot_event_daily",
-    "q_rank_functions",
-    "q_string_functions",
-    "q_ship_latency_histogram",
-    "q_edit_distance_kernel",
-    "q_orders_by_month",
-    "q_array_functions",
-    "q_regex_extract_props",
-    "q_map_functions",
+    "q_ann_ivfpq_refined",  # no-oracle: rows-only by design
+    "q_ann_ivf",
+    "q_semantic_dedup",
+    "q_pagerank_parts_suppliers",
+    # family anchors (hot, proven every round they were in-window)
+    "q_filter_events",       # core (SURVEY name: q_filter_human_main)
+    "q_json_extract",        # core
+    "q_word_count",          # text
+    "q_pii_redact",          # curation
+    "q_dedup_docs_exact",    # dedup
+    "q_multimodal_decode",   # multimodal
+    # stale: newest record r1-r2 (26 queries, recorded under r1-r2 code)
+    "q_collect_user_lists",
+    "q_cube_orders",
+    "q_hash_sample",
+    "q_having_active_users",
+    "q_like_filter_parts",
+    "q_median_value",
+    "q_pivot_user_event_values",
+    "q_posexplode_tokens",
+    "q_range_join_counts",
+    "q_rollup_event_value",
+    "q_running_total",
+    "q_sessionize",
+    "q_tpch_q10_returned_items",
+    "q_tpch_q13_order_histogram",
+    "q_tpch_q14_promo_share",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q4_priority_with_big_lines",
+    "q_tpch_q5_regional_revenue",
+    "q_tpch_q6_forecast_revenue",
+    "q_union_all_actions",
+    "q_unpivot_part_metrics",
+    "q_user_event_gaps",
+    "q_value_moment_stats",
+    "q_window_share_of_segment",
+    "q_approx_distinct_users",
+    "q_approx_percentile_value",
+    # stale: newest record r4-r5 (11 queries)
+    "q_salted_agg_edit_size",
+    "q_distinct_users",
+    "q_embedding_neardup_lsh",
+    "q_fingerprint",
+    "q_lang_stats",
+    "q_minhash_dedup_clusters",
+    "q_minhash_signatures",
+    "q_ngram_jaccard_pairs",
+    "q_setops_users",
+    "q_to_json_roundtrip",
+    "q_top_events_by_value",
     # --- driver cutoff is 50; everything below is registry tail ---
 ]
 

@@ -61,36 +61,37 @@ def test_driver_window_covers_every_family():
     verdict. Pin the composition."""
     names = list(REGISTRY)[:50]
     assert names[0] == "q_windowed_edit_size"  # flagship = entry()
-    # Round-8 rotation (the completion round — see plans/__init__.py):
-    # every query that had never earned a driver record is in-window,
-    # alongside one-to-two long-proven anchors per family.
+    # Round-9 rotation (the refresh round — see plans/__init__.py):
+    # the six round-9-changed queries, every r1-r5-vintage record, and
+    # one anchor per family.
     families = {
-        "core": ["q_keyby_agg_edit_size", "q_filter_events", "q_json_extract"],
-        "text": ["q_word_count", "q_bigram_counts", "q_top_tokens_per_lang",
-                 "q_repetition_stats", "q_repetition_signals",
-                 "q_vocab_ids", "q_encode_tokens"],
-        "curation": ["q_source_blocklist", "q_pii_redact",
-                     "q_shuffle_shards", "q_stratified_sample"],
-        "dedup": ["q_dedup_events", "q_span_mask_stats",
-                  "q_dedup_docs_exact", "q_minhash_dedup_pairs",
-                  "q_dedup_pipeline"],
-        "similarity": ["q_embedding_neardup_kernel", "q_ivfpq_search",
-                       "q_ann_ivfpq_refined", "q_similarity_topk"],
-        "multimodal": ["q_multimodal_decode", "q_multimodal_frames"],
-        "relational": ["q_join_orders_customer", "q_semijoin_active_customers",
-                       "q_antijoin_quiet_customers", "q_topk_docs_per_lang",
-                       "q_grouping_sets_lineitem", "q_asof_join"],
-        "tpch": ["q_tpch_q1_pricing_summary", "q_tpch_q2_min_cost_supplier",
-                 "q_tpch_q8_market_share", "q_tpch_q11_important_stock",
-                 "q_tpch_q12_late_shipments", "q_tpch_q15_top_supplier",
-                 "q_tpch_q20_excess_stock_suppliers",
-                 "q_tpch_q22_dormant_accounts"],
-        "functions": ["q_unpivot_event_daily", "q_rank_functions",
-                      "q_string_functions", "q_ship_latency_histogram",
-                      "q_edit_distance_kernel", "q_orders_by_month",
-                      "q_array_functions", "q_regex_extract_props",
-                      "q_map_functions"],
-        "udf_kmeans": ["q_kmeans_doclen"],
+        "changed_r9": ["q_pq_codes", "q_ivfpq_search", "q_ann_ivfpq_refined",
+                       "q_ann_ivf", "q_semantic_dedup",
+                       "q_pagerank_parts_suppliers"],
+        "core": ["q_filter_events", "q_json_extract",
+                 "q_salted_agg_edit_size"],
+        "text": ["q_word_count", "q_lang_stats", "q_fingerprint",
+                 "q_posexplode_tokens"],
+        "curation": ["q_pii_redact", "q_hash_sample"],
+        "dedup": ["q_dedup_docs_exact", "q_minhash_signatures",
+                  "q_minhash_dedup_clusters", "q_ngram_jaccard_pairs"],
+        "similarity": ["q_embedding_neardup_lsh"],
+        "multimodal": ["q_multimodal_decode"],
+        "relational": ["q_range_join_counts", "q_sessionize",
+                       "q_setops_users", "q_union_all_actions",
+                       "q_having_active_users", "q_top_events_by_value",
+                       "q_cube_orders", "q_rollup_event_value",
+                       "q_distinct_users", "q_user_event_gaps",
+                       "q_like_filter_parts"],
+        "tpch": ["q_tpch_q3_shipping_priority", "q_tpch_q4_priority_with_big_lines",
+                 "q_tpch_q5_regional_revenue", "q_tpch_q6_forecast_revenue",
+                 "q_tpch_q10_returned_items", "q_tpch_q13_order_histogram",
+                 "q_tpch_q14_promo_share"],
+        "functions": ["q_collect_user_lists", "q_median_value",
+                      "q_pivot_user_event_values", "q_unpivot_part_metrics",
+                      "q_running_total", "q_window_share_of_segment",
+                      "q_value_moment_stats", "q_to_json_roundtrip",
+                      "q_approx_distinct_users", "q_approx_percentile_value"],
     }
     missing = {
         fam: [q for q in qs if q not in names]
