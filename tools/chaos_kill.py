@@ -64,20 +64,29 @@ def main() -> int:
     spark = get_spark("chaos-kill", master=MASTER)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Calibration pass: how long does the query take undisturbed, and
-    # how many executors serve it? (Also primes worker/executor spawn.)
-    t0 = time.perf_counter()
-    entrymod.queries()[qname](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    base_wall = time.perf_counter() - t0
+    # Calibration: TWO undisturbed passes of the SAME action the chaos
+    # run uses (collect). The first pays codegen/executor spawn; the
+    # WARM second pass is what the killed run's pace will match — the
+    # first version of this script calibrated cold and the "mid-flight"
+    # kill landed after a 3x-faster warm run had already finished.
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        entrymod.queries()[qname](spark, sf_dir).collect()
+        return time.perf_counter() - t0
+
+    cold_wall = one_pass()
+    base_wall = one_pass()
     n_exec = len(executor_pids(os.getpid()))
-    print(f"calibration: {base_wall:.1f}s undisturbed, {n_exec} executor JVMs")
+    print(
+        f"calibration: {cold_wall:.1f}s cold / {base_wall:.1f}s warm "
+        f"undisturbed, {n_exec} executor JVMs"
+    )
     if n_exec < 2:
         print("FAIL: need >=2 executors to survive a kill")
         return 2
 
-    killed: list[int] = []
+    killed: list[tuple[int, float]] = []
+    t0 = time.perf_counter()
 
     def assassin() -> None:
         time.sleep(max(0.2, base_wall * kill_frac))
@@ -86,18 +95,21 @@ def main() -> int:
             return
         victim = pids[0]
         os.kill(victim, signal.SIGKILL)
-        killed.append(victim)
-        print(f"killed executor JVM {victim} at t+{base_wall * kill_frac:.1f}s")
+        killed.append((victim, time.perf_counter() - t0))
+        print(f"killed executor JVM {victim} at t+{killed[0][1]:.1f}s")
 
     th = threading.Thread(target=assassin, daemon=True)
-    t0 = time.perf_counter()
     th.start()
     sdf = entrymod.queries()[qname](spark, sf_dir)
     rows = sdf.collect()
     wall = time.perf_counter() - t0
     th.join(5)
-    if not killed:
-        print("FAIL: query finished before the kill fired — lower kill_frac")
+    if not killed or killed[0][1] >= wall:
+        print(
+            f"FAIL: kill did not land mid-query (query {wall:.1f}s, kill at "
+            f"{killed[0][1]:.1f}s)" if killed
+            else "FAIL: query finished before the kill fired — lower kill_frac"
+        )
         return 2
     # the worker must have relaunched the executor (or the survivors
     # finished the work); either way the END STATE is what matters:
@@ -126,9 +138,9 @@ def main() -> int:
         print(f"FAIL: values differ in {bad}")
         return 1
     print(
-        f"ok: {qname} survived executor SIGKILL (pid {killed[0]}), "
-        f"{len(spark_pd)} rows value-match the oracle "
-        f"({wall:.1f}s with kill vs {base_wall:.1f}s undisturbed)"
+        f"ok: {qname} survived executor SIGKILL (pid {killed[0][0]} at "
+        f"t+{killed[0][1]:.1f}s of {wall:.1f}s), {len(spark_pd)} rows "
+        f"value-match the oracle (vs {base_wall:.1f}s warm undisturbed)"
     )
     return 0
 
