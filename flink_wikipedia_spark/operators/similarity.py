@@ -70,12 +70,31 @@ def sql_cosine_duckdb(a: str, b: str) -> str:
     )
 
 
-def lsh_bucket_expr(vec: Column) -> Column:
+def lsh_bucket_expr(vec: Column | str) -> Column:
     """LSH bucket id: Σ_j [dot(vec, plane_j) > 0]·2^j over the fixed
     integer-valued hyperplanes (plan literals — no broadcast needed).
 
     Hyperplane components are small integers, so each projection is an
-    exact double computation on both engines."""
+    exact double computation on both engines.
+
+    Pass the COLUMN NAME (str) where possible: the string form renders
+    the whole 8-plane × 64-literal tree as ONE SQL expression parsed
+    JVM-side — the DSL form issues ~600 py4j round trips and cost
+    ~0.8 s of driver time per plan build (round-9 profile, same
+    pathology as the PQ tables in queries_similarity._pq_d2_frame).
+    Both forms resolve to identical Catalyst trees, so results are
+    bit-identical; the Column form stays for derived expressions."""
+    if isinstance(vec, str):
+        terms = ["CAST(0 AS BIGINT)"]
+        for j in range(LSH_NUM_PLANES):
+            lits = ", ".join(f"{c!r}D" for c in LSH_PLANES[j])
+            dot = (
+                f"aggregate(zip_with({vec}, array({lits}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"0.0D, (acc, v) -> acc + v)"
+            )
+            terms.append(f"(CASE WHEN {dot} > 0.0D THEN {2 ** j} ELSE 0 END)")
+        return F.expr(" + ".join(terms))
     bucket: Column = F.lit(0).cast("long")
     for j in range(LSH_NUM_PLANES):
         plane = F.array(*[F.lit(c) for c in LSH_PLANES[j]])

@@ -82,7 +82,7 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.lsh_bucket_expr)."""
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = emb.select(
-        "vec_id", "embedding", lsh_bucket_expr(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", lsh_bucket_expr("embedding").alias("bucket")
     )
     q = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
@@ -280,7 +280,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness fixtures)."""
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = emb.select(
-        "vec_id", "embedding", lsh_bucket_expr(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", lsh_bucket_expr("embedding").alias("bucket")
     )
     w = Window.partitionBy("bucket").orderBy(F.col("vec_id").asc())
     # each vector's norm is computed ONCE here, not once per pair —

@@ -18,6 +18,15 @@ def test_pagerank_cache_is_tracked_and_released(spark):
     from flink_wikipedia_spark.plans.registry import _LIVE_CACHES, release_caches
 
     release_caches()  # clean slate (other tests may have run queries)
+    # other tests' own persists (and CacheManager plan-matching) are
+    # session-global — clear the SQL caches and snapshot the residue
+    # (RDD-level localCheckpoint blocks from the graph loop survive
+    # clearCache and are reclaimed only by GC): the end-state assertion
+    # is a DELTA against this baseline (round-9 full-suite lesson)
+    spark.catalog.clearCache()
+    from tests.test_round9_hardening import _persistent_ids
+
+    baseline = _persistent_ids(spark)
     df = REGISTRY["q_pagerank_parts_suppliers"].fn(spark, SF_SMOKE)
     assert len(_LIVE_CACHES) == 1, "pagerank must register exactly one cache"
     cached = _LIVE_CACHES[0]
@@ -26,15 +35,16 @@ def test_pagerank_cache_is_tracked_and_released(spark):
     # Round 9 made release automatic (an async QueryExecutionListener
     # may free the cache before we do) — the invariant is the
     # post-state, not which path released: after a synchronous
-    # release_caches() nothing is tracked and nothing stays persistent.
+    # release_caches() nothing is tracked and nothing NEW stays
+    # persistent.
     release_caches()
     assert not _LIVE_CACHES
     import time as _time
 
     deadline = _time.time() + 10
-    while _time.time() < deadline and spark.sparkContext._jsc.getPersistentRDDs().size():
+    while _time.time() < deadline and not (_persistent_ids(spark) <= baseline):
         _time.sleep(0.2)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert _persistent_ids(spark) <= baseline
 
 
 def test_release_caches_survives_stopped_session():
