@@ -330,13 +330,37 @@ def matrix_literal(mat) -> Column:
     )
 
 
-def pq_d2_cols(vec_col: Column, codebooks) -> list[Column]:
+def pq_d2_cols(vec_col: Column | str, codebooks) -> list[Column]:
     """Per-subspace squared-L2 distance tables against a trained
     codebook array [M × K × sub_dim]: column m is a K-element array —
     for a corpus vector its argmin is the PQ code, for a query vector
     it IS the ADC lookup table. Pure literal expressions: index
-    application is a map, JVM codegen, no Python, no shuffle."""
+    application is a map, JVM codegen, no Python, no shuffle.
+
+    Pass the COLUMN NAME (str) where possible: the trained 8×16×8
+    codebook is ~1K literals, and the DSL form pays a py4j round trip
+    per literal (~1-2 s of driver time per plan build, round-9
+    profile); the string form is one JVM-side parse into the identical
+    Catalyst tree. repr(float) round-trips exactly through
+    Double.parseDouble, so trained values survive bit-exact."""
     m_, k_, sub_dim = codebooks.shape
+    if isinstance(vec_col, str):
+        cols = []
+        for m in range(m_):
+            cents = ", ".join(
+                "array(" + ", ".join(f"{float(c)!r}D" for c in row) + ")"
+                for row in codebooks[m]
+            )
+            cols.append(
+                F.expr(
+                    f"transform(array({cents}), cv -> aggregate("
+                    f"zip_with(slice({vec_col}, {m * sub_dim + 1}, {sub_dim}),"
+                    f" cv, (x, c) -> (CAST(x AS DOUBLE) - c)"
+                    f" * (CAST(x AS DOUBLE) - c)), 0.0D,"
+                    f" (acc, v) -> acc + v))"
+                ).alias(f"d2_{m}")
+            )
+        return cols
     cols = []
     for m in range(m_):
         sub = F.slice(vec_col, m * sub_dim + 1, sub_dim)

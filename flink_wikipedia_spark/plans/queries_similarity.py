@@ -871,7 +871,7 @@ def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         cands = assigned.select(
-            "vec_id", "centroid_id", *pq_d2_cols(F.col("embedding"), cbs)
+            "vec_id", "centroid_id", *pq_d2_cols("embedding", cbs)
         ).select(
             F.col("vec_id").alias("neighbor_id"),
             "centroid_id",
@@ -885,7 +885,7 @@ def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             queries.select(
                 F.col("vec_id").alias("query_id"),
-                *pq_d2_cols(F.col("embedding"), cbs),
+                *pq_d2_cols("embedding", cbs),
             ),
             "query_id",
         )
