@@ -137,7 +137,10 @@ class _CacheReleaseListener:
         return other is self
 
     def hashCode(self):
-        return id(self)
+        # Java int range (ADVICE r9): id(self) is ~2^47 on 64-bit
+        # CPython; py4j would encode it as a long and any JVM-side
+        # hashCode() unboxing to int would fail on the listener bus.
+        return id(self) & 0x7FFFFFFF
 
 
 _LISTENER_APP_IDS: set[str] = set()

@@ -48,6 +48,17 @@ def test_non_with_query_passes_through():
     assert ctes == [] and final == "SELECT 42 AS v"
 
 
+@pytest.mark.parametrize("sql", ["WITH a AS", "WITH a AS MATERIALIZED", "WITH a AS  "])
+def test_truncated_statement_raises_valueerror(sql):
+    """ADVICE r9: a statement truncated right after AS/MATERIALIZED must
+    fail with the documented ValueError class, not IndexError — the
+    'violations raise, never silently mis-split' contract names
+    ValueError paths."""
+    vs = _load()
+    with pytest.raises(ValueError, match="expected \\( for CTE a"):
+        vs.split_ctes(sql)
+
+
 @pytest.mark.parametrize("name", ["q_pagerank_parts_suppliers", "q_dedup_components"])
 def test_staged_equals_monolithic_on_real_oracles(name):
     """Stage-by-stage execution must be bit-identical to the single

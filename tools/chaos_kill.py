@@ -33,11 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MASTER = os.environ.get("CHAOS_MASTER", "local-cluster[3,4,2048]")
 
 
-def executor_pids(driver_pid: int) -> list[int]:
-    """CoarseGrainedExecutorBackend JVMs of THIS app (children of our
-    gateway JVM's workers — match on the backend class, exclude self)."""
+def executor_pids(driver_pid: int, app_id: str) -> list[int]:
+    """CoarseGrainedExecutorBackend JVMs of THIS app only. Executor
+    cmdlines carry ``--app-id <applicationId>``, so the pgrep pattern is
+    scoped to it (ADVICE r9: a bare class-name match would let the
+    assassin SIGKILL an executor of a concurrently running Spark app —
+    e.g. a verify/bench gate — while this app's query proceeds unkilled
+    and the gate result becomes misleading)."""
     out = subprocess.run(
-        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+        ["pgrep", "-f", f"CoarseGrainedExecutorBackend.*--app-id {app_id}"],
         capture_output=True,
         text=True,
     ).stdout.split()
@@ -74,9 +78,10 @@ def main() -> int:
         entrymod.queries()[qname](spark, sf_dir).collect()
         return time.perf_counter() - t0
 
+    app_id = spark.sparkContext.applicationId
     cold_wall = one_pass()
     base_wall = one_pass()
-    n_exec = len(executor_pids(os.getpid()))
+    n_exec = len(executor_pids(os.getpid(), app_id))
     print(
         f"calibration: {cold_wall:.1f}s cold / {base_wall:.1f}s warm "
         f"undisturbed, {n_exec} executor JVMs"
@@ -90,7 +95,7 @@ def main() -> int:
 
     def assassin() -> None:
         time.sleep(max(0.2, base_wall * kill_frac))
-        pids = executor_pids(os.getpid())
+        pids = executor_pids(os.getpid(), app_id)
         if not pids:
             return
         victim = pids[0]

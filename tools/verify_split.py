@@ -95,7 +95,7 @@ def split_ctes(sql: str):
         mat = re.match(r"MATERIALIZED\b", s[i:], re.IGNORECASE)
         if mat:
             i = skip_noise(i + mat.end())
-        if s[i] != "(":
+        if i >= n or s[i] != "(":  # i==n: statement truncated after AS
             raise ValueError(f"expected ( for CTE {cname} body")
         depth, j = 1, i + 1
         while j < n and depth:
