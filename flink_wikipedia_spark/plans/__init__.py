@@ -19,91 +19,103 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registry entries
 # only (CORRECTNESS_r01 stopped at slot 50), so registration order is
-# part of the contract: slots 1-50 must cover every operator family.
-# Priority: flagship + reference O-queries, then one-per-family for the
-# LLM-pipeline extensions (text / dedup / similarity / multimodal),
-# then the relational operator set. TPC-H shapes and the scalar-function
-# suites — redundant coverage of already-proven operators — fill the
-# tail past the cutoff.
+# part of the contract. STANDING WINDOW POLICY (coverage closed in
+# round 8 — every registry query has at least one driver record):
+#   1. flagship q_windowed_edit_size is always slot 1 (it is entry());
+#   2. any query whose implementation changed this round goes in-window
+#      (changed code with only stale evidence is untested code);
+#   3. remaining slots refresh the STALEST evidence first — per-query
+#      newest driver round comes from the CORRECTNESS_r*.json history;
+#   4. one anchor per operator family stays in-window every round so a
+#      family regression can never hide behind rotation;
+#   5. no-oracle (rows-only) queries in the window are pre-declared
+#      below so the verdict can check the gate outcome against a
+#      written prediction.
+#
+# ROUND-10 WINDOW under that policy: no query-builder code changed, so
+# the window is the 9 queries whose newest record is r6 (the stalest
+# vintage), the 2 SURVEY-name aliases that have never had a driver row
+# of their own (registered BEFORE the reorder so they can hold window
+# slots), the 6 family anchors, all 28 r7-vintage queries, and 4
+# r8-vintage picks (TPC-H Q1 — the sf100 scaling watch item — the
+# dim-join anchor, the as-of join, and the UDF-surface anchor).
+# Expected r10 outcome: 49 hash-green + 1 rows-only — q_kmeans_doclen
+# is the window's only no-oracle-by-design query (data-dependent
+# k-means has no deterministic DuckDB twin; property-pinned, with the
+# oracled built-in twin q_zscore_docs also in-window).
 _PRIORITY = [
-    # ROUND-9 ROTATION — the refresh round. Round 8 closed coverage
-    # (every registry query has a driver record), so windows now cycle
-    # by EVIDENCE AGE: this round re-records (a) the six queries whose
-    # implementation changed in round 9 (the _pq_d2_frame selectExpr
-    # rewrite touches q_pq_codes / q_ivfpq_search / q_ann_ivfpq_refined;
-    # the automatic cache-release listener touches q_pagerank and, via
-    # shared ivf/kernel helpers, q_ann_ivf / q_semantic_dedup), and
-    # (b) every query whose newest driver record is from rounds 1-5 —
-    # 26 queries last recorded r1-r2 under much older code, plus the
-    # r4/r5 vintage (11). Six per-family anchors keep every family
-    # tripwired. Expected r9 outcome: 47 hash-green + 3 rows-only —
-    # the window's three no-oracle-by-design queries
-    # (q_ann_ivfpq_refined: trained ANN has no deterministic DuckDB
-    # twin, recall property-pinned; q_approx_distinct_users /
-    # q_approx_percentile_value: HLL and quantile sketches are
-    # engine-specific, each with an exact oracled twin in the registry).
     "q_windowed_edit_size",  # FLAGSHIP (O7+O8+O9) — must be slot 1
-    # round-9 changed code paths
-    "q_pq_codes",
-    "q_ivfpq_search",
-    "q_ann_ivfpq_refined",  # no-oracle: rows-only by design
-    "q_ann_ivf",
-    "q_semantic_dedup",
-    "q_pagerank_parts_suppliers",
+    # stalest vintage: newest driver record r6
+    "q_cohort_retention",
+    "q_curation_funnel",
+    "q_data_quality_audit",
+    "q_date_functions",
+    "q_distribution_ranks",
+    "q_funnel_view_click_purchase",
+    "q_snapshot_merge",
+    "q_token_budget_waterfill",
+    "q_tpch_q21_sole_late_supplier",
+    # SURVEY-name aliases — first driver row ever for these names
+    "q_filter_human_main",       # alias of q_filter_events (O5)
+    "q_antijoin_inactive_users", # alias of q_antijoin_quiet_customers (E6)
     # family anchors (hot, proven every round they were in-window)
-    "q_filter_events",       # core (SURVEY name: q_filter_human_main)
+    "q_filter_events",       # core
     "q_json_extract",        # core
     "q_word_count",          # text
     "q_pii_redact",          # curation
     "q_dedup_docs_exact",    # dedup
     "q_multimodal_decode",   # multimodal
-    # stale: newest record r1-r2 (26 queries, recorded under r1-r2 code)
-    "q_collect_user_lists",
-    "q_cube_orders",
-    "q_hash_sample",
-    "q_having_active_users",
-    "q_like_filter_parts",
-    "q_median_value",
-    "q_pivot_user_event_values",
-    "q_posexplode_tokens",
-    "q_range_join_counts",
-    "q_rollup_event_value",
-    "q_running_total",
-    "q_sessionize",
-    "q_tpch_q10_returned_items",
-    "q_tpch_q13_order_histogram",
-    "q_tpch_q14_promo_share",
-    "q_tpch_q3_shipping_priority",
-    "q_tpch_q4_priority_with_big_lines",
-    "q_tpch_q5_regional_revenue",
-    "q_tpch_q6_forecast_revenue",
-    "q_union_all_actions",
-    "q_unpivot_part_metrics",
-    "q_user_event_gaps",
-    "q_value_moment_stats",
-    "q_window_share_of_segment",
-    "q_approx_distinct_users",
-    "q_approx_percentile_value",
-    # stale: newest record r4-r5 (11 queries)
-    "q_salted_agg_edit_size",
-    "q_distinct_users",
-    "q_embedding_neardup_lsh",
-    "q_fingerprint",
-    "q_lang_stats",
-    "q_minhash_dedup_clusters",
-    "q_minhash_signatures",
-    "q_ngram_jaccard_pairs",
-    "q_setops_users",
-    "q_to_json_roundtrip",
-    "q_top_events_by_value",
+    # r7 vintage (all 28)
+    "q_contamination_check",
+    "q_corr_quantity_price",
+    "q_dedup_canonical",
+    "q_dedup_components",
+    "q_doc_chunks",
+    "q_duplicate_spans",
+    "q_edit_event_decode",
+    "q_gapfill_rollup",
+    "q_lang_id",
+    "q_multimodal_features",
+    "q_multimodal_meta",
+    "q_pack_sequences",
+    "q_pivot_event_daily",
+    "q_project",
+    "q_quality_score",
+    "q_simhash",
+    "q_similarity_lsh",
+    "q_sliding_window_counts",
+    "q_tfidf_top_terms",
+    "q_token_count",
+    "q_tpch_q16_supplier_variety",
+    "q_tpch_q17_small_quantity_revenue",
+    "q_tpch_q18_large_orders",
+    "q_tpch_q19_disjunctive_revenue",
+    "q_tpch_q7_volume_shipping",
+    "q_tpch_q9_nation_year_profit",
+    "q_window_navigation",
+    "q_zscore_docs",
+    # r8 vintage picks (4)
+    "q_tpch_q1_pricing_summary",  # sf100 scaling watch item (SCALE.md)
+    "q_join_orders_customer",     # E5 dim-join anchor
+    "q_asof_join",
+    "q_kmeans_doclen",            # no-oracle: rows-only by design
     # --- driver cutoff is 50; everything below is registry tail ---
 ]
+
+# SURVEY.md §2 names the O5 and E6 inventory queries differently than
+# their primary registrations; register the survey names as aliases so
+# a line-by-line inventory check resolves either name. Registered
+# BEFORE the reorder so _PRIORITY may place them inside the window.
+alias("q_filter_human_main", "q_filter_events")
+alias("q_antijoin_inactive_users", "q_antijoin_quiet_customers")
 
 
 def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     if missing:  # fail loudly at import — a typo here silently demotes a query
         raise RuntimeError(f"priority list names unknown queries: {missing}")
+    if len(_PRIORITY) != 50:
+        raise RuntimeError(f"driver window must be exactly 50, got {len(_PRIORITY)}")
     tail = [n for n in REGISTRY if n not in set(_PRIORITY)]
     ordered = {n: REGISTRY[n] for n in [*_PRIORITY, *tail]}
     REGISTRY.clear()
@@ -111,11 +123,5 @@ def _reorder() -> None:
 
 
 _reorder()
-
-# SURVEY.md §2 names the O5 and E6 inventory queries differently than
-# their primary registrations; register the survey names as tail aliases
-# so a line-by-line inventory check resolves either name.
-alias("q_filter_human_main", "q_filter_events")
-alias("q_antijoin_inactive_users", "q_antijoin_quiet_customers")
 
 __all__ = ["REGISTRY", "QueryDef", "alias", "query"]

@@ -61,37 +61,41 @@ def test_driver_window_covers_every_family():
     verdict. Pin the composition."""
     names = list(REGISTRY)[:50]
     assert names[0] == "q_windowed_edit_size"  # flagship = entry()
-    # Round-9 rotation (the refresh round — see plans/__init__.py):
-    # the six round-9-changed queries, every r1-r5-vintage record, and
-    # one anchor per family.
+    # Round-10 rotation (standing stalest-first policy — see
+    # plans/__init__.py): the 9 r6-vintage queries, the 2 SURVEY-name
+    # aliases (first driver row ever), the 6 family anchors, all 28
+    # r7-vintage queries, and 4 r8-vintage picks.
     families = {
-        "changed_r9": ["q_pq_codes", "q_ivfpq_search", "q_ann_ivfpq_refined",
-                       "q_ann_ivf", "q_semantic_dedup",
-                       "q_pagerank_parts_suppliers"],
-        "core": ["q_filter_events", "q_json_extract",
-                 "q_salted_agg_edit_size"],
-        "text": ["q_word_count", "q_lang_stats", "q_fingerprint",
-                 "q_posexplode_tokens"],
-        "curation": ["q_pii_redact", "q_hash_sample"],
-        "dedup": ["q_dedup_docs_exact", "q_minhash_signatures",
-                  "q_minhash_dedup_clusters", "q_ngram_jaccard_pairs"],
-        "similarity": ["q_embedding_neardup_lsh"],
-        "multimodal": ["q_multimodal_decode"],
-        "relational": ["q_range_join_counts", "q_sessionize",
-                       "q_setops_users", "q_union_all_actions",
-                       "q_having_active_users", "q_top_events_by_value",
-                       "q_cube_orders", "q_rollup_event_value",
-                       "q_distinct_users", "q_user_event_gaps",
-                       "q_like_filter_parts"],
-        "tpch": ["q_tpch_q3_shipping_priority", "q_tpch_q4_priority_with_big_lines",
-                 "q_tpch_q5_regional_revenue", "q_tpch_q6_forecast_revenue",
-                 "q_tpch_q10_returned_items", "q_tpch_q13_order_histogram",
-                 "q_tpch_q14_promo_share"],
-        "functions": ["q_collect_user_lists", "q_median_value",
-                      "q_pivot_user_event_values", "q_unpivot_part_metrics",
-                      "q_running_total", "q_window_share_of_segment",
-                      "q_value_moment_stats", "q_to_json_roundtrip",
-                      "q_approx_distinct_users", "q_approx_percentile_value"],
+        "r6_vintage": ["q_cohort_retention", "q_curation_funnel",
+                       "q_data_quality_audit", "q_date_functions",
+                       "q_distribution_ranks", "q_funnel_view_click_purchase",
+                       "q_snapshot_merge", "q_token_budget_waterfill",
+                       "q_tpch_q21_sole_late_supplier"],
+        "aliases_first_row": ["q_filter_human_main",
+                              "q_antijoin_inactive_users"],
+        "anchors": ["q_filter_events", "q_json_extract", "q_word_count",
+                    "q_pii_redact", "q_dedup_docs_exact",
+                    "q_multimodal_decode"],
+        "text": ["q_lang_id", "q_token_count", "q_quality_score",
+                 "q_tfidf_top_terms", "q_doc_chunks", "q_zscore_docs"],
+        "curation": ["q_contamination_check", "q_pack_sequences"],
+        "dedup": ["q_dedup_canonical", "q_dedup_components",
+                  "q_duplicate_spans", "q_simhash"],
+        "similarity": ["q_similarity_lsh"],
+        "multimodal": ["q_multimodal_features", "q_multimodal_meta"],
+        "streaming_twin": ["q_sliding_window_counts"],
+        "relational": ["q_snapshot_merge", "q_gapfill_rollup",
+                       "q_join_orders_customer", "q_asof_join"],
+        "tpch": ["q_tpch_q1_pricing_summary", "q_tpch_q7_volume_shipping",
+                 "q_tpch_q9_nation_year_profit", "q_tpch_q16_supplier_variety",
+                 "q_tpch_q17_small_quantity_revenue", "q_tpch_q18_large_orders",
+                 "q_tpch_q19_disjunctive_revenue",
+                 "q_tpch_q21_sole_late_supplier"],
+        "functions": ["q_date_functions", "q_distribution_ranks",
+                      "q_window_navigation", "q_corr_quantity_price",
+                      "q_pivot_event_daily"],
+        "udf_surface": ["q_kmeans_doclen"],
+        "core": ["q_project", "q_edit_event_decode"],
     }
     missing = {
         fam: [q for q in qs if q not in names]
