@@ -13,6 +13,14 @@ recorded a uniform 3.8x "regression" that was pure co-tenant load. The
 suite now runs BENCH_RUNS (default 3) back-to-back passes and reports
 the per-query MEDIAN; 1- and 5-minute load averages are recorded
 alongside so a contaminated round is self-evident in the artifact.
+
+Round-10 protocol: per-query EXECUTOR CPU seconds, shuffle-read MB and
+disk-spill MB ride the artifact (stage_metrics.StageMetricsSampler over
+the UI REST API). CPU barely moves under co-tenant load while wall
+inflates, so one run now distinguishes "host was busy" (wall up, CPU
+flat) from "code got slower" (both up) without five-run forensics;
+shuffle bytes pin the plan shape (a delta between rounds means the PLAN
+changed); spill must stay 0 at sf0.1.
 """
 
 from __future__ import annotations
@@ -200,8 +208,16 @@ def main() -> None:
     # must be self-evident from the artifact alone — the end-of-run
     # averages miss co-tenant load that died mid-suite.
     load_before = [round(x, 2) for x in os.getloadavg()[:2]]
+    # Expose the UI REST API so per-query executor CPU / shuffle / spill
+    # deltas ride the artifact (round-10 protocol: CPU time is the drift
+    # discriminator — wall inflates under co-tenant load, CPU doesn't).
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    from flink_wikipedia_spark.stage_metrics import StageMetricsSampler
+
+    sampler = StageMetricsSampler(spark)
 
     # Warmup outside the timed region: JVM JIT, whole-stage-codegen
     # compilation, parquet reader + timestamp decode paths. Bench numbers
@@ -216,16 +232,41 @@ def main() -> None:
     # same physical query — timing them would double-count the suite
     primaries = {n: qd for n, qd in REGISTRY.items() if qd.alias_of is None}
     samples: dict[str, list[float]] = {name: [] for name in primaries}
+    msamples: dict[str, list[dict]] = {name: [] for name in primaries}
     for _ in range(n_runs):
+        sampler.snapshot()  # re-baseline (skew/stream work between runs)
         for name, qd in primaries.items():
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            # metrics delta + cache release both OUTSIDE the timed region
+            d = sampler.delta()
+            if d is not None:
+                msamples[name].append(d)
             # free builder-persisted frames (e.g. pagerank's edge list)
-            # OUTSIDE the timed region so run N+1 can't ride run N's cache
+            # so run N+1 can't ride run N's cache
             release_caches()
 
     per_query = {name: round(median(xs), 3) for name, xs in samples.items()}
+
+    def med_field(name: str, field: str, scale: float) -> float | None:
+        vals = [d[field] / scale for d in msamples[name]]
+        return round(median(vals), 3) if vals else None
+
+    # Per-query medians of the executor-side counters. CPU is the drift
+    # discriminator; shuffle bytes are plan-shape evidence (they must be
+    # run-invariant — a shuffle delta between rounds means the PLAN
+    # changed); spill should be 0 at sf0.1 (any nonzero is a red flag).
+    cpu_sec = {n: med_field(n, "executorCpuTime", 1e9) for n in primaries}
+    shuffle_mb = {
+        n: med_field(n, "shuffleReadBytes", 2**20) for n in primaries
+    }
+    spill = {
+        n: v
+        for n in primaries
+        if (v := med_field(n, "diskBytesSpilled", 2**20))
+    }
+    have_metrics = any(v is not None for v in cpu_sec.values())
     load_avg = [round(x, 2) for x in os.getloadavg()[:2]]
 
     # Two runs, report the better: the first pays one-time costs
@@ -239,22 +280,28 @@ def main() -> None:
     skew = skew_bench(spark, sf_dir, runs=n_runs)
 
     total = round(sum(per_query.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "suite_wall_clock",
-            "value": total,
-            "unit": "sec",
-            "queries": per_query,
-            "sf": sf_from_dir(sf_dir),
-            "runs": n_runs,
-            "load_avg_1m_5m": load_avg,
-            "load_avg_before": load_before,
-            "stream_events": stream_rows,
-            "stream_events_per_sec": stream_eps,
-            "skew_join": skew,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_from_dir(sf_dir),
+        "runs": n_runs,
+        "load_avg_1m_5m": load_avg,
+        "load_avg_before": load_before,
+        "stream_events": stream_rows,
+        "stream_events_per_sec": stream_eps,
+        "skew_join": skew,
+        "executor_metrics": have_metrics,
+    }
+    if have_metrics:
+        payload["suite_cpu_sec"] = round(
+            sum(v for v in cpu_sec.values() if v), 3
+        )
+        payload["queries_cpu_sec"] = cpu_sec
+        payload["queries_shuffle_read_mb"] = shuffle_mb
+        payload["queries_spill_disk_mb"] = spill
+    line = json.dumps(payload, separators=(",", ":"))
 
     # Output contract hardening (round-1 BENCH had "parsed": null — the
     # JSON didn't survive the driver's stdout capture): write the line

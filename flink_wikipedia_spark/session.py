@@ -117,9 +117,24 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "4g"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # SPARK_GRAFT_UI=1 exposes the UI's REST API for the bench/forensics
+    # instrumentation (stage_metrics.StageMetricsSampler reads per-query
+    # executor CPU / shuffle / spill deltas from it). Off by default —
+    # gates and tests don't pay for the HTTP server. When on: port 0
+    # (ephemeral — concurrent gates must not fight over 4040) and stage
+    # retention sized so a full bench suite (~5k stages) never sees the
+    # status store evict mid-run (eviction makes cumulative deltas lie).
+    if os.environ.get("SPARK_GRAFT_UI", "").lower() in ("1", "true", "yes"):
+        builder = (
+            builder.config("spark.ui.enabled", "true")
+            .config("spark.ui.port", "0")
+            .config("spark.ui.retainedStages", "100000")
+            .config("spark.ui.retainedJobs", "100000")
+        )
+    else:
+        builder = builder.config("spark.ui.enabled", "false")
     # Connector jars for the optional real-endpoint integration tests
     # (tests/test_integration_endpoints.py): e.g.
     # SPARK_GRAFT_JARS_PACKAGES="org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2,

@@ -118,3 +118,61 @@ def test_flagship_stream_carries_decode_metrics(spark, tmp_path):
                 seen[k] += d.get(k) or 0
     assert seen["rows_total"] == 2
     assert seen["rows_corrupt"] == 1
+
+
+def test_stage_metrics_degrades_without_ui(spark):
+    """The test fixture session has spark.ui.enabled=false — the sampler
+    must report unavailable and return None everywhere, never raise
+    (instrumentation can't be allowed to break the bench contract)."""
+    from flink_wikipedia_spark.stage_metrics import StageMetricsSampler
+
+    s = StageMetricsSampler(spark)
+    assert s.available is False
+    s.snapshot()
+    assert s.delta() is None
+
+
+def test_stage_metrics_real_deltas_subprocess(tmp_path):
+    """Real path needs a UI-enabled session, which can't coexist with the
+    suite's fixture context — run it in a child interpreter: a shuffling
+    query must show positive executor CPU and shuffle-read deltas, and a
+    no-work delta must be ~zero CPU."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import os
+        os.environ["SPARK_GRAFT_UI"] = "1"
+        os.environ["SPARK_GRAFT_CPUS"] = "2"
+        from flink_wikipedia_spark.session import get_spark
+        from flink_wikipedia_spark.stage_metrics import StageMetricsSampler
+
+        spark = get_spark("stage-metrics-test")
+        spark.sparkContext.setLogLevel("ERROR")
+        s = StageMetricsSampler(spark)
+        assert s.available, "UI REST API not reachable"
+        s.snapshot()
+        spark.range(2_000_000).selectExpr("id % 97 AS k").groupBy(
+            "k"
+        ).count().write.format("noop").mode("overwrite").save()
+        d = s.delta()
+        assert d is not None, "delta unavailable"
+        assert d["executorCpuTime"] > 0, d
+        assert d["shuffleReadBytes"] > 0, d
+        d2 = s.delta()  # no work in between -> zero (or tiny laggard) CPU
+        assert d2 is not None and d2["executorCpuTime"] < d["executorCpuTime"], (d, d2)
+        spark.stop()
+        print("STAGE_METRICS_OK")
+        """
+    )
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_MASTER", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, env=env, cwd=str(tmp_path),
+    )
+    assert "STAGE_METRICS_OK" in out.stdout, out.stdout + out.stderr

@@ -9,6 +9,13 @@ event/document backlogs, the round-9 verdict ask:
   watermark → broadcast anti-join → windowed counts (5 M docs at sf100);
 - **stateful**  — running_domain_totals: applyInPandasWithState lifetime
   counters, one state row per key (~1.5 M user keys at sf100);
+- **stateful_jvm** — the SAME lifetime counters as a built-in streaming
+  aggregate in update mode (JVM state, no Python worker in the loop).
+  Registered so the cost of choosing the Python-stateful path is a
+  standing, visible number (round-9 verdict: ~60× at sf100): reach for
+  applyInPandasWithState only for semantics aggregates can't express —
+  session machines, custom eviction, cross-event pattern state — never
+  for counters;
 - **ss_join**   — purchases_with_recent_views: stream-stream interval
   join, state bounded by the 1 h horizon on each side.
 
@@ -202,7 +209,9 @@ def main() -> None:
     ap.add_argument("--work", default=None, help="render/checkpoint dir")
     ap.add_argument("--keep", action="store_true", help="keep rendered inputs")
     ap.add_argument(
-        "--legs", default="curation,stateful,ss_join", help="comma list to run"
+        "--legs",
+        default="curation,stateful,stateful_jvm,ss_join",
+        help="comma list to run",
     )
     args = ap.parse_args()
 
@@ -237,7 +246,7 @@ def main() -> None:
     ev_dir = os.path.join(work, "events_json")
     doc_dir = os.path.join(work, "docs_json")
 
-    if legs & {"stateful", "ss_join"}:
+    if legs & {"stateful", "stateful_jvm", "ss_join"}:
         t0 = time.perf_counter()
         n_ev = render_events(spark, args.sf_dir, ev_dir, args.events)
         print(f"rendered {n_ev} events in {time.perf_counter()-t0:.0f}s", flush=True)
@@ -281,6 +290,33 @@ def main() -> None:
 
         results["legs"]["stateful"] = run_leg(
             "stateful", build, os.path.join(work, "ck_stateful"), n_ev
+        )
+
+    if "stateful_jvm" in legs:
+        # Built-in twin of running_domain_totals: identical output
+        # schema and cadence (one updated row per key per batch), but
+        # the state row is a native unsaferow aggregate buffer — no
+        # Arrow transfer, no Python worker. Same input, same store.
+        def build(sink, ck):
+            decoded = decode_edit_events(
+                file_source(spark, ev_dir, max_files_per_trigger=1)
+            )
+            totals = decoded.groupBy("domain").agg(
+                F.count("*").alias("n_edits"),
+                F.sum(F.abs(F.col("new_length") - F.col("old_length"))).alias(
+                    "total_edit_size"
+                ),
+            )
+            return (
+                totals.writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        results["legs"]["stateful_jvm"] = run_leg(
+            "stateful_jvm", build, os.path.join(work, "ck_stateful_jvm"), n_ev
         )
 
     if "ss_join" in legs:
