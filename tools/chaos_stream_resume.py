@@ -8,7 +8,7 @@ tool does the real thing at any SF: SIGKILL the ENTIRE driver process
 checkpoint, and assert the union of published epochs equals the batch
 twin exactly — no loss, no duplication.
 
-    python tools/chaos_stream_resume.py <sf_dir> [--kill-after SEC]
+    python tools/chaos_stream_resume.py <sf_dir> [--kill-epochs K]
         [--events CAP] [--work DIR] [--out JSON]
 
 Phases (each its own interpreter, so the kill is a process kill):
@@ -163,7 +163,17 @@ def phase_verify(work: str, out_json: str | None) -> int:
 # ------------------------------------------------------------ orchestrator
 
 
-def child(phase: str, args: list[str], kill_after: float | None = None):
+def child(
+    phase: str,
+    args: list[str],
+    kill_at_epochs: int | None = None,
+    ck_dir: str | None = None,
+):
+    """Run a phase in its own interpreter. With kill_at_epochs set, poll
+    the checkpoint's commit log and SIGKILL the driver the moment that
+    many epochs have committed — deterministic mid-backlog landing
+    regardless of host speed (a fixed sleep raced Spark startup: 10 s
+    landed before the first commit at sf0.1)."""
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_STATE_STORE", "rocksdb")
     env["PYTHONPATH"] = (
@@ -172,10 +182,15 @@ def child(phase: str, args: list[str], kill_after: float | None = None):
     )
     cmd = [sys.executable, os.path.abspath(__file__), "--phase", phase, *args]
     p = subprocess.Popen(cmd, env=env)
-    if kill_after is None:
+    if kill_at_epochs is None:
         p.wait()
         return p.returncode
-    time.sleep(kill_after)
+    while p.poll() is None:
+        if committed_epochs(ck_dir) >= kill_at_epochs:
+            break
+        time.sleep(0.25)
+    if p.poll() is not None:  # stream finished before the threshold
+        return p.returncode
     # Enumerate the child's direct JVM children BEFORE killing it (pgrep
     # -P scoped to p.pid — never a global pattern: a concurrent bench's
     # JVM must be unkillable from here), SIGKILL python, then the JVMs.
@@ -202,7 +217,11 @@ def main() -> int:
     ap.add_argument("--phase", default=None)
     ap.add_argument("--work", default=os.path.join(REPO, ".scratch", "chaos_stream"))
     ap.add_argument("--events", type=int, default=None)
-    ap.add_argument("--kill-after", type=float, default=100.0)
+    ap.add_argument(
+        "--kill-epochs", type=int, default=None,
+        help="SIGKILL the driver once this many epochs committed "
+        "(default: slabs // 3)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -233,16 +252,17 @@ def main() -> int:
          if f.endswith(".json")]
     )
 
+    kill_epochs = args.kill_epochs or max(1, n_slabs // 3)
     t0 = time.time()
-    rc = child("stream", [args.sf_dir, "--work", work],
-               kill_after=args.kill_after)
+    rc = child(
+        "stream", [args.sf_dir, "--work", work],
+        kill_at_epochs=kill_epochs, ck_dir=os.path.join(work, "ck"),
+    )
     killed_at = time.time() - t0
     epochs_at_kill = committed_epochs(os.path.join(work, "ck"))
     if rc == 0:
-        print(
-            f"FAIL: stream finished in <{args.kill_after}s — kill never "
-            "landed; lower --kill-after"
-        )
+        print("FAIL: stream finished before the epoch threshold — kill "
+              "never landed; lower --kill-epochs")
         return 2
     if not (0 < epochs_at_kill < n_slabs):
         print(
