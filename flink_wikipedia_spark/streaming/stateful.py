@@ -57,6 +57,90 @@ def running_domain_totals(decoded: DataFrame) -> DataFrame:
     )
 
 
+BUCKETED_STATE_SCHEMA = (
+    "domains array<string>, ns array<long>, ss array<long>"
+)
+
+
+def _update_totals_bucketed(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # One call covers EVERY domain hashing into this bucket: the batch
+    # slice is reduced vectorized (pandas groupby), then merged into the
+    # bucket's domain->(n, s) dict held as three parallel state arrays.
+    if state.exists:
+        domains, ns, ss = state.get
+        totals: dict[str, tuple[int, int]] = {
+            d: (n, s) for d, n, s in zip(domains, ns, ss)
+        }
+    else:
+        totals = {}
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    sizes = (batch["new_length"] - batch["old_length"]).abs()
+    agg = sizes.groupby(batch["domain"]).agg(["count", "sum"])
+    out_d, out_n, out_s = [], [], []
+    for domain, row in agg.iterrows():
+        n0, s0 = totals.get(domain, (0, 0))
+        n1, s1 = n0 + int(row["count"]), s0 + int(row["sum"])
+        totals[domain] = (n1, s1)
+        out_d.append(domain)
+        out_n.append(n1)
+        out_s.append(s1)
+    state.update(
+        (
+            list(totals.keys()),
+            [n for n, _ in totals.values()],
+            [s for _, s in totals.values()],
+        )
+    )
+    yield pd.DataFrame(
+        {"domain": out_d, "n_edits": out_n, "total_edit_size": out_s}
+    )
+
+
+def running_domain_totals_bucketed(
+    decoded: DataFrame, buckets: int = 1024
+) -> DataFrame:
+    """`running_domain_totals` with hash-bucketed state — identical
+    output (one updated row per domain per batch, lifetime counters)
+    but grouped on ``hash(domain) % buckets`` instead of the domain.
+
+    Why: applyInPandasWithState invokes the Python function once per
+    GROUP per batch. At sf100 the plain operator's 1.5 M live domains
+    mean 1.5 M Arrow round trips and state-store point lookups per
+    trigger — per-call overhead, not aggregation work, is the measured
+    bottleneck (49.2 K ev/s vs 3.1 M ev/s for the JVM twin,
+    BENCH_sf100.json). Bucketing amortizes that overhead ~(keys/buckets)×:
+    ~1 K Python calls per trigger, each reducing its slice with a
+    vectorized pandas groupby before one dict merge.
+
+    Trade-offs (documented, not hidden): each bucket's state row is
+    rewritten whole every batch it appears in — with K total keys the
+    per-batch state write volume is O(K) either way, but RocksDB sees
+    `buckets` fat rows instead of K skinny ones (better write batching,
+    worse single-row size; keep keys/bucket in the low thousands).
+    Per-key timeouts/eviction would need per-key bookkeeping inside the
+    bucket dict — this operator needs neither (NoTimeout, state never
+    expires), which is exactly when bucketing is safe.
+    """
+    return (
+        decoded.select(
+            F.pmod(F.xxhash64("domain"), F.lit(buckets)).alias("bucket"),
+            "domain",
+            "old_length",
+            "new_length",
+        )
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _update_totals_bucketed,
+            RUNNING_TOTALS_SCHEMA,
+            BUCKETED_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def purchases_with_recent_views(
     left: DataFrame, right: DataFrame, within: str = "1 hour"
 ) -> DataFrame:

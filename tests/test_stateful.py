@@ -14,6 +14,7 @@ from flink_wikipedia_spark.streaming.sources import file_source
 from flink_wikipedia_spark.streaming.stateful import (
     purchases_with_recent_views,
     running_domain_totals,
+    running_domain_totals_bucketed,
 )
 from tests.test_streaming import ev, write_file
 
@@ -44,6 +45,52 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     # batch 1: two edits, size 15; batch 2: state carried → 3 edits, 22
     assert per_batch[0]["en.wikipedia.org"] == (2, 15)
     assert per_batch[-1]["en.wikipedia.org"] == (3, 22)
+
+
+def test_bucketed_totals_match_per_key_operator(spark, tmp_path):
+    """running_domain_totals_bucketed must be batch-for-batch
+    indistinguishable from the per-key operator: same per-domain
+    lifetime counters, rows emitted only for domains seen in the batch,
+    state carried across triggers. Exercised with many domains per
+    bucket (buckets=2 over 6 domains) so merging is actually tested."""
+    batches = [
+        [ev(1, domain=f"d{i}.org", old=0, new=10 + i) for i in range(6)]
+        + [ev(10, domain="d0.org", old=0, new=3)],
+        [ev(20, domain="d1.org", old=7, new=0),
+         ev(21, domain="d6.org", old=0, new=1)],
+    ]
+
+    def run(op, ck):
+        src = str(tmp_path / f"src_{ck}")
+        os.makedirs(src, exist_ok=True)
+        base = time.time() - 600
+        for i, lines in enumerate(batches):
+            write_file(src, f"{i:03d}.json", lines, base + i * 10)
+        sink = MemorySink()
+        q = (
+            op(decode_edit_events(
+                file_source(spark, src, max_files_per_trigger=1)))
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            sorted((r.domain, r.n_edits, r.total_edit_size) for r in rows)
+            for _, rows in sink.batches
+            if rows
+        ]
+
+    plain = run(running_domain_totals, "ck_plain")
+    bucketed = run(
+        lambda d: running_domain_totals_bucketed(d, buckets=2), "ck_bucketed"
+    )
+    assert plain == bucketed
+    # and the carried state is right: d0 saw 2 edits sized 13, then
+    # batch 2 updates d1 to lifetime (2, 18) and first-sees d6
+    assert plain[-1] == [("d1.org", 2, 18), ("d6.org", 1, 1)]
 
 
 def test_stream_stream_interval_join(spark, tmp_path):

@@ -16,6 +16,12 @@ event/document backlogs, the round-9 verdict ask:
   applyInPandasWithState only for semantics aggregates can't express —
   session machines, custom eviction, cross-event pattern state — never
   for counters;
+- **stateful_bucketed** — running_domain_totals_bucketed: the SAME
+  Python-stateful semantics with hash-bucketed state (1024 buckets over
+  ~1.5 M keys ⇒ ~1 K Python calls per trigger instead of 1.5 M). The
+  r10 answer to the stateful leg's per-group-call overhead: when the
+  custom state machine is per-key-independent and needs no per-key
+  timeout, bucketing recovers most of the Python-path gap;
 - **ss_join**   — purchases_with_recent_views: stream-stream interval
   join, state bounded by the 1 h horizon on each side.
 
@@ -210,7 +216,7 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true", help="keep rendered inputs")
     ap.add_argument(
         "--legs",
-        default="curation,stateful,stateful_jvm,ss_join",
+        default="curation,stateful,stateful_jvm,stateful_bucketed,ss_join",
         help="comma list to run",
     )
     args = ap.parse_args()
@@ -246,7 +252,7 @@ def main() -> None:
     ev_dir = os.path.join(work, "events_json")
     doc_dir = os.path.join(work, "docs_json")
 
-    if legs & {"stateful", "stateful_jvm", "ss_join"}:
+    if legs & {"stateful", "stateful_jvm", "stateful_bucketed", "ss_join"}:
         t0 = time.perf_counter()
         n_ev = render_events(spark, args.sf_dir, ev_dir, args.events)
         print(f"rendered {n_ev} events in {time.perf_counter()-t0:.0f}s", flush=True)
@@ -290,6 +296,29 @@ def main() -> None:
 
         results["legs"]["stateful"] = run_leg(
             "stateful", build, os.path.join(work, "ck_stateful"), n_ev
+        )
+
+    if "stateful_bucketed" in legs:
+        from flink_wikipedia_spark.streaming.stateful import (
+            running_domain_totals_bucketed,
+        )
+
+        def build(sink, ck):
+            totals = running_domain_totals_bucketed(
+                decode_edit_events(
+                    file_source(spark, ev_dir, max_files_per_trigger=1)
+                )
+            )
+            return (
+                totals.writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        results["legs"]["stateful_bucketed"] = run_leg(
+            "stateful_bucketed", build, os.path.join(work, "ck_stateful_b"), n_ev
         )
 
     if "stateful_jvm" in legs:
