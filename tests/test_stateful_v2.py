@@ -199,12 +199,26 @@ def test_stale_timer_does_not_close_active_session():
 
 
 def test_tws_requires_rocksdb(spark, tmp_path):
+    # force a non-RocksDB provider for this scope: the suite itself may
+    # legitimately run under SPARK_GRAFT_STATE_STORE=rocksdb
     src = str(tmp_path / "src")
     os.makedirs(src)
     write_file(src, "000.json", [ev(1)], time.time() - 600)
     decoded = decode_edit_events(file_source(spark, src))
-    with pytest.raises(ValueError, match="RocksDB"):
-        running_domain_totals_tws(decoded)
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(
+        _PROVIDER_KEY,
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    try:
+        with pytest.raises(ValueError, match="RocksDB"):
+            running_domain_totals_tws(decoded)
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
 
 
 def test_tws_totals_match_classic_operator(spark, tmp_path):
