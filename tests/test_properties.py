@@ -340,3 +340,77 @@ def test_waterfill_closed_form_matches_iterative(sizes, budget):
     assert math.isclose(
         sum(grants), min(budget, sum(xs)), rel_tol=1e-9, abs_tol=1e-6
     )
+
+
+# --- bucketed Python state (streaming/stateful.py) ------------------------
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),     # domain id
+            st.integers(min_value=-1000, max_value=1000),  # old
+            st.integers(min_value=-1000, max_value=1000),  # new
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=59), max_size=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_bucketed_state_update_matches_reference(events, cuts):
+    """_update_totals_bucketed over ANY batch split must equal the
+    dict-based reference over the whole stream: per-domain lifetime
+    (count, Σ|new−old|), rows emitted exactly for domains seen in each
+    batch. Pure-Python harness — the Spark-side equivalence is pinned
+    by tests/test_stateful.py; this covers the merge math broadly."""
+    from flink_wikipedia_spark.streaming.stateful import (
+        _update_totals_bucketed,
+    )
+
+    want: dict[str, tuple[int, int]] = {}
+    for d, old, new in events:
+        n, s = want.get(f"d{d}", (0, 0))
+        want[f"d{d}"] = (n + 1, s + abs(new - old))
+
+    bounds = sorted({c for c in cuts if c < len(events)})
+    batches, prev = [], 0
+    for b in bounds + [len(events)]:
+        if b > prev:
+            batches.append(events[prev:b])
+            prev = b
+
+    state = _FakeGroupState()
+    got_last: dict[str, tuple[int, int]] = {}
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "domain": [f"d{d}" for d, _, _ in batch],
+                "old_length": [o for _, o, _ in batch],
+                "new_length": [n for _, _, n in batch],
+            }
+        )
+        (out,) = list(_update_totals_bucketed((0,), iter([pdf]), state))
+        assert sorted(out["domain"]) == sorted(pdf["domain"].unique())
+        for r in out.itertuples():
+            got_last[r.domain] = (r.n_edits, r.total_edit_size)
+
+    assert got_last == want
+    domains, ns, ss = state.get
+    assert {d: (n, s) for d, n, s in zip(domains, ns, ss)} == want
