@@ -116,3 +116,71 @@ def test_stream_stream_interval_join(spark, tmp_path):
     pairs = {(r.l_new_length, r.r_new_length) for r in sink.rows}
     # only the 10:30 edit has a same-domain event in its preceding hour
     assert pairs == {(2, 1)}
+
+
+def test_bucketed_totals_kill_and_resume(spark, tmp_path):
+    """Bucketed state must survive a mid-stream crash: the array-valued
+    bucket rows (domains/ns/ss) are reloaded from the checkpoint on
+    restart and keep accumulating — final lifetime totals equal the
+    pandas truth over all events, replay and all."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = time.time() - 600
+    batches = [
+        [ev(10 * b + i, domain=f"d{i % 3}.org", old=0, new=b + i + 1)
+         for i in range(4)]
+        for b in range(4)
+    ]
+    for b, lines in enumerate(batches):
+        write_file(src, f"{b:03d}.json", lines, base + b * 10)
+
+    truth: dict[str, tuple[int, int]] = {}
+    for lines in batches:
+        for line in lines:
+            e = json.loads(line)
+            n, s = truth.get(e["domain"], (0, 0))
+            truth[e["domain"]] = (
+                n + 1, s + abs(e["new_length"] - e["old_length"])
+            )
+
+    latest: dict[str, tuple[int, int]] = {}
+    calls = {"n": 0}
+
+    def crashing_sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            latest[r.domain] = (r.n_edits, r.total_edit_size)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after publishing epoch 2")
+
+    def start(sink):
+        return (
+            running_domain_totals_bucketed(
+                decode_edit_events(
+                    file_source(spark, src, max_files_per_trigger=1)
+                ),
+                buckets=2,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start(crashing_sink)
+    try:
+        q1.awaitTermination(120)
+    except StreamingQueryException:
+        pass
+    assert calls["n"] == 2  # crashed mid-backlog
+
+    def sink2(batch_df, epoch_id):
+        for r in batch_df.collect():
+            latest[r.domain] = (r.n_edits, r.total_edit_size)
+
+    q2 = start(sink2)
+    q2.awaitTermination(120)
+    assert latest == truth
