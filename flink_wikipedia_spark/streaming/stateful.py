@@ -76,12 +76,20 @@ def _update_totals_bucketed(
     else:
         totals = {}
     batch = pd.concat(list(pdfs), ignore_index=True)
+    # count rows with `size` (counts ALL rows, matching the per-key
+    # operator's len(pdf) — pandas `count` would skip rows whose
+    # lengths decoded to null), sum with NaN-skip (matching .sum())
     sizes = (batch["new_length"] - batch["old_length"]).abs()
-    agg = sizes.groupby(batch["domain"]).agg(["count", "sum"])
+    # dropna=False: Spark gives a null key its own group, so the
+    # per-key operator emits a row for it — match that here
+    grouped = sizes.groupby(batch["domain"], dropna=False)
+    agg = pd.DataFrame({"n": grouped.size(), "s": grouped.sum()})
     out_d, out_n, out_s = [], [], []
     for domain, row in agg.iterrows():
+        if pd.isna(domain):
+            domain = None  # pandas NaN key → the stored/emitted null
         n0, s0 = totals.get(domain, (0, 0))
-        n1, s1 = n0 + int(row["count"]), s0 + int(row["sum"])
+        n1, s1 = n0 + int(row["n"]), s0 + int(row["s"])
         totals[domain] = (n1, s1)
         out_d.append(domain)
         out_n.append(n1)

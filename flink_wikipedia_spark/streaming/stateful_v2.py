@@ -151,7 +151,9 @@ class _SessionGapProcessor(StatefulProcessor):
         ts_ms = (
             batch["ts"].astype("datetime64[ms]").astype("int64").sort_values()
         )
-        sizes = (batch["new_length"] - batch["old_length"]).abs()
+        # null lengths (corrupt-record decode) contribute 0 size, not a
+        # NaN that would crash int() below
+        sizes = (batch["new_length"] - batch["old_length"]).abs().fillna(0)
         # one pass over the key's (few) batch rows; sessions are runs
         # separated by >= gap
         events = list(zip(ts_ms.tolist(), sizes[ts_ms.index].tolist()))
@@ -213,6 +215,9 @@ def sessionize_with_timers(
     gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
     return (
         decoded.select("domain", "ts", "old_length", "new_length")
+        # a malformed timestamp decodes to null ts (see decode_edit_
+        # events); sessions are undefined for it — drop JVM-side
+        .filter(F.col("ts").isNotNull())
         .withWatermark("ts", watermark)
         .groupBy("domain")
         .transformWithStateInPandas(

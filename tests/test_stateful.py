@@ -57,7 +57,14 @@ def test_bucketed_totals_match_per_key_operator(spark, tmp_path):
         [ev(1, domain=f"d{i}.org", old=0, new=10 + i) for i in range(6)]
         + [ev(10, domain="d0.org", old=0, new=3)],
         [ev(20, domain="d1.org", old=7, new=0),
-         ev(21, domain="d6.org", old=0, new=1)],
+         ev(21, domain="d6.org", old=0, new=1),
+         # corrupt rows — the divergence class a pandas groupby can
+         # silently mishandle: null lengths must still COUNT as an
+         # edit (size 0), and a null domain is its own Spark group
+         json.dumps({"id": 30, "domain": "d1.org",
+                     "timestamp": "2024-01-01T10:01:00Z"}),
+         json.dumps({"id": 31, "old_length": 1, "new_length": 9,
+                     "timestamp": "2024-01-01T10:01:00Z"})],
     ]
 
     def run(op, ck):
@@ -78,7 +85,10 @@ def test_bucketed_totals_match_per_key_operator(spark, tmp_path):
         )
         q.awaitTermination(120)
         return [
-            sorted((r.domain, r.n_edits, r.total_edit_size) for r in rows)
+            sorted(
+                ((r.domain, r.n_edits, r.total_edit_size) for r in rows),
+                key=lambda t: (t[0] is not None, t[0] or ""),
+            )
             for _, rows in sink.batches
             if rows
         ]
@@ -88,9 +98,15 @@ def test_bucketed_totals_match_per_key_operator(spark, tmp_path):
         lambda d: running_domain_totals_bucketed(d, buckets=2), "ck_bucketed"
     )
     assert plain == bucketed
-    # and the carried state is right: d0 saw 2 edits sized 13, then
-    # batch 2 updates d1 to lifetime (2, 18) and first-sees d6
-    assert plain[-1] == [("d1.org", 2, 18), ("d6.org", 1, 1)]
+    # and the carried state is right: batch 2 updates d1 to lifetime
+    # (3, 18) — the null-length edit counts, sized 0 — first-sees d6,
+    # and the null-domain row forms its own group (sorted() puts the
+    # None-domain tuple first)
+    assert plain[-1] == [
+        (None, 1, 8),
+        ("d1.org", 3, 18),
+        ("d6.org", 1, 1),
+    ]
 
 
 def test_stream_stream_interval_join(spark, tmp_path):
