@@ -175,7 +175,10 @@ class _SessionGapProcessor(StatefulProcessor):
                 yield self._emit(key, start, end, n, size, "gap")
                 start, end, n, size = t, t, 1, int(sz)
             else:
-                end, n, size = max(end, t), n + 1, size + int(sz)
+                # a late-but-within-watermark event can precede the
+                # stored session; the span must cover it both ways
+                start, end = min(start, t), max(end, t)
+                n, size = n + 1, size + int(sz)
         self._sess.update((start, end, n, size))
         self._handle.registerTimer(end + self._gap_ms)
 

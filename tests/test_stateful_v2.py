@@ -313,3 +313,25 @@ def test_sessionize_gap_and_timer_close(spark, tmp_path):
         ("a.org", "2024-01-01 10:00:00", "2024-01-01 10:00:10", 2, 10, "gap"),
         ("a.org", "2024-01-01 10:10:00", "2024-01-01 10:10:00", 1, 1, "timer"),
     ]
+
+
+def test_late_event_extends_session_span_backwards():
+    from flink_wikipedia_spark.streaming.stateful_v2 import (
+        _SessionGapProcessor,
+    )
+
+    p = _SessionGapProcessor(30_000)
+    h = FakeHandle()
+    p.init(h)
+    key = ("a.org",)
+    list(p.handleInputRows(key, iter([_pdf([("2024-01-01T10:00:10", 1)])]), None))
+    # a late event 5 s EARLIER, still within the gap of the open session
+    out = list(p.handleInputRows(key, iter([_pdf(
+        [("2024-01-01T10:00:05", 2)])]), None))
+    assert out == [] or all(len(df) == 0 for df in out)
+    deadline = next(iter(h.timers))
+    (out,) = list(p.handleExpiredTimer(key, None, FakeExpired(deadline)))
+    r = out.iloc[0]
+    assert str(r["session_start"]) == "2024-01-01 10:00:05"
+    assert str(r["session_end"]) == "2024-01-01 10:00:10"
+    assert r["n_events"] == 2 and r["total_size"] == 3
