@@ -126,7 +126,12 @@ def running_domain_totals_bucketed(
     rewritten whole every batch it appears in — with K total keys the
     per-batch state write volume is O(K) either way, but RocksDB sees
     `buckets` fat rows instead of K skinny ones (better write batching,
-    worse single-row size; keep keys/bucket in the low thousands).
+    worse single-row size). Bucket-count sweep at sf100 (1.5 M keys,
+    32 cores, logs_r10/stream_sf100_b*.json): 256 → 532 K ev/s (too few
+    groups to keep cores busy, fat per-call merges), 1024 → 915 K ev/s,
+    4096 → 734 K ev/s (per-call overhead returns). Rule of thumb:
+    buckets ≈ max(8 × cores, keys / 2000) — keys-per-bucket in the low
+    thousands while keeping several groups per core.
     Per-key timeouts/eviction would need per-key bookkeeping inside the
     bucket dict — this operator needs neither (NoTimeout, state never
     expires), which is exactly when bucketing is safe.

@@ -219,6 +219,12 @@ def main() -> None:
         default="curation,stateful,stateful_jvm,stateful_bucketed,ss_join",
         help="comma list to run",
     )
+    ap.add_argument(
+        "--buckets",
+        type=int,
+        default=1024,
+        help="bucket count for the stateful_bucketed leg",
+    )
     args = ap.parse_args()
 
     from flink_wikipedia_spark.operators.core import decode_edit_events
@@ -307,7 +313,8 @@ def main() -> None:
             totals = running_domain_totals_bucketed(
                 decode_edit_events(
                     file_source(spark, ev_dir, max_files_per_trigger=1)
-                )
+                ),
+                buckets=args.buckets,
             )
             return (
                 totals.writeStream.outputMode("update")
@@ -317,9 +324,11 @@ def main() -> None:
                 .start()
             )
 
-        results["legs"]["stateful_bucketed"] = run_leg(
+        rec = run_leg(
             "stateful_bucketed", build, os.path.join(work, "ck_stateful_b"), n_ev
         )
+        rec["buckets"] = args.buckets
+        results["legs"]["stateful_bucketed"] = rec
 
     if "stateful_jvm" in legs:
         # Built-in twin of running_domain_totals: identical output
