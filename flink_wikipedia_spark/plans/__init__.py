@@ -32,73 +32,76 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 #      below so the verdict can check the gate outcome against a
 #      written prediction.
 #
-# ROUND-10 WINDOW under that policy: no query-builder code changed, so
-# the window is the 9 queries whose newest record is r6 (the stalest
-# vintage), the 2 SURVEY-name aliases that have never had a driver row
-# of their own (registered BEFORE the reorder so they can hold window
-# slots), the 6 family anchors, all 28 r7-vintage queries, and 4
-# r8-vintage picks (TPC-H Q1 — the sf100 scaling watch item — the
-# dim-join anchor, the as-of join, and the UDF-surface anchor).
-# Expected r10 outcome: 49 hash-green + 1 rows-only — q_kmeans_doclen
-# is the window's only no-oracle-by-design query (data-dependent
-# k-means has no deterministic DuckDB twin; property-pinned, with the
-# oracled built-in twin q_zscore_docs also in-window).
+# ROUND-11 WINDOW under that policy: no batch query-builder code
+# changed this round (the r11 diffs are bench.py stdout plumbing,
+# session.py deployment warning, and the streaming stateful operators —
+# none of which build a registered batch plan), so rule 2 forces
+# nothing in-window and rules 3+4 fill all 50 slots: the flagship, the
+# 6 family anchors, ALL 37 queries whose newest driver record is r8
+# (the stalest vintage after r10's rotation — includes every name the
+# r10 verdict called out: q_to_json_roundtrip is r9, the rest r8), and
+# 6 r9-vintage picks (TPC-H Q3/Q5/Q6 — the verdict-named stale family —
+# plus the O10 JSON round-trip, sessionize whose STREAMING twin changed
+# this round per ADVICE, and the running-total window anchor).
+# Expected r11 outcome: 50/50 hash-green — every in-window query is
+# oracled; none of the four rows-only-by-design names
+# (q_approx_distinct_users, q_approx_percentile_value, q_kmeans_doclen,
+# q_ann_ivfpq_refined) is in this window. Observed window size has been
+# exactly 50 names in every round r8–r10 (len(CORRECTNESS_rN.json)).
 _PRIORITY = [
     "q_windowed_edit_size",  # FLAGSHIP (O7+O8+O9) — must be slot 1
-    # stalest vintage: newest driver record r6
-    "q_cohort_retention",
-    "q_curation_funnel",
-    "q_data_quality_audit",
-    "q_date_functions",
-    "q_distribution_ranks",
-    "q_funnel_view_click_purchase",
-    "q_snapshot_merge",
-    "q_token_budget_waterfill",
-    "q_tpch_q21_sole_late_supplier",
-    # SURVEY-name aliases — first driver row ever for these names
-    "q_filter_human_main",       # alias of q_filter_events (O5)
-    "q_antijoin_inactive_users", # alias of q_antijoin_quiet_customers (E6)
-    # family anchors (hot, proven every round they were in-window)
+    # family anchors (one per operator family, every round)
     "q_filter_events",       # core
     "q_json_extract",        # core
     "q_word_count",          # text
     "q_pii_redact",          # curation
     "q_dedup_docs_exact",    # dedup
     "q_multimodal_decode",   # multimodal
-    # r7 vintage (all 28)
-    "q_contamination_check",
-    "q_corr_quantity_price",
-    "q_dedup_canonical",
-    "q_dedup_components",
-    "q_doc_chunks",
-    "q_duplicate_spans",
-    "q_edit_event_decode",
-    "q_gapfill_rollup",
-    "q_lang_id",
-    "q_multimodal_features",
-    "q_multimodal_meta",
-    "q_pack_sequences",
-    "q_pivot_event_daily",
-    "q_project",
-    "q_quality_score",
-    "q_simhash",
-    "q_similarity_lsh",
-    "q_sliding_window_counts",
-    "q_tfidf_top_terms",
-    "q_token_count",
-    "q_tpch_q16_supplier_variety",
-    "q_tpch_q17_small_quantity_revenue",
-    "q_tpch_q18_large_orders",
-    "q_tpch_q19_disjunctive_revenue",
-    "q_tpch_q7_volume_shipping",
-    "q_tpch_q9_nation_year_profit",
-    "q_window_navigation",
-    "q_zscore_docs",
-    # r8 vintage picks (4)
-    "q_tpch_q1_pricing_summary",  # sf100 scaling watch item (SCALE.md)
-    "q_join_orders_customer",     # E5 dim-join anchor
-    "q_asof_join",
-    "q_kmeans_doclen",            # no-oracle: rows-only by design
+    # r8 vintage — the stalest evidence (all 37)
+    "q_antijoin_quiet_customers",
+    "q_array_functions",
+    "q_bigram_counts",
+    "q_dedup_events",
+    "q_dedup_pipeline",
+    "q_edit_distance_kernel",
+    "q_embedding_neardup_kernel",
+    "q_encode_tokens",
+    "q_grouping_sets_lineitem",
+    "q_keyby_agg_edit_size",
+    "q_map_functions",
+    "q_minhash_dedup_pairs",
+    "q_multimodal_frames",
+    "q_orders_by_month",
+    "q_rank_functions",
+    "q_regex_extract_props",
+    "q_repetition_signals",
+    "q_repetition_stats",
+    "q_semijoin_active_customers",
+    "q_ship_latency_histogram",
+    "q_shuffle_shards",
+    "q_similarity_topk",
+    "q_source_blocklist",
+    "q_span_mask_stats",
+    "q_stratified_sample",
+    "q_string_functions",
+    "q_top_tokens_per_lang",
+    "q_topk_docs_per_lang",
+    "q_tpch_q11_important_stock",
+    "q_tpch_q12_late_shipments",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q20_excess_stock_suppliers",
+    "q_tpch_q22_dormant_accounts",
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q8_market_share",
+    "q_unpivot_event_daily",
+    "q_vocab_ids",
+    # r9 vintage picks (6)
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q5_regional_revenue",
+    "q_tpch_q6_forecast_revenue",
+    "q_to_json_roundtrip",    # O10 — verdict-named stale
+    "q_sessionize",           # batch twin of the r11 ADVICE-fixed streaming op
+    "q_running_total",
     # --- driver cutoff is 50; everything below is registry tail ---
 ]
 
