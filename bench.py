@@ -21,6 +21,17 @@ inflates, so one run now distinguishes "host was busy" (wall up, CPU
 flat) from "code got slower" (both up) without five-run forensics;
 shuffle bytes pin the plan shape (a delta between rounds means the PLAN
 changed); spill must stay 0 at sf0.1.
+
+Round-11 stdout contract: the driver tails only the LAST 2000 chars of
+stdout and records whatever JSON line it finds there — every BENCH_rN
+from r1 to r10 has ``"parsed": null`` because the full payload (128
+long query names × up to four per-query maps) never fit the window.
+The FULL payload still goes to the $BENCH_OUT side file (BENCH.json,
+committed per round under bench_runs_rN/); stdout now ends with a
+COMPACT line, hard-budgeted to ``_STDOUT_BUDGET`` chars, carrying the
+suite wall, run/load metadata, and the slowest per-query walls that fit
+(slowest-first — those are the ones a perf judge needs; the count that
+fits rides as ``queries_shown`` vs ``n_queries``).
 """
 
 from __future__ import annotations
@@ -100,6 +111,37 @@ def median(xs: list[float]) -> float:
     s = sorted(xs)
     mid = len(s) // 2
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+# Driver tail-capture is 2000 chars (measured: len(BENCH_rN.json["tail"])
+# == 2000 for every N). Budget 1800 so the complete line + newline always
+# lands inside the tail even if a stray runtime warning prints before it.
+_STDOUT_BUDGET = 1800
+
+
+def compact_payload(full: dict, budget: int = _STDOUT_BUDGET) -> str:
+    """Render the driver-facing stdout line: the full payload's scalars
+    plus as many per-query wall seconds as fit the byte budget,
+    slowest-first (the slow queries are the ones a perf comparison
+    needs; the fast tail is in the side file). Returns a JSON string
+    guaranteed ``len() <= budget``."""
+    per_query: dict[str, float] = full["queries"]
+    ranked = sorted(per_query.items(), key=lambda kv: -kv[1])
+    base = {
+        k: v
+        for k, v in full.items()
+        # drop every per-query map; keep scalars + small fixed dicts
+        if not (isinstance(v, dict) and len(v) > 10)
+    }
+    base["n_queries"] = len(per_query)
+    base["full_artifact"] = "BENCH.json"
+    for shown in range(len(ranked), -1, -1):
+        base["queries"] = dict(ranked[:shown])
+        base["queries_shown"] = shown
+        line = json.dumps(base, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+    raise AssertionError("scalar payload alone exceeds the stdout budget")
 
 
 def skew_bench(spark, sf_dir: str, runs: int = 3) -> dict:
@@ -301,16 +343,15 @@ def main() -> None:
         payload["queries_cpu_sec"] = cpu_sec
         payload["queries_shuffle_read_mb"] = shuffle_mb
         payload["queries_spill_disk_mb"] = spill
-    line = json.dumps(payload, separators=(",", ":"))
-
-    # Output contract hardening (round-1 BENCH had "parsed": null — the
-    # JSON didn't survive the driver's stdout capture): write the line
-    # to a file the driver/judge can always read, stop Spark FIRST so
-    # no JVM-shutdown noise can print after it, then emit the JSON as
-    # the final stdout line.
+    # FULL payload → side file (committed per round under bench_runs_rN/);
+    # COMPACT line → stdout, sized to the driver's 2000-char tail capture
+    # (see module docstring, round-11 stdout contract). Stop Spark FIRST
+    # so no JVM-shutdown noise can print after the final line.
+    full_line = json.dumps(payload, separators=(",", ":"))
     out_path = os.environ.get("BENCH_OUT", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"))
     with open(out_path, "w") as fh:
-        fh.write(line + "\n")
+        fh.write(full_line + "\n")
+    line = compact_payload(payload)
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()

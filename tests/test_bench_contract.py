@@ -1,0 +1,96 @@
+"""Pin bench.py's driver-facing stdout contract.
+
+The driver tails the LAST 2000 chars of bench stdout and parses the
+JSON line it finds there; rounds 1-10 all recorded ``"parsed": null``
+because the full payload never fit. compact_payload() is the fix —
+these tests pin it against the REAL registry's names (the realistic
+worst case: 120+ queries with long snake_case names) so a future
+query-name or payload-field addition can't silently regrow the line
+past the window.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from flink_wikipedia_spark.plans import REGISTRY
+
+
+def _full_payload(per_query: dict[str, float]) -> dict:
+    n = len(per_query)
+    return {
+        "metric": "suite_wall_clock",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": 0.1,
+        "runs": 3,
+        "load_avg_1m_5m": [1.23, 4.56],
+        "load_avg_before": [7.89, 10.11],
+        "stream_events": 10000,
+        "stream_events_per_sec": 39000.0,
+        "skew_join": {
+            "hot_key_fraction": 0.99,
+            "fact_fanout": 50,
+            "sortmerge_unsalted_sec": 12.345,
+            "sortmerge_salted_sec": 8.901,
+            "aqe_skew_sec": 9.012,
+        },
+        "executor_metrics": True,
+        "suite_cpu_sec": 123.456,
+        "queries_cpu_sec": {k: 1.234 for k in per_query},
+        "queries_shuffle_read_mb": {k: 56.789 for k in per_query},
+        "queries_spill_disk_mb": {},
+    }
+
+
+def _registry_walls() -> dict[str, float]:
+    # worst-case-ish walls: varied magnitudes, 3-decimal rounding as main()
+    return {
+        name: round(0.001 + (i % 97) * 0.137, 3)
+        for i, name in enumerate(REGISTRY)
+    }
+
+
+def test_compact_line_fits_driver_tail():
+    line = bench.compact_payload(_full_payload(_registry_walls()))
+    assert len(line) <= bench._STDOUT_BUDGET <= 1900
+    assert "\n" not in line
+
+
+def test_compact_line_is_selfcontained_json_with_headline_fields():
+    full = _full_payload(_registry_walls())
+    d = json.loads(bench.compact_payload(full))
+    # the driver contract fields survive
+    assert d["metric"] == "suite_wall_clock"
+    assert d["value"] == full["value"]
+    assert d["unit"] == "sec"
+    assert d["sf"] == 0.1
+    assert d["n_queries"] == len(full["queries"])
+    assert d["full_artifact"] == "BENCH.json"
+    # per-query map is the SLOWEST prefix of the full map
+    ranked = sorted(full["queries"].items(), key=lambda kv: -kv[1])
+    shown = d["queries_shown"]
+    assert 0 < shown <= len(ranked)
+    assert d["queries"] == dict(ranked[:shown])
+    # the big instrumentation maps must NOT ride stdout
+    for banned in ("queries_cpu_sec", "queries_shuffle_read_mb"):
+        assert banned not in d
+    # small fixed dicts (skew evidence) DO ride stdout
+    assert d["skew_join"]["sortmerge_salted_sec"] == 8.901
+
+
+def test_compact_line_shows_a_useful_number_of_queries():
+    # the budget must admit at least the 20 slowest queries with the
+    # registry's real (long) names — fewer means the perf record is
+    # too thin to compare rounds
+    d = json.loads(bench.compact_payload(_full_payload(_registry_walls())))
+    assert d["queries_shown"] >= 20
+
+
+def test_compact_respects_tiny_budget_without_crashing():
+    full = _full_payload(_registry_walls())
+    line = bench.compact_payload(full, budget=700)
+    assert len(line) <= 700
+    assert json.loads(line)["n_queries"] == len(full["queries"])
