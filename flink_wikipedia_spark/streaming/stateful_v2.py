@@ -113,14 +113,27 @@ class _SessionGapProcessor(StatefulProcessor):
     """Event-time sessionization with timer-driven close.
 
     State: one open session per key (start_ms, end_ms, n, size).
-    Input: rows merge into the open session; a run of events whose
-    successive gaps stay < gap closes intra-batch the moment a larger
-    gap follows it ("gap" rows). The LAST run stays open with an
-    event-time timer at end + gap; if the watermark passes that with no
-    new input for the key, handleExpiredTimer emits it ("timer" rows) —
-    the case batch sessionization can only discover on the next scan
-    and classic GroupStateTimeout only on some later batch that happens
-    to revisit the key.
+    Each batch, the key's rows AND the stored open session are merged
+    as sorted intervals: consecutive intervals whose gap is <= gap_ms
+    coalesce; a strictly-larger gap closes the earlier interval
+    intra-batch ("gap" rows). The boundary is strict-`>` split (events
+    EXACTLY gap apart share a session) to match the batch twin
+    q_sessionize's ``tss - lag(tss) > 1800`` — note this differs from
+    F.session_window's exclusive-end semantics. The LAST interval stays
+    open with an event-time timer at end + gap + 1 (the +1 keeps an
+    event at exactly end + gap mergeable before the timer fires); if
+    the watermark passes that with no new input for the key,
+    handleExpiredTimer emits it ("timer" rows) — the case batch
+    sessionization can only discover on the next scan and classic
+    GroupStateTimeout only on some later batch that happens to revisit
+    the key.
+
+    Interval merging (not append-to-open) is what makes LATE rows
+    correct under any watermark: a late event within the gap of the
+    open session extends its span backwards; a late event MORE than
+    gap earlier than the open session's start becomes its own,
+    immediately-closed session instead of wrongly bridging the two
+    (reachable whenever the configured watermark exceeds the gap).
     """
 
     def __init__(self, gap_ms: int):
@@ -154,33 +167,31 @@ class _SessionGapProcessor(StatefulProcessor):
         # null lengths (corrupt-record decode) contribute 0 size, not a
         # NaN that would crash int() below
         sizes = (batch["new_length"] - batch["old_length"]).abs().fillna(0)
-        # one pass over the key's (few) batch rows; sessions are runs
-        # separated by >= gap
-        events = list(zip(ts_ms.tolist(), sizes[ts_ms.index].tolist()))
-
+        # each event is a degenerate interval; the stored open session
+        # (if any) joins the sorted merge as a real one — that is what
+        # places a too-early late event BEFORE the open session instead
+        # of appending it into it
+        intervals = [
+            (t, t, 1, int(sz))
+            for t, sz in zip(ts_ms.tolist(), sizes[ts_ms.index].tolist())
+        ]
         prev = self._sess.get()
         if prev is not None:
-            start, end, n, size = prev
-            self._handle.deleteTimer(end + self._gap_ms)
-            have = True
-        else:
-            start = end = n = size = 0
-            have = False
+            self._handle.deleteTimer(prev[1] + self._gap_ms + 1)
+            intervals.append(tuple(prev))
+            intervals.sort(key=lambda iv: iv[0])
 
-        for t, sz in events:
-            if not have:
-                start, end, n, size = t, t, 1, int(sz)
-                have = True
-            elif t - end >= self._gap_ms:
+        start, end, n, size = intervals[0]
+        for s2, e2, n2, sz2 in intervals[1:]:
+            if s2 - end > self._gap_ms:  # strict: batch-twin parity
                 yield self._emit(key, start, end, n, size, "gap")
-                start, end, n, size = t, t, 1, int(sz)
+                start, end, n, size = s2, e2, n2, sz2
             else:
-                # a late-but-within-watermark event can precede the
-                # stored session; the span must cover it both ways
-                start, end = min(start, t), max(end, t)
-                n, size = n + 1, size + int(sz)
+                # max(): the open session can nest a shorter interval
+                end = max(end, e2)
+                n, size = n + n2, size + sz2
         self._sess.update((start, end, n, size))
-        self._handle.registerTimer(end + self._gap_ms)
+        self._handle.registerTimer(end + self._gap_ms + 1)
 
     def handleExpiredTimer(
         self, key: Any, timer_values: TimerValues, expired: ExpiredTimerInfo
@@ -192,7 +203,7 @@ class _SessionGapProcessor(StatefulProcessor):
         if prev is None:
             return
         start, end, n, size = prev
-        if expired.getExpiryTimeInMs() < end + self._gap_ms:
+        if expired.getExpiryTimeInMs() < end + self._gap_ms + 1:
             return
         self._sess.clear()
         yield self._emit(key, start, end, n, size, "timer")
@@ -209,10 +220,14 @@ def sessionize_with_timers(
 
     Output (update mode): one row per closed session with closed_by ∈
     {gap, timer} marking whether a later event or the timer closed it.
-    Batch twin: plans/queries_functions.q_sessionize (same gap
-    semantics over the static table — windows over lag()); this
-    operator exists for the infinite-stream case where the batch scan
-    never ends and classic GroupStateTimeout revisits keys too lazily.
+    Batch twin: plans/queries_relational.q_sessionize — same strict-`>`
+    gap boundary (events exactly gap apart share a session; see
+    _SessionGapProcessor) over the static table via windows over
+    lag(); this operator exists for the infinite-stream case where the
+    batch scan never ends and classic GroupStateTimeout revisits keys
+    too lazily. Late events within the watermark merge correctly in
+    both directions; see _SessionGapProcessor for the
+    earlier-than-start-by-more-than-gap case.
     """
     _require_rocksdb(decoded)
     gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)

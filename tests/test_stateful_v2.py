@@ -335,3 +335,65 @@ def test_late_event_extends_session_span_backwards():
     assert str(r["session_start"]) == "2024-01-01 10:00:05"
     assert str(r["session_end"]) == "2024-01-01 10:00:10"
     assert r["n_events"] == 2 and r["total_size"] == 3
+
+
+def test_too_early_late_event_is_its_own_session_not_a_bridge():
+    # ADVICE r10: a late event preceding the open session's start by
+    # MORE than the gap must NOT merge into it (reachable whenever the
+    # configured watermark exceeds the gap) — it is its own session,
+    # already closed by the gap to the open one.
+    from flink_wikipedia_spark.streaming.stateful_v2 import (
+        _SessionGapProcessor,
+    )
+
+    p = _SessionGapProcessor(30_000)
+    h = FakeHandle()
+    p.init(h)
+    key = ("a.org",)
+    list(p.handleInputRows(key, iter([_pdf([("2024-01-01T10:10:00", 1)])]), None))
+    # late event 10 min EARLIER than the open session's start
+    out = list(p.handleInputRows(key, iter([_pdf(
+        [("2024-01-01T10:00:00", 7)])]), None))
+    assert len(out) == 1
+    r = out[0].iloc[0]
+    assert r["closed_by"] == "gap"
+    assert str(r["session_start"]) == str(r["session_end"]) == "2024-01-01 10:00:00"
+    assert r["n_events"] == 1 and r["total_size"] == 7
+    # the open session is untouched: still 1 event, original span
+    assert h.states["sess"].get() == (
+        1704103800000, 1704103800000, 1, 1  # 2024-01-01T10:10:00 in ms
+    )
+    # and its timer still closes it at the original deadline (+1 for
+    # the inclusive-gap boundary)
+    (out,) = list(p.handleExpiredTimer(
+        key, None, FakeExpired(1704103800000 + 30_000 + 1)))
+    assert out.iloc[0]["closed_by"] == "timer" and out.iloc[0]["n_events"] == 1
+
+
+def test_events_exactly_gap_apart_share_a_session():
+    # batch-twin parity (ADVICE r10): q_sessionize splits on
+    # tss - lag(tss) > 1800, strictly — exactly-gap-apart events share.
+    from flink_wikipedia_spark.streaming.stateful_v2 import (
+        _SessionGapProcessor,
+    )
+
+    p = _SessionGapProcessor(30_000)
+    h = FakeHandle()
+    p.init(h)
+    key = ("a.org",)
+    out = list(p.handleInputRows(key, iter([_pdf([
+        ("2024-01-01T10:00:00.000", 1),
+        ("2024-01-01T10:00:30.000", 2),  # exactly gap after → same session
+        ("2024-01-01T10:01:00.001", 4),  # 1 ms past gap → new session
+    ])]), None))
+    assert len(out) == 1
+    r = out[0].iloc[0]
+    assert r["closed_by"] == "gap" and r["n_events"] == 2 and r["total_size"] == 3
+    assert str(r["session_end"]) == "2024-01-01 10:00:30"
+    # cross-batch: an event exactly gap after the OPEN session's end
+    # must merge too (the timer is registered at end + gap + 1 so the
+    # watermark cannot close it first)
+    out = list(p.handleInputRows(key, iter([_pdf(
+        [("2024-01-01T10:01:30.001", 8)])]), None))
+    assert out == [] or all(len(df) == 0 for df in out)
+    assert h.states["sess"].get()[2] == 2  # n_events merged to 2
