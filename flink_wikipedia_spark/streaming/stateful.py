@@ -106,8 +106,27 @@ def _update_totals_bucketed(
     )
 
 
+def default_bucket_count(cores: int, est_keys: int | None = None) -> int:
+    """Bucket count for hash-bucketed state, from the sf100 sweep rule
+    ``buckets ≈ max(8 × cores, keys / 2000)`` (see
+    running_domain_totals_bucketed): at least 8 groups per core so no
+    core starves, keys-per-bucket in the low thousands so per-call
+    Python overhead stays amortized. Without a key estimate the floor
+    is 1024 — the sweep's measured optimum at 1.5 M keys / 32 cores
+    (256 → 532 K ev/s, 1024 → 915 K, 4096 → 734 K ev/s,
+    logs_r10/stream_sf100_b*.json) — so small deployments keep the
+    measured default while a 512-core cluster derives 4096 instead of
+    silently starving at 8-per-core. The result rounds up to the next
+    power of two — at the sweep's own shape (32 cores, 1.5 M keys) the
+    raw rule lands at 750 and the rounded value is the measured winner
+    1024."""
+    floor = 1024 if est_keys is None else -(-est_keys // 2000)
+    raw = max(8 * cores, floor)
+    return 1 << (raw - 1).bit_length()
+
+
 def running_domain_totals_bucketed(
-    decoded: DataFrame, buckets: int = 1024
+    decoded: DataFrame, buckets: int | None = None, est_keys: int | None = None
 ) -> DataFrame:
     """`running_domain_totals` with hash-bucketed state — identical
     output (one updated row per domain per batch, lifetime counters)
@@ -131,11 +150,22 @@ def running_domain_totals_bucketed(
     groups to keep cores busy, fat per-call merges), 1024 → 915 K ev/s,
     4096 → 734 K ev/s (per-call overhead returns). Rule of thumb:
     buckets ≈ max(8 × cores, keys / 2000) — keys-per-bucket in the low
-    thousands while keeping several groups per core.
+    thousands while keeping several groups per core. When ``buckets``
+    is None the count is derived by default_bucket_count() from the
+    session's defaultParallelism and the optional ``est_keys``
+    live-key estimate (pass it when you know the keyspace; the
+    no-estimate floor of 1024 is the sweep's winner at this box's
+    shape). NOTE: changing the bucket count between restarts of a
+    checkpointed query re-shards state incorrectly — pin ``buckets``
+    explicitly for any query that must survive a cluster resize.
     Per-key timeouts/eviction would need per-key bookkeeping inside the
     bucket dict — this operator needs neither (NoTimeout, state never
     expires), which is exactly when bucketing is safe.
     """
+    if buckets is None:
+        buckets = default_bucket_count(
+            decoded.sparkSession.sparkContext.defaultParallelism, est_keys
+        )
     return (
         decoded.select(
             F.pmod(F.xxhash64("domain"), F.lit(buckets)).alias("bucket"),

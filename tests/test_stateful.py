@@ -200,3 +200,17 @@ def test_bucketed_totals_kill_and_resume(spark, tmp_path):
     q2 = start(sink2)
     q2.awaitTermination(120)
     assert latest == truth
+
+
+def test_default_bucket_count_sizing_rule():
+    # sf100 sweep rule: max(8 x cores, keys/2000), floor 1024 with no
+    # key estimate (the measured optimum at 1.5M keys / 32 cores)
+    from flink_wikipedia_spark.streaming.stateful import default_bucket_count
+
+    assert default_bucket_count(32) == 1024            # sandbox shape
+    assert default_bucket_count(512) == 4096           # no 8-per-core starvation
+    # the sweep's own shape: raw rule = max(256, 750) = 750, rounded up
+    # to the measured winner 1024
+    assert default_bucket_count(32, est_keys=1_500_000) == 1024
+    assert default_bucket_count(4, est_keys=1_500_000) == 1024
+    assert default_bucket_count(4, est_keys=10) == 32  # tiny keyspace: cores win

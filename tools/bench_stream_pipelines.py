@@ -222,8 +222,9 @@ def main() -> None:
     ap.add_argument(
         "--buckets",
         type=int,
-        default=1024,
-        help="bucket count for the stateful_bucketed leg",
+        default=None,
+        help="bucket count for the stateful_bucketed leg (default: "
+        "auto from cores via stateful.default_bucket_count)",
     )
     args = ap.parse_args()
 
@@ -327,7 +328,17 @@ def main() -> None:
         rec = run_leg(
             "stateful_bucketed", build, os.path.join(work, "ck_stateful_b"), n_ev
         )
-        rec["buckets"] = args.buckets
+        if args.buckets is not None:
+            rec["buckets"] = args.buckets
+        else:
+            from flink_wikipedia_spark.streaming.stateful import (
+                default_bucket_count,
+            )
+
+            rec["buckets"] = default_bucket_count(
+                spark.sparkContext.defaultParallelism
+            )
+            rec["buckets_auto"] = True
         results["legs"]["stateful_bucketed"] = rec
 
     if "stateful_jvm" in legs:
