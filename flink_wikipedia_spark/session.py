@@ -26,12 +26,71 @@ large cluster up front:
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
 # Defaults match the driver environment: local[$SPARK_GRAFT_CPUS] with 32
 # threads. On a real cluster, master/partitions come from spark-submit.
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Deployment rule from the sf100 forensics (SCALE.md §sf100 forensics,
+# logs_r10/forensics_*.json): Q9/Q21 spilled 18-20 GB at 8 GB heap over
+# 32 cores and the spill vanished entirely at 1 GB/core with wall
+# unchanged — size JVM heap to at least this many MB per concurrent
+# task slot.
+HEAP_MB_PER_CORE_RULE = 1024
+
+
+def _parse_mem_mb(mem: str) -> int | None:
+    """Spark memory string ("8g", "4096m", "512k", bare bytes) → MB."""
+    mem = mem.strip().lower()
+    units = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+    try:
+        if mem and mem[-1] in units:
+            return int(float(mem[:-1]) * units[mem[-1]])
+        return int(int(mem) / (1024 * 1024))
+    except ValueError:
+        return None
+
+
+def heap_rule_warning(master: str, heap_mem: str) -> str | None:
+    """The 1 GB/core rule as a checkable statement: returns the warning
+    text when the JVM executing tasks has under HEAP_MB_PER_CORE_RULE
+    MB of heap per concurrent task slot, else None. Only the masters
+    whose heap/core shape this process fully controls are checked —
+    local[N] (driver JVM runs all N slots on ``heap_mem``) and
+    local-cluster[w,c,m] (each worker JVM: m MB over c slots); under a
+    real cluster manager executor sizing belongs to spark-submit."""
+    import re
+
+    if master.startswith("local["):
+        n = master[len("local[") : -1]
+        cores = os.cpu_count() or 1 if n == "*" else int(n)
+        mem_mb = _parse_mem_mb(heap_mem)
+    elif master.startswith("local-cluster["):
+        m = re.fullmatch(
+            r"local-cluster\[\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\]", master
+        )
+        if m is None:
+            return None
+        cores, mem_mb = int(m.group(2)), int(m.group(3))
+    else:
+        return None
+    if mem_mb is None or cores <= 0:
+        return None
+    per_core = mem_mb // cores
+    if per_core >= HEAP_MB_PER_CORE_RULE:
+        return None
+    return (
+        f"flink_wikipedia_spark: {mem_mb} MB heap over {cores} task slots "
+        f"= {per_core} MB/core, below the {HEAP_MB_PER_CORE_RULE} MB/core "
+        "deployment rule — heavy hash aggregates/joins (TPC-H Q9/Q21 "
+        "class) will spill to disk at large scale factors. Measured at "
+        "sf100: 18-20 GB spill at 256 MB/core, zero at 1 GB/core "
+        "(SCALE.md §sf100 forensics). Raise spark.driver.memory / "
+        "executor memory or lower core count."
+    )
 
 
 def get_spark(
@@ -170,6 +229,18 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+    # One startup line when the JVM-heap-per-core shape violates the
+    # 1 GB/core deployment rule (sf100 forensics) — the rule travels
+    # with the engine, not just the docs. Once per process: every
+    # later get_spark reuses the same session anyway.
+    global _HEAP_RULE_WARNED
+    if not _HEAP_RULE_WARNED:
+        warning = heap_rule_warning(
+            master, os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+        if warning is not None:
+            print(warning, file=sys.stderr)
+        _HEAP_RULE_WARNED = True
     spark = builder.getOrCreate()
     # Any non-single-JVM master (local-cluster, standalone, YARN, k8s)
     # runs Python workers that must IMPORT this package: module-level
@@ -182,6 +253,8 @@ def get_spark(
         _ship_package(spark)
     return spark
 
+
+_HEAP_RULE_WARNED = False
 
 _SHIPPED_APP_IDS: set[str] = set()
 
