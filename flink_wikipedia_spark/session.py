@@ -26,6 +26,7 @@ large cluster up front:
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 from pyspark.sql import SparkSession
@@ -62,8 +63,6 @@ def heap_rule_warning(master: str, heap_mem: str) -> str | None:
     local[N] (driver JVM runs all N slots on ``heap_mem``) and
     local-cluster[w,c,m] (each worker JVM: m MB over c slots); under a
     real cluster manager executor sizing belongs to spark-submit."""
-    import re
-
     if master.startswith("local["):
         n = master[len("local[") : -1]
         cores = os.cpu_count() or 1 if n == "*" else int(n)
@@ -208,9 +207,6 @@ def get_spark(
         # a local-cluster[4,8,4096] worker — and pin the executor-side
         # Python to the driver's interpreter so pandas/pyarrow versions
         # can't skew between the two ends of the Arrow boundary.
-        import re
-        import sys
-
         m = re.fullmatch(
             r"local-cluster\[\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\]", master
         )

@@ -58,44 +58,72 @@ def test_driver_window_covers_every_family():
     """The driver's correctness gate reads only the FIRST 50 registry
     entries (CORRECTNESS_r01 stopped at slot 50) — losing a family from
     the window silently downgrades it to 'untested' in the next round's
-    verdict. Pin the composition."""
+    verdict. Pin the composition.
+
+    NOTE: this test pins the CURRENT round's rotation and is updated in
+    the same commit as plans/__init__._PRIORITY — its job is to catch a
+    registration-order regression between rotations, plus the standing
+    semantic invariant that every operator family keeps at least one
+    in-window representative."""
     names = list(REGISTRY)[:50]
     assert names[0] == "q_windowed_edit_size"  # flagship = entry()
-    # Round-10 rotation (standing stalest-first policy — see
-    # plans/__init__.py): the 9 r6-vintage queries, the 2 SURVEY-name
-    # aliases (first driver row ever), the 6 family anchors, all 28
-    # r7-vintage queries, and 4 r8-vintage picks.
+    # Round-11 rotation (standing stalest-first policy — see
+    # plans/__init__.py): the 6 family anchors, ALL 37 r8-vintage
+    # queries (the stalest evidence after r10), and 6 r9-vintage picks.
     families = {
-        "r6_vintage": ["q_cohort_retention", "q_curation_funnel",
-                       "q_data_quality_audit", "q_date_functions",
-                       "q_distribution_ranks", "q_funnel_view_click_purchase",
-                       "q_snapshot_merge", "q_token_budget_waterfill",
-                       "q_tpch_q21_sole_late_supplier"],
-        "aliases_first_row": ["q_filter_human_main",
-                              "q_antijoin_inactive_users"],
         "anchors": ["q_filter_events", "q_json_extract", "q_word_count",
                     "q_pii_redact", "q_dedup_docs_exact",
                     "q_multimodal_decode"],
-        "text": ["q_lang_id", "q_token_count", "q_quality_score",
-                 "q_tfidf_top_terms", "q_doc_chunks", "q_zscore_docs"],
-        "curation": ["q_contamination_check", "q_pack_sequences"],
-        "dedup": ["q_dedup_canonical", "q_dedup_components",
-                  "q_duplicate_spans", "q_simhash"],
-        "similarity": ["q_similarity_lsh"],
-        "multimodal": ["q_multimodal_features", "q_multimodal_meta"],
-        "streaming_twin": ["q_sliding_window_counts"],
-        "relational": ["q_snapshot_merge", "q_gapfill_rollup",
-                       "q_join_orders_customer", "q_asof_join"],
-        "tpch": ["q_tpch_q1_pricing_summary", "q_tpch_q7_volume_shipping",
-                 "q_tpch_q9_nation_year_profit", "q_tpch_q16_supplier_variety",
-                 "q_tpch_q17_small_quantity_revenue", "q_tpch_q18_large_orders",
-                 "q_tpch_q19_disjunctive_revenue",
-                 "q_tpch_q21_sole_late_supplier"],
-        "functions": ["q_date_functions", "q_distribution_ranks",
-                      "q_window_navigation", "q_corr_quantity_price",
-                      "q_pivot_event_daily"],
-        "udf_surface": ["q_kmeans_doclen"],
-        "core": ["q_project", "q_edit_event_decode"],
+        "r8_vintage": ["q_antijoin_quiet_customers", "q_array_functions",
+                       "q_bigram_counts", "q_dedup_events",
+                       "q_dedup_pipeline", "q_edit_distance_kernel",
+                       "q_embedding_neardup_kernel", "q_encode_tokens",
+                       "q_grouping_sets_lineitem", "q_keyby_agg_edit_size",
+                       "q_map_functions", "q_minhash_dedup_pairs",
+                       "q_multimodal_frames", "q_orders_by_month",
+                       "q_rank_functions", "q_regex_extract_props",
+                       "q_repetition_signals", "q_repetition_stats",
+                       "q_semijoin_active_customers",
+                       "q_ship_latency_histogram", "q_shuffle_shards",
+                       "q_similarity_topk", "q_source_blocklist",
+                       "q_span_mask_stats", "q_stratified_sample",
+                       "q_string_functions", "q_top_tokens_per_lang",
+                       "q_topk_docs_per_lang", "q_tpch_q11_important_stock",
+                       "q_tpch_q12_late_shipments", "q_tpch_q15_top_supplier",
+                       "q_tpch_q20_excess_stock_suppliers",
+                       "q_tpch_q22_dormant_accounts",
+                       "q_tpch_q2_min_cost_supplier", "q_tpch_q8_market_share",
+                       "q_unpivot_event_daily", "q_vocab_ids"],
+        "r9_picks": ["q_tpch_q3_shipping_priority",
+                     "q_tpch_q5_regional_revenue",
+                     "q_tpch_q6_forecast_revenue", "q_to_json_roundtrip",
+                     "q_sessionize", "q_running_total"],
+        # semantic coverage: every operator family keeps a representative
+        "text": ["q_word_count", "q_bigram_counts", "q_top_tokens_per_lang",
+                 "q_vocab_ids", "q_encode_tokens"],
+        "curation": ["q_pii_redact", "q_source_blocklist",
+                     "q_stratified_sample", "q_shuffle_shards"],
+        "dedup": ["q_dedup_docs_exact", "q_dedup_events",
+                  "q_minhash_dedup_pairs", "q_dedup_pipeline",
+                  "q_span_mask_stats"],
+        "similarity": ["q_similarity_topk", "q_embedding_neardup_kernel"],
+        "multimodal": ["q_multimodal_decode", "q_multimodal_frames"],
+        "streaming_twin": ["q_sessionize", "q_keyby_agg_edit_size"],
+        "relational": ["q_semijoin_active_customers",
+                       "q_antijoin_quiet_customers", "q_orders_by_month",
+                       "q_grouping_sets_lineitem", "q_unpivot_event_daily"],
+        "tpch": ["q_tpch_q2_min_cost_supplier", "q_tpch_q3_shipping_priority",
+                 "q_tpch_q5_regional_revenue", "q_tpch_q6_forecast_revenue",
+                 "q_tpch_q8_market_share", "q_tpch_q11_important_stock",
+                 "q_tpch_q12_late_shipments", "q_tpch_q15_top_supplier",
+                 "q_tpch_q20_excess_stock_suppliers",
+                 "q_tpch_q22_dormant_accounts"],
+        "functions": ["q_array_functions", "q_map_functions",
+                      "q_string_functions", "q_rank_functions",
+                      "q_regex_extract_props", "q_running_total"],
+        "udf_surface": ["q_edit_distance_kernel", "q_multimodal_frames"],
+        "core": ["q_filter_events", "q_json_extract",
+                 "q_keyby_agg_edit_size", "q_to_json_roundtrip"],
     }
     missing = {
         fam: [q for q in qs if q not in names]
@@ -103,6 +131,14 @@ def test_driver_window_covers_every_family():
         if any(q not in names for q in qs)
     }
     assert not missing, f"driver-window regression: {missing}"
+    # the groups that define the rotation must union to the full window
+    rotation = {"q_windowed_edit_size"}
+    for fam in ("anchors", "r8_vintage", "r9_picks"):
+        rotation.update(families[fam])
+    assert rotation == set(names), (
+        f"window/rotation mismatch: extra={set(names) - rotation} "
+        f"unlisted={rotation - set(names)}"
+    )
 
 
 def test_no_oracle_uses_nonportable_decimal_to_double():
