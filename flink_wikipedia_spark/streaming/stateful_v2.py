@@ -110,30 +110,39 @@ def running_domain_totals_tws(decoded: DataFrame) -> DataFrame:
 
 
 class _SessionGapProcessor(StatefulProcessor):
-    """Event-time sessionization with timer-driven close.
+    """Event-time sessionization, watermark-correct for ANY watermark.
 
-    State: one open session per key (start_ms, end_ms, n, size).
-    Each batch, the key's rows AND the stored open session are merged
-    as sorted intervals: consecutive intervals whose gap is <= gap_ms
-    coalesce; a strictly-larger gap closes the earlier interval
-    intra-batch ("gap" rows). The boundary is strict-`>` split (events
-    EXACTLY gap apart share a session) to match the batch twin
-    q_sessionize's ``tss - lag(tss) > 1800`` — note this differs from
-    F.session_window's exclusive-end semantics. The LAST interval stays
-    open with an event-time timer at end + gap + 1 (the +1 keeps an
-    event at exactly end + gap mergeable before the timer fires); if
-    the watermark passes that with no new input for the key,
-    handleExpiredTimer emits it ("timer" rows) — the case batch
-    sessionization can only discover on the next scan and classic
-    GroupStateTimeout only on some later batch that happens to revisit
-    the key.
+    State: ALL not-yet-expired sessions per key, as four parallel
+    arrays (starts, ends, ns, sizes). Each batch, the key's rows and
+    every stored session are merged as sorted intervals: consecutive
+    intervals whose gap is <= gap_ms coalesce. The boundary is
+    strict-`>` split (events EXACTLY gap apart share a session) to
+    match the batch twin q_sessionize's ``tss - lag(tss) > 1800`` —
+    note this differs from F.session_window's exclusive-end semantics.
 
-    Interval merging (not append-to-open) is what makes LATE rows
-    correct under any watermark: a late event within the gap of the
-    open session extends its span backwards; a late event MORE than
-    gap earlier than the open session's start becomes its own,
-    immediately-closed session instead of wrongly bridging the two
-    (reachable whenever the configured watermark exceeds the gap).
+    A merged run is emitted at input time ("gap" rows) ONLY when
+    ``end + gap < watermark`` — the engine guarantees no future row
+    below the watermark, so nothing can ever merge into it again.
+    Every other run stays in state with an event-time timer at
+    ``end + gap + 1`` (the +1 keeps an event at exactly end + gap
+    mergeable before the timer fires); when the watermark passes a
+    deadline with no new input for the key, handleExpiredTimer emits
+    the expired runs ("timer" rows) — the case batch sessionization
+    can only discover on the next scan and classic GroupStateTimeout
+    only on some later batch that happens to revisit the key.
+
+    Why a LIST of open sessions instead of one open + eager closes:
+    eager intra-batch closing diverges from the batch twin whenever a
+    still-watermark-legal late row re-bridges a run that a later row
+    in an earlier batch had already "closed" (events 0 and 2·gap in
+    batch 1, bridge at 0.8·gap arriving in batch 2: the twin yields
+    ONE session, eager closing can never un-emit). Keeping every run
+    until the WATERMARK proves it immutable makes the operator
+    multiset-identical to the batch twin under any watermark/gap
+    combination — property-pinned in
+    tests/test_session_processor_properties.py. State stays bounded:
+    runs live only until watermark passes end + gap, so the array
+    holds O(watermark_delay / gap + 1) sessions per key.
     """
 
     def __init__(self, gap_ms: int):
@@ -142,8 +151,20 @@ class _SessionGapProcessor(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
         self._sess = handle.getValueState(
-            "sess", "start_ms long, end_ms long, n long, size long"
+            "sessions",
+            "starts array<long>, ends array<long>, "
+            "ns array<long>, sizes array<long>",
         )
+
+    def _stored(self) -> list[tuple[int, int, int, int]]:
+        v = self._sess.get()
+        return [] if v is None else [tuple(x) for x in zip(*v)]
+
+    def _store(self, sessions: list[tuple[int, int, int, int]]) -> None:
+        if sessions:
+            self._sess.update(tuple(list(col) for col in zip(*sessions)))
+        else:
+            self._sess.clear()
 
     def _emit(self, key, start, end, n, size, closed_by) -> pd.DataFrame:
         return pd.DataFrame(
@@ -160,6 +181,15 @@ class _SessionGapProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timer_values: TimerValues
     ) -> Iterator[pd.DataFrame]:
+        # watermark BEFORE this batch — rows below it were already
+        # dropped by the engine, which is exactly what makes the
+        # end + gap < wm close sound. The fake test harness passes
+        # None for "no watermark yet" (everything closes via timers).
+        wm = (
+            timer_values.getCurrentWatermarkInMs()
+            if timer_values is not None
+            else 0
+        )
         batch = pd.concat(list(rows), ignore_index=True)
         ts_ms = (
             batch["ts"].astype("datetime64[ms]").astype("int64").sort_values()
@@ -167,46 +197,54 @@ class _SessionGapProcessor(StatefulProcessor):
         # null lengths (corrupt-record decode) contribute 0 size, not a
         # NaN that would crash int() below
         sizes = (batch["new_length"] - batch["old_length"]).abs().fillna(0)
-        # each event is a degenerate interval; the stored open session
-        # (if any) joins the sorted merge as a real one — that is what
-        # places a too-early late event BEFORE the open session instead
-        # of appending it into it
+        # each event is a degenerate interval; every stored session
+        # joins the sorted merge as a real one — a late row lands
+        # between/inside runs instead of being appended to the newest
         intervals = [
             (t, t, 1, int(sz))
             for t, sz in zip(ts_ms.tolist(), sizes[ts_ms.index].tolist())
         ]
-        prev = self._sess.get()
-        if prev is not None:
-            self._handle.deleteTimer(prev[1] + self._gap_ms + 1)
-            intervals.append(tuple(prev))
-            intervals.sort(key=lambda iv: iv[0])
+        stored = self._stored()
+        for _, end, _, _ in stored:
+            self._handle.deleteTimer(end + self._gap_ms + 1)
+        intervals.extend(stored)
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
 
+        runs = []
         start, end, n, size = intervals[0]
         for s2, e2, n2, sz2 in intervals[1:]:
             if s2 - end > self._gap_ms:  # strict: batch-twin parity
-                yield self._emit(key, start, end, n, size, "gap")
+                runs.append((start, end, n, size))
                 start, end, n, size = s2, e2, n2, sz2
             else:
-                # max(): the open session can nest a shorter interval
+                # max(): a stored run can nest a shorter interval
                 end = max(end, e2)
                 n, size = n + n2, size + sz2
-        self._sess.update((start, end, n, size))
-        self._handle.registerTimer(end + self._gap_ms + 1)
+        runs.append((start, end, n, size))
+
+        keep: list[tuple[int, int, int, int]] = []
+        for run in runs:
+            if run[1] + self._gap_ms < wm:
+                yield self._emit(key, *run, "gap")
+            else:
+                keep.append(run)
+                self._handle.registerTimer(run[1] + self._gap_ms + 1)
+        self._store(keep)
 
     def handleExpiredTimer(
         self, key: Any, timer_values: TimerValues, expired: ExpiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
-        prev = self._sess.get()
-        # a stale timer can outlive its session (deleteTimer is
-        # best-effort when the expiry raced the watermark) — only a
-        # timer matching the open session's deadline closes it
-        if prev is None:
-            return
-        start, end, n, size = prev
-        if expired.getExpiryTimeInMs() < end + self._gap_ms + 1:
-            return
-        self._sess.clear()
-        yield self._emit(key, start, end, n, size, "timer")
+        # emit every stored run whose deadline the watermark has
+        # passed; a stale timer (deleted best-effort after a merge)
+        # that matches no run's deadline is a no-op
+        expiry = expired.getExpiryTimeInMs()
+        keep = []
+        for run in self._stored():
+            if run[1] + self._gap_ms + 1 <= expiry:
+                yield self._emit(key, *run, "timer")
+            else:
+                keep.append(run)
+        self._store(keep)
 
     def close(self) -> None:
         pass
@@ -219,15 +257,18 @@ def sessionize_with_timers(
     watermark passes last-event + gap — no new input for the key needed.
 
     Output (update mode): one row per closed session with closed_by ∈
-    {gap, timer} marking whether a later event or the timer closed it.
+    {gap, timer} marking whether fresh input (with the watermark
+    already past the run's deadline) or the timer itself closed it.
     Batch twin: plans/queries_relational.q_sessionize — same strict-`>`
     gap boundary (events exactly gap apart share a session; see
     _SessionGapProcessor) over the static table via windows over
     lag(); this operator exists for the infinite-stream case where the
     batch scan never ends and classic GroupStateTimeout revisits keys
-    too lazily. Late events within the watermark merge correctly in
-    both directions; see _SessionGapProcessor for the
-    earlier-than-start-by-more-than-gap case.
+    too lazily. Sessions are closed only once the watermark proves
+    them immutable, so the output multiset equals the batch twin's for
+    ANY watermark/gap combination (property-pinned); late rows within
+    the watermark merge correctly in any position — extending spans
+    backwards, re-bridging runs, or forming their own session.
     """
     _require_rocksdb(decoded)
     gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)

@@ -114,6 +114,21 @@ class FakeExpired:
         return self.ms
 
 
+class FakeTimerValues:
+    """TimerValues stand-in: the watermark as of BEFORE the current
+    batch (matching the engine: late rows below it never reach the
+    processor)."""
+
+    def __init__(self, wm_ms):
+        self.wm_ms = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self.wm_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self.wm_ms
+
+
 def _pdf(rows):
     import pandas as pd
 
@@ -141,6 +156,12 @@ def test_totals_processor_logic():
     assert out2[0].iloc[0].tolist() == ["a.org", 3, 22]
 
 
+def _ms(s: str) -> int:
+    import pandas as pd
+
+    return int(pd.Timestamp(s).value // 10**6)
+
+
 def test_session_processor_gap_split_and_timer():
     from flink_wikipedia_spark.streaming.stateful_v2 import (
         _SessionGapProcessor,
@@ -151,28 +172,36 @@ def test_session_processor_gap_split_and_timer():
     h = FakeHandle()
     p.init(h)
     key = ("a.org",)
-    # batch 1: run of 2, then a lone event 10 min later → the run closes
-    # intra-batch ("gap"), the lone event stays open with a timer
+    # batch 1 (no watermark yet): a run of 2, then a lone event 10 min
+    # later — BOTH runs stay in state (nothing is provably immutable
+    # until the watermark passes), each with its own timer
     out = list(p.handleInputRows(key, iter([_pdf([
         ("2024-01-01T10:00:00", 4),
         ("2024-01-01T10:00:10", 6),
         ("2024-01-01T10:10:00", 1),
-    ])]), None))
+    ])]), FakeTimerValues(0)))
+    assert out == [] or all(len(df) == 0 for df in out)
+    assert len(h.timers) == 2
+    d1 = _ms("2024-01-01T10:00:10") + gap_ms + 1
+    d2 = _ms("2024-01-01T10:10:00") + gap_ms + 1
+    assert h.timers == {d1, d2}
+    # batch 2, watermark now past the first run's deadline: fresh input
+    # extends the SECOND run, and the first closes at input time ("gap")
+    out = list(p.handleInputRows(
+        key,
+        iter([_pdf([("2024-01-01T10:10:20", 2)])]),
+        FakeTimerValues(_ms("2024-01-01T10:05:00")),
+    ))
     assert len(out) == 1 and out[0].iloc[0]["closed_by"] == "gap"
     assert out[0].iloc[0]["n_events"] == 2 and out[0].iloc[0]["total_size"] == 10
-    open_deadline = next(iter(h.timers))
-    # batch 2: the open session extends (gap not exceeded) — old timer
-    # replaced, nothing emitted
-    out = list(p.handleInputRows(key, iter([_pdf(
-        [("2024-01-01T10:10:20", 2)])]), None))
-    assert out == [] or all(len(df) == 0 for df in out)
-    assert open_deadline not in h.timers and len(h.timers) == 1
-    # watermark passes the deadline with no new input → timer closes it
+    assert h.timers == {_ms("2024-01-01T10:10:20") + gap_ms + 1}
+    # watermark passes the remaining deadline with no new input →
+    # timer closes the extended run
     deadline = next(iter(h.timers))
     out = list(p.handleExpiredTimer(key, None, FakeExpired(deadline)))
     assert out[0].iloc[0]["closed_by"] == "timer"
     assert out[0].iloc[0]["n_events"] == 2  # 10:10:00 + 10:10:20
-    assert h.states["sess"].get() is None
+    assert h.states["sessions"].get() is None
     # a stale timer after close is a no-op
     assert list(p.handleExpiredTimer(key, None, FakeExpired(deadline))) == []
 
@@ -192,7 +221,7 @@ def test_stale_timer_does_not_close_active_session():
     # a timer for the SUPERSEDED deadline must not close the extended
     # session (deleteTimer raced the watermark)
     assert list(p.handleExpiredTimer(key, None, FakeExpired(first_deadline))) == []
-    assert h.states["sess"].get() is not None
+    assert h.states["sessions"].get() is not None
 
 
 # ------------------------------------------------------------------ e2e
@@ -264,10 +293,10 @@ def test_sessionize_gap_and_timer_close(spark, tmp_path):
         "environment-blocked here (no pip installs)",
     )
     # batch 0, domain a: a 2-event run then a lone event 10 min later —
-    # the run closes intra-batch ("gap"); the lone event stays open.
-    # batch 1, domain b only: the watermark advances past a's
-    # last-event + gap, so a's open session closes via TIMER with no
-    # new a-input — the capability under test.
+    # both runs stay open (watermark hasn't proven either immutable).
+    # batch 1, domain b only: the watermark advances past both a-run
+    # deadlines, so BOTH close via TIMER with no new a-input — the
+    # capability under test.
     src = str(tmp_path / "src")
     os.makedirs(src)
     base = time.time() - 600
@@ -310,7 +339,7 @@ def test_sessionize_gap_and_timer_close(spark, tmp_path):
         for r in sink.rows
     )
     assert got == [
-        ("a.org", "2024-01-01 10:00:00", "2024-01-01 10:00:10", 2, 10, "gap"),
+        ("a.org", "2024-01-01 10:00:00", "2024-01-01 10:00:10", 2, 10, "timer"),
         ("a.org", "2024-01-01 10:10:00", "2024-01-01 10:10:00", 1, 1, "timer"),
     ]
 
@@ -338,36 +367,74 @@ def test_late_event_extends_session_span_backwards():
 
 
 def test_too_early_late_event_is_its_own_session_not_a_bridge():
-    # ADVICE r10: a late event preceding the open session's start by
+    # ADVICE r10: a late event preceding a stored session's start by
     # MORE than the gap must NOT merge into it (reachable whenever the
-    # configured watermark exceeds the gap) — it is its own session,
-    # already closed by the gap to the open one.
+    # configured watermark exceeds the gap) — it becomes its own
+    # session, closed by its own timer, leaving the newer one intact.
     from flink_wikipedia_spark.streaming.stateful_v2 import (
         _SessionGapProcessor,
     )
 
-    p = _SessionGapProcessor(30_000)
+    gap_ms = 30_000
+    p = _SessionGapProcessor(gap_ms)
     h = FakeHandle()
     p.init(h)
     key = ("a.org",)
-    list(p.handleInputRows(key, iter([_pdf([("2024-01-01T10:10:00", 1)])]), None))
-    # late event 10 min EARLIER than the open session's start
-    out = list(p.handleInputRows(key, iter([_pdf(
-        [("2024-01-01T10:00:00", 7)])]), None))
-    assert len(out) == 1
-    r = out[0].iloc[0]
-    assert r["closed_by"] == "gap"
+    t_new = _ms("2024-01-01T10:10:00")
+    t_old = _ms("2024-01-01T10:00:00")
+    list(p.handleInputRows(
+        key, iter([_pdf([("2024-01-01T10:10:00", 1)])]), FakeTimerValues(0)))
+    # late event 10 min EARLIER (legal: watermark is still at t_old)
+    out = list(p.handleInputRows(
+        key, iter([_pdf([("2024-01-01T10:00:00", 7)])]),
+        FakeTimerValues(t_old)))
+    assert out == [] or all(len(df) == 0 for df in out)
+    # state holds TWO separate sessions with their own deadlines
+    starts, ends, ns, sizes = h.states["sessions"].get()
+    assert list(starts) == [t_old, t_new] and list(ns) == [1, 1]
+    assert h.timers == {t_old + gap_ms + 1, t_new + gap_ms + 1}
+    # the earlier session's timer closes ONLY it
+    (out,) = list(p.handleExpiredTimer(
+        key, None, FakeExpired(t_old + gap_ms + 1)))
+    r = out.iloc[0]
+    assert r["closed_by"] == "timer"
     assert str(r["session_start"]) == str(r["session_end"]) == "2024-01-01 10:00:00"
     assert r["n_events"] == 1 and r["total_size"] == 7
-    # the open session is untouched: still 1 event, original span
-    assert h.states["sess"].get() == (
-        1704103800000, 1704103800000, 1, 1  # 2024-01-01T10:10:00 in ms
+    # the newer session is untouched
+    starts, ends, ns, sizes = h.states["sessions"].get()
+    assert list(starts) == [t_new] and list(ns) == [1]
+
+
+def test_late_event_rebridges_runs_split_in_an_earlier_batch():
+    # the case eager closing can never get right (found by the r11
+    # property sweep): batch 1 has events 0 s and 50 s (gap 30 s), a
+    # legal late bridge at 25 s arrives in batch 2 — the batch twin
+    # yields ONE session of 3 events, so must we
+    from flink_wikipedia_spark.streaming.stateful_v2 import (
+        _SessionGapProcessor,
     )
-    # and its timer still closes it at the original deadline (+1 for
-    # the inclusive-gap boundary)
-    (out,) = list(p.handleExpiredTimer(
-        key, None, FakeExpired(1704103800000 + 30_000 + 1)))
-    assert out.iloc[0]["closed_by"] == "timer" and out.iloc[0]["n_events"] == 1
+
+    gap_ms = 30_000
+    p = _SessionGapProcessor(gap_ms)
+    h = FakeHandle()
+    p.init(h)
+    key = ("a.org",)
+    out = list(p.handleInputRows(key, iter([_pdf([
+        ("2024-01-01T10:00:00", 1),
+        ("2024-01-01T10:00:50", 4),
+    ])]), FakeTimerValues(0)))
+    assert out == [] or all(len(df) == 0 for df in out)
+    out = list(p.handleInputRows(
+        key, iter([_pdf([("2024-01-01T10:00:25", 2)])]),
+        FakeTimerValues(_ms("2024-01-01T10:00:25"))))
+    assert out == [] or all(len(df) == 0 for df in out)
+    deadline = _ms("2024-01-01T10:00:50") + gap_ms + 1
+    assert h.timers == {deadline}
+    (out,) = list(p.handleExpiredTimer(key, None, FakeExpired(deadline)))
+    r = out.iloc[0]
+    assert r["n_events"] == 3 and r["total_size"] == 7
+    assert str(r["session_start"]) == "2024-01-01 10:00:00"
+    assert str(r["session_end"]) == "2024-01-01 10:00:50"
 
 
 def test_events_exactly_gap_apart_share_a_session():
@@ -377,7 +444,8 @@ def test_events_exactly_gap_apart_share_a_session():
         _SessionGapProcessor,
     )
 
-    p = _SessionGapProcessor(30_000)
+    gap_ms = 30_000
+    p = _SessionGapProcessor(gap_ms)
     h = FakeHandle()
     p.init(h)
     key = ("a.org",)
@@ -385,15 +453,17 @@ def test_events_exactly_gap_apart_share_a_session():
         ("2024-01-01T10:00:00.000", 1),
         ("2024-01-01T10:00:30.000", 2),  # exactly gap after → same session
         ("2024-01-01T10:01:00.001", 4),  # 1 ms past gap → new session
-    ])]), None))
-    assert len(out) == 1
-    r = out[0].iloc[0]
-    assert r["closed_by"] == "gap" and r["n_events"] == 2 and r["total_size"] == 3
-    assert str(r["session_end"]) == "2024-01-01 10:00:30"
-    # cross-batch: an event exactly gap after the OPEN session's end
+    ])]), FakeTimerValues(0)))
+    assert out == [] or all(len(df) == 0 for df in out)
+    starts, ends, ns, sizes = h.states["sessions"].get()
+    assert list(ns) == [2, 1] and list(sizes) == [3, 4]
+    assert ends[0] == _ms("2024-01-01T10:00:30")
+    # cross-batch: an event exactly gap after a stored session's end
     # must merge too (the timer is registered at end + gap + 1 so the
     # watermark cannot close it first)
-    out = list(p.handleInputRows(key, iter([_pdf(
-        [("2024-01-01T10:01:30.001", 8)])]), None))
+    out = list(p.handleInputRows(
+        key, iter([_pdf([("2024-01-01T10:01:30.001", 8)])]),
+        FakeTimerValues(0)))
     assert out == [] or all(len(df) == 0 for df in out)
-    assert h.states["sess"].get()[2] == 2  # n_events merged to 2
+    starts, ends, ns, sizes = h.states["sessions"].get()
+    assert list(ns) == [2, 2]  # second session merged to 2 events
