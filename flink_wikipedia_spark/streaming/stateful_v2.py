@@ -266,8 +266,11 @@ def sessionize_with_timers(
     batch scan never ends and classic GroupStateTimeout revisits keys
     too lazily. Sessions are closed only once the watermark proves
     them immutable, so the output multiset equals the batch twin's for
-    ANY watermark/gap combination (property-pinned); late rows within
-    the watermark merge correctly in any position — extending spans
+    ANY watermark/gap combination (property-pinned) — over the rows
+    the watermark ADMITS: rows later than the configured delay are
+    dropped by the engine before any stateful operator sees them,
+    standard Structured Streaming semantics. Late rows within the
+    watermark merge correctly in any position — extending spans
     backwards, re-bridging runs, or forming their own session.
     """
     _require_rocksdb(decoded)
