@@ -64,8 +64,14 @@ def heap_rule_warning(master: str, heap_mem: str) -> str | None:
     local-cluster[w,c,m] (each worker JVM: m MB over c slots); under a
     real cluster manager executor sizing belongs to spark-submit."""
     if master.startswith("local["):
-        n = master[len("local[") : -1]
-        cores = os.cpu_count() or 1 if n == "*" else int(n)
+        # local[N], local[*], and local[N,maxRetries] all exist
+        n = master[len("local[") : -1].split(",")[0].strip()
+        if n == "*":
+            cores = os.cpu_count() or 1
+        elif n.isdigit():
+            cores = int(n)
+        else:
+            return None  # malformed master: let Spark reject it, not us
         mem_mb = _parse_mem_mb(heap_mem)
     elif master.startswith("local-cluster["):
         m = re.fullmatch(

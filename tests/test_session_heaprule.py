@@ -42,6 +42,13 @@ def test_local_cluster_uses_worker_shape():
     assert heap_rule_warning("local-cluster[4,4,4096]", "8g") is None
 
 
+def test_local_with_max_retries_field_parses():
+    # Spark accepts local[N,maxRetries]; the rule must read N, not crash
+    assert heap_rule_warning("local[4,2]", "8g") is None   # 2048 MB/core
+    assert heap_rule_warning("local[32,3]", "8g") is not None
+    assert heap_rule_warning("local[garbage]", "8g") is None  # Spark's error
+
+
 def test_cluster_managers_are_out_of_scope():
     # executor sizing under a real manager belongs to spark-submit —
     # no false alarm from the driver-side default
