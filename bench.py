@@ -119,7 +119,9 @@ def median(xs: list[float]) -> float:
 _STDOUT_BUDGET = 1800
 
 
-def compact_payload(full: dict, budget: int = _STDOUT_BUDGET) -> str:
+def compact_payload(
+    full: dict, budget: int = _STDOUT_BUDGET, full_artifact: str = "BENCH.json"
+) -> str:
     """Render the driver-facing stdout line: the full payload's scalars
     plus as many per-query wall seconds as fit the byte budget,
     slowest-first (the slow queries are the ones a perf comparison
@@ -134,7 +136,7 @@ def compact_payload(full: dict, budget: int = _STDOUT_BUDGET) -> str:
         if not (isinstance(v, dict) and len(v) > 10)
     }
     base["n_queries"] = len(per_query)
-    base["full_artifact"] = "BENCH.json"
+    base["full_artifact"] = full_artifact
     for shown in range(len(ranked), -1, -1):
         base["queries"] = dict(ranked[:shown])
         base["queries_shown"] = shown
@@ -351,7 +353,7 @@ def main() -> None:
     out_path = os.environ.get("BENCH_OUT", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"))
     with open(out_path, "w") as fh:
         fh.write(full_line + "\n")
-    line = compact_payload(payload)
+    line = compact_payload(payload, full_artifact=os.path.basename(out_path))
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
