@@ -838,3 +838,112 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_bigram_frac_expr().alias("top_2gram_frac"),
         repetition_ok_expr().cast("int").alias("keep"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "and", "of", "to", "in", "a", "is", "that"]
+
+
+@query(
+    "q_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               CASE WHEN len(toks) = 0 THEN NULL ELSE
+                   CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                       / len(toks) END AS mean_word_len,
+               CASE WHEN len(toks) = 0 THEN NULL ELSE
+                   CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                       / len(toks) END AS alpha_word_ratio,
+               CASE WHEN len(toks) = 0 THEN NULL ELSE
+                   CAST(n_hash + n_ellipsis AS DOUBLE) / len(toks) END
+                   AS symbol_word_ratio,
+               len(list_intersect(list_distinct(toks),
+                   {GOPHER_STOPWORDS!r})) AS n_stopwords_present
+        FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           alpha_word_ratio, symbol_word_ratio,
+           CAST(n_stopwords_present AS BIGINT) AS n_stopwords_present,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND alpha_word_ratio >= 0.8
+                AND symbol_word_ratio <= 0.1
+                AND n_stopwords_present >= 2 AS INT) AS keep
+    FROM m
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rules (Rae et al. 2021 — the
+    public MassiveText filter set), the sibling of q_quality_score's
+    cheap-pass filters: word-count bounds, mean word length bounds,
+    alphabetic-word ratio, symbol-to-word ratio (# and ellipsis), and
+    distinct-stopword presence, with the composite keep flag.
+
+    Scale: one scan, zero exchanges — every metric is a row-local
+    array fold (split → filter → aggregate/size), the same
+    whole-stage-codegen shape as the other text folds; ratios are
+    single IEEE double divisions of exact integers so both engines
+    produce bit-identical values — full oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), " "), lambda w: w != F.lit("")
+        ).alias("toks"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+        ).alias("n_hash"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+            )
+            / F.lit(3)
+        ).cast("long").alias("n_ellipsis"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_words"),
+        "n_hash",
+        "n_ellipsis",
+    )
+    n = F.col("n_words")
+    guard = lambda e: F.when(n == 0, F.lit(None)).otherwise(e)  # noqa: E731
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    metrics = staged.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        guard(
+            F.aggregate(
+                "toks", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+            ).cast("double")
+            / n
+        ).alias("mean_word_len"),
+        guard(
+            F.size(F.filter("toks", lambda w: w.rlike("[a-z]"))).cast("double")
+            / n
+        ).alias("alpha_word_ratio"),
+        guard(
+            (F.col("n_hash") + F.col("n_ellipsis")).cast("double") / n
+        ).alias("symbol_word_ratio"),
+        F.size(
+            F.array_intersect(F.array_distinct("toks"), stop_arr)
+        ).cast("long").alias("n_stopwords_present"),
+    )
+    return metrics.select(
+        "*",
+        (
+            n.between(50, 100_000)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("alpha_word_ratio") >= 0.8)
+            & (F.col("symbol_word_ratio") <= 0.1)
+            & (F.col("n_stopwords_present") >= 2)
+        ).cast("int").alias("keep"),
+    )
