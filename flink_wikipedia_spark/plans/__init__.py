@@ -48,6 +48,10 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 # (q_approx_distinct_users, q_approx_percentile_value, q_kmeans_doclen,
 # q_ann_ivfpq_refined) is in this window. Observed window size has been
 # exactly 50 names in every round r8–r10 (len(CORRECTNESS_rN.json)).
+# NOTE for the r12 rotation: q_gopher_quality (new in r11, registry
+# tail) has no driver row yet — rule 2/3 puts it in the r12 window
+# alongside the then-stalest r9 vintage. It is locally oracle-verified
+# at sf0.001/0.01/1 (VERIFY logs + commit bd52f6a).
 _PRIORITY = [
     "q_windowed_edit_size",  # FLAGSHIP (O7+O8+O9) — must be slot 1
     # family anchors (one per operator family, every round)
