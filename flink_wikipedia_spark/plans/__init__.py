@@ -32,80 +32,78 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 #      below so the verdict can check the gate outcome against a
 #      written prediction.
 #
-# ROUND-11 WINDOW under that policy: no batch query-builder code
-# changed this round (the r11 diffs are bench.py stdout plumbing,
-# session.py deployment warning, and the streaming stateful operators —
-# none of which build a registered batch plan), so rule 2 forces
-# nothing in-window and rules 3+4 fill all 50 slots: the flagship, the
-# 6 family anchors, ALL 37 queries whose newest driver record is r8
-# (the stalest vintage after r10's rotation — includes every name the
-# r10 verdict called out: q_to_json_roundtrip is r9, the rest r8), and
-# 6 r9-vintage picks (TPC-H Q3/Q5/Q6 — the verdict-named stale family —
-# plus the O10 JSON round-trip, sessionize whose STREAMING twin changed
-# this round per ADVICE, and the running-total window anchor).
-# Expected r11 outcome: 50/50 hash-green — every in-window query is
-# oracled; none of the four rows-only-by-design names
-# (q_approx_distinct_users, q_approx_percentile_value, q_kmeans_doclen,
-# q_ann_ivfpq_refined) is in this window. Observed window size has been
-# exactly 50 names in every round r8–r10 (len(CORRECTNESS_rN.json)).
-# NOTE for the r12 rotation: q_gopher_quality (new in r11, registry
-# tail) has no driver row yet — rule 2/3 puts it in the r12 window
-# alongside the then-stalest r9 vintage. It is locally oracle-verified
-# at sf0.001/0.01/1 (VERIFY logs + commit bd52f6a).
+# ROUND-12 WINDOW — computed by ``tools/rotate_window.py --changed
+# q_pagerank_parts_suppliers q_sessionize`` (the rotation is mechanical
+# as of r12; this list is the tool's verbatim output). Composition:
+# rule 2 puts the two names with NO driver record first
+# (q_c4_quality — new this round — and q_gopher_quality, pre-declared
+# for r12 by the r11 note below); rule 3 adds the changed names
+# (PageRank gained a convergence early-exit; sessionize's STREAMING
+# twin was bucketed this round — its batch twin is the oracle anchor);
+# rule 4 holds the 6 family anchors; rule 5 fills with ALL 35 remaining
+# r9-vintage names (the stalest evidence — q_pagerank_parts_suppliers
+# and 36 others were r9; pagerank already in via rule 3) and the 3
+# alphabetically-first r10 names. Expected r12 outcome: 47/50
+# hash-green + 3 rows-only-by-design names that rotation forced
+# in-window this time (q_ann_ivfpq_refined, q_approx_distinct_users,
+# q_approx_percentile_value — each property-pinned with an oracled
+# exact twin). After r12 no name's newest record is older than r10.
 _PRIORITY = [
     "q_windowed_edit_size",  # FLAGSHIP (O7+O8+O9) — must be slot 1
-    # family anchors (one per operator family, every round)
+    # rule 2: no driver record yet
+    "q_c4_quality",          # NEW r12 — C4 line-rule sibling of gopher
+    "q_gopher_quality",      # NEW r11 — pre-declared for this window
+    # rule 3: builders changed this round
+    "q_pagerank_parts_suppliers",  # r9 + convergence early-exit
+    "q_sessionize",          # r11; streaming twin bucketed this round
+    # rule 4: family anchors (one per operator family, every round)
     "q_filter_events",       # core
     "q_json_extract",        # core
     "q_word_count",          # text
     "q_pii_redact",          # curation
     "q_dedup_docs_exact",    # dedup
     "q_multimodal_decode",   # multimodal
-    # r8 vintage — the stalest evidence (all 37)
-    "q_antijoin_quiet_customers",
-    "q_array_functions",
-    "q_bigram_counts",
-    "q_dedup_events",
-    "q_dedup_pipeline",
-    "q_edit_distance_kernel",
-    "q_embedding_neardup_kernel",
-    "q_encode_tokens",
-    "q_grouping_sets_lineitem",
-    "q_keyby_agg_edit_size",
-    "q_map_functions",
-    "q_minhash_dedup_pairs",
-    "q_multimodal_frames",
-    "q_orders_by_month",
-    "q_rank_functions",
-    "q_regex_extract_props",
-    "q_repetition_signals",
-    "q_repetition_stats",
-    "q_semijoin_active_customers",
-    "q_ship_latency_histogram",
-    "q_shuffle_shards",
-    "q_similarity_topk",
-    "q_source_blocklist",
-    "q_span_mask_stats",
-    "q_stratified_sample",
-    "q_string_functions",
-    "q_top_tokens_per_lang",
-    "q_topk_docs_per_lang",
-    "q_tpch_q11_important_stock",
-    "q_tpch_q12_late_shipments",
-    "q_tpch_q15_top_supplier",
-    "q_tpch_q20_excess_stock_suppliers",
-    "q_tpch_q22_dormant_accounts",
-    "q_tpch_q2_min_cost_supplier",
-    "q_tpch_q8_market_share",
-    "q_unpivot_event_daily",
-    "q_vocab_ids",
-    # r9 vintage picks (6)
-    "q_tpch_q3_shipping_priority",
-    "q_tpch_q5_regional_revenue",
-    "q_tpch_q6_forecast_revenue",
-    "q_to_json_roundtrip",    # O10 — verdict-named stale
-    "q_sessionize",           # batch twin of the r11 ADVICE-fixed streaming op
-    "q_running_total",
+    # rule 5: stalest-first — all remaining r9-vintage names
+    "q_ann_ivf",
+    "q_ann_ivfpq_refined",         # rows-only by design (pre-declared)
+    "q_approx_distinct_users",     # rows-only by design (pre-declared)
+    "q_approx_percentile_value",   # rows-only by design (pre-declared)
+    "q_collect_user_lists",
+    "q_cube_orders",
+    "q_distinct_users",
+    "q_embedding_neardup_lsh",
+    "q_fingerprint",
+    "q_hash_sample",
+    "q_having_active_users",
+    "q_ivfpq_search",
+    "q_lang_stats",
+    "q_like_filter_parts",
+    "q_median_value",
+    "q_minhash_dedup_clusters",
+    "q_minhash_signatures",
+    "q_ngram_jaccard_pairs",
+    "q_pivot_user_event_values",
+    "q_posexplode_tokens",
+    "q_pq_codes",
+    "q_range_join_counts",
+    "q_rollup_event_value",
+    "q_salted_agg_edit_size",
+    "q_semantic_dedup",
+    "q_setops_users",
+    "q_top_events_by_value",
+    "q_tpch_q10_returned_items",
+    "q_tpch_q13_order_histogram",
+    "q_tpch_q14_promo_share",
+    "q_tpch_q4_priority_with_big_lines",
+    "q_union_all_actions",
+    "q_unpivot_part_metrics",
+    "q_user_event_gaps",
+    "q_value_moment_stats",
+    "q_window_share_of_segment",
+    # rule 5 continued: r10 vintage fills the last 3 slots
+    "q_antijoin_inactive_users",
+    "q_asof_join",
+    "q_cohort_retention",
     # --- driver cutoff is 50; everything below is registry tail ---
 ]
 

@@ -947,3 +947,114 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_stopwords_present") >= 2)
         ).cast("int").alias("keep"),
     )
+
+
+@query(
+    "q_c4_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, chr(10)) AS lines,
+               length(text) - length(translate(text, '.!?', '')) AS n_sentences,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{') AS has_brace
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(lines) AS n_lines,
+               CAST(list_sum(list_transform(lines,
+                   l -> len(list_filter(string_split(l, ' '), w -> w <> ''))))
+                   AS BIGINT) AS n_words,
+               list_max(list_transform(lines,
+                   l -> len(list_filter(string_split(l, ' '), w -> w <> ''))))
+                   AS max_line_words,
+               n_sentences,
+               len(list_filter(lines,
+                   l -> len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+                        AND right(l, 1) IN ('.', '!', '?', '"')
+                        AND NOT contains(lower(l), 'javascript')))
+                   AS n_kept_lines,
+               1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                   AS dup_line_frac,
+               has_lorem, has_brace
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           n_words,
+           CAST(max_line_words AS BIGINT) AS max_line_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+           dup_line_frac,
+           CAST(has_lorem AS INT) AS has_lorem_ipsum,
+           CAST(has_brace AS INT) AS has_brace,
+           CAST(n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+                AND n_kept_lines >= 1 AS INT) AS keep
+    FROM m
+    """,
+)
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style document-quality rules (Raffel et al. 2020 §2.2 — the
+    public C4/RefinedWeb line-heuristic family), the line-level sibling
+    of q_gopher_quality's word-level rules: terminal-punctuation line
+    filter, min-words-per-line (≥5), per-line 'javascript' screen,
+    page-level 'lorem ipsum' and curly-brace screens, a minimum
+    sentence count (≥3, sentences counted as terminal-punctuation
+    marks), and a line-level exact-dup fraction as the dedup signal.
+    The composite keep flag is the C4 page rule: enough sentences, no
+    lorem-ipsum/brace boilerplate, and at least one retained line.
+
+    Scale: one scan, zero exchanges — every metric is a row-local
+    array fold over the newline-split lines (split → filter →
+    size/aggregate), the same whole-stage-codegen shape as
+    q_gopher_quality; counts are exact integers and dup_line_frac is
+    one IEEE double division, so both engines are bit-identical —
+    full oracle. On corpora without line structure the flags are
+    honest constants (1 line, 0 sentences) while n_words /
+    max_line_words still exercise the split machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.split("text", "\n").alias("lines"),
+        (
+            F.length("text") - F.length(F.translate("text", ".!?", ""))
+        ).cast("long").alias("n_sentences"),
+        F.lower("text").contains("lorem ipsum").alias("has_lorem"),
+        F.col("text").contains("{").alias("has_brace"),
+    )
+    lwords = lambda l: F.size(  # noqa: E731 — words on a line, '' dropped
+        F.filter(F.split(l, " "), lambda w: w != F.lit(""))
+    )
+    kept_line = lambda l: (  # noqa: E731 — the C4 line-retention rule
+        (lwords(l) >= 5)
+        & F.substring(l, -1, 1).isin(".", "!", "?", '"')
+        & ~F.lower(l).contains("javascript")
+    )
+    metrics = staged.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.aggregate(
+            F.transform("lines", lwords),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_words"),
+        F.array_max(F.transform("lines", lwords)).cast("long")
+        .alias("max_line_words"),
+        "n_sentences",
+        F.size(F.filter("lines", kept_line)).cast("long")
+        .alias("n_kept_lines"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("lines")).cast("double")
+            / F.size("lines")
+        ).alias("dup_line_frac"),
+        F.col("has_lorem").cast("int").alias("has_lorem_ipsum"),
+        F.col("has_brace").cast("int").alias("has_brace"),
+        (
+            (F.col("n_sentences") >= 3)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+            & (F.size(F.filter("lines", kept_line)) >= 1)
+        ).cast("int").alias("keep"),
+    )
+    return metrics

@@ -1,0 +1,121 @@
+"""q_c4_quality semantics on line-structured documents.
+
+The synthetic testdata corpus is single-line and punctuation-free, so
+the driver's oracle gate only exercises the degenerate path of the C4
+rules (1 line, 0 sentences, all screens false). These tests build a
+small documents.parquet WITH line structure and pin (a) the exact rule
+semantics per document and (b) Spark-vs-DuckDB value equality on the
+non-degenerate paths (terminal punctuation, min-words-per-line,
+javascript screen, lorem-ipsum/brace screens, line-level dup signal).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+DOCS = [
+    # doc 0: clean page — 4 distinct ≥5-word lines ending in '.', keep=1
+    (0, "the quick brown fox jumps over.\n"
+        "a lazy dog sleeps in the sun.\n"
+        "every good page has real sentences!\n"
+        "does this line also count here?"),
+    # doc 1: lorem-ipsum screen fires (page otherwise fine)
+    (1, "this page looks quite normal at first.\n"
+        "but Lorem Ipsum dolor sit amet consectetur.\n"
+        "so the whole page must be dropped."),
+    # doc 2: curly-brace screen fires
+    (2, "function bodies do not belong here { return 1; }\n"
+        "prose sentence number two is fine.\n"
+        "prose sentence number three is fine.\n"
+        "prose sentence number four is fine."),
+    # doc 3: javascript line is not retained; short lines not retained;
+    #        only 2 sentences -> keep=0
+    (3, "please enable javascript to view this.\n"
+        "too short.\n"
+        "no terminal punctuation on this long enough line"),
+    # doc 4: duplicated lines -> dup_line_frac > 0
+    (4, "this exact line repeats itself verbatim ok.\n"
+        "this exact line repeats itself verbatim ok.\n"
+        "a different third line closes the page."),
+    # doc 5: the synthetic-corpus shape — one line, no punctuation
+    (5, "alpha beta gamma delta epsilon zeta"),
+    # doc 6: empty text
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("c4docs")
+    pdf = pd.DataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in DOCS],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def result(spark, sf_dir):
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    df = REGISTRY["q_c4_quality"].fn(spark, sf_dir).toPandas()
+    return df.set_index("doc_id").sort_index()
+
+
+def test_c4_rule_semantics(result):
+    r = result
+    # doc 0: all four lines retained, keep
+    assert r.loc[0, "n_lines"] == 4
+    assert r.loc[0, "n_kept_lines"] == 4
+    assert r.loc[0, "n_sentences"] == 4
+    assert r.loc[0, "keep"] == 1
+    # doc 1: lorem-ipsum screen (case-insensitive) kills the page
+    assert r.loc[1, "has_lorem_ipsum"] == 1
+    assert r.loc[1, "keep"] == 0
+    # doc 2: brace screen kills the page even with 3 clean sentences
+    assert r.loc[2, "has_brace"] == 1
+    assert r.loc[2, "n_kept_lines"] >= 3
+    assert r.loc[2, "keep"] == 0
+    # doc 3: javascript line dropped, short line dropped, unpunctuated
+    # line dropped; only 2 sentences on the page
+    assert r.loc[3, "n_kept_lines"] == 0
+    assert r.loc[3, "n_sentences"] == 2
+    assert r.loc[3, "keep"] == 0
+    # doc 4: 3 lines, 2 distinct -> dup fraction 1/3
+    assert r.loc[4, "dup_line_frac"] == pytest.approx(1 / 3)
+    assert r.loc[4, "keep"] == 1
+    # doc 5: single unpunctuated line — the synthetic-corpus shape
+    assert r.loc[5, "n_lines"] == 1
+    assert r.loc[5, "n_words"] == 6
+    assert r.loc[5, "max_line_words"] == 6
+    assert r.loc[5, "n_kept_lines"] == 0
+    assert r.loc[5, "keep"] == 0
+    # doc 6: empty text still yields one (empty) line, zero words
+    assert r.loc[6, "n_lines"] == 1
+    assert r.loc[6, "n_words"] == 0
+    assert r.loc[6, "dup_line_frac"] == 0.0
+
+
+def test_c4_matches_duckdb_on_structured_docs(result, sf_dir):
+    """Engine equality on the NON-degenerate paths the driver's
+    synthetic corpus can't reach."""
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(REGISTRY["q_c4_quality"].oracle)
+        .fetchdf()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    spark_df = result[oracle.columns]  # same column order
+    pd.testing.assert_frame_equal(
+        spark_df.astype("float64"), oracle.astype("float64")
+    )
