@@ -129,11 +129,16 @@ def compact_payload(
     guaranteed ``len() <= budget``."""
     per_query: dict[str, float] = full["queries"]
     ranked = sorted(per_query.items(), key=lambda kv: -kv[1])
+    # ADVICE r11: filter base fields by SERIALIZED size, not dict entry
+    # count — a <=10-entry but byte-fat dict (or any large non-dict
+    # value) must not be able to blow the budget before queries are
+    # even considered. 10% of the budget per field keeps the essential
+    # scalars while shedding anything pathological.
     base = {
         k: v
         for k, v in full.items()
-        # drop every per-query map; keep scalars + small fixed dicts
-        if not (isinstance(v, dict) and len(v) > 10)
+        if k != "queries"
+        and len(json.dumps(v, separators=(",", ":"), default=str)) <= budget // 10
     }
     base["n_queries"] = len(per_query)
     base["full_artifact"] = full_artifact
@@ -143,7 +148,18 @@ def compact_payload(
         line = json.dumps(base, separators=(",", ":"))
         if len(line) <= budget:
             return line
-    raise AssertionError("scalar payload alone exceeds the stdout budget")
+    # ADVICE r11: never raise here — an exception after BENCH.json is
+    # written but before the stdout line leaves the driver with NO
+    # parseable record at all (the r10 failure mode). Degrade to the
+    # minimal line the driver needs to find the side file.
+    minimal = {
+        "metric": full.get("metric"),
+        "value": full.get("value"),
+        "n_queries": len(per_query),
+        "full_artifact": full_artifact,
+        "truncated": True,
+    }
+    return json.dumps(minimal, separators=(",", ":"))
 
 
 def skew_bench(spark, sf_dir: str, runs: int = 3) -> dict:

@@ -287,6 +287,234 @@ def _minlabel_components(und: DataFrame, max_iter: int) -> DataFrame:
     return labels
 
 
+# Below this edge count the degreed edge list fits comfortably on the
+# driver (3 int64 columns ≤ ~24 MB) and a vectorized numpy loop beats
+# the distributed loop's per-iteration scheduling floor by ~10x —
+# integer fixed-point arithmetic makes the two paths BIT-IDENTICAL
+# (pinned by tests/test_pagerank_operator.py), so this is the same
+# bounded-guard-with-distributed-fallback design as
+# SMALL_GRAPH_EDGES above. At 100 TB the part↔supplier-style distinct
+# edge lists blow past this bound and the distributed loop runs.
+PR_SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _local_pagerank(
+    rows,
+    unit: int,
+    base: int,
+    damp_num: int,
+    damp_den: int,
+    max_iters: int,
+    eps: int | None,
+) -> tuple[list, int]:
+    """Driver-side exact twin of the distributed loop: vectorized
+    integer PageRank over a collected (src, dst, d) edge list. All
+    quantities are positive int64, where numpy's ``//`` equals Spark's
+    ``div`` and DuckDB's ``//`` — every iteration is exact and
+    order-independent, so results match the distributed path bit for
+    bit. Returns ([(node, rank)], n_iters)."""
+    import numpy as np
+
+    src = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    dst = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
+    deg = np.fromiter((r[2] for r in rows), dtype=np.int64, count=len(rows))
+    nodes, src_idx = np.unique(src, return_inverse=True)
+    dst_idx = np.searchsorted(nodes, dst)
+    # both-directions contract: every receiver must also be a sender,
+    # else searchsorted silently maps it onto a neighbor's slot
+    if len(dst) and not np.array_equal(nodes[np.clip(dst_idx, 0, len(nodes) - 1)], dst):
+        raise ValueError("pagerank edge list must contain both directions")
+    ranks = np.full(len(nodes), unit, dtype=np.int64)
+    n_iters = max_iters
+    for i in range(1, max_iters + 1):
+        sums = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(sums, dst_idx, ranks[src_idx] // deg)
+        new = base + (damp_num * sums) // damp_den
+        if eps is not None:
+            if int(np.abs(new - ranks).max(initial=0)) <= eps:
+                ranks, n_iters = new, i
+                break
+        ranks = new
+    else:
+        if eps is not None:
+            raise RuntimeError(
+                f"pagerank did not converge to max|Δrank| <= {eps} within "
+                f"max_iters={max_iters} rounds; raise the budget or eps"
+            )
+    return list(zip(nodes.tolist(), ranks.tolist())), n_iters
+
+
+def pagerank(
+    withdeg: DataFrame,
+    *,
+    unit: int,
+    base: int,
+    damp_num: int,
+    damp_den: int,
+    max_iters: int,
+    eps: int | None = None,
+    small_graph_edges: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Fixed-point integer PageRank over a degreed edge list.
+
+    ``withdeg``: (src, dst, d) with BOTH directions present and ``d`` =
+    out-degree of src. Pass it UNPERSISTED — this operator owns the
+    edge list's persistence lifecycle (see below). Ranks start at
+    ``unit`` micro-units; each round every node receives ``base +
+    damp_num * Σ(rank_src div d_src) div damp_den``. Integer ``div``
+    arithmetic makes every iteration exact and order-independent, so
+    results are bit-identical across engines and partition orders (see
+    queries_dedup.PR_UNIT rationale).
+
+    Returns ``(ranks, n_iters)`` where ranks is (node, rank).
+
+    ``eps=None`` (budget mode): run exactly ``max_iters`` iterations —
+    on the distributed path they stay lazy and the caller's single
+    action executes the whole ladder (the q_pagerank_parts_suppliers
+    shape; its measured per-iteration max-delta decays only by the
+    damping factor per round, ~0.85x, so at small budgets there are NO
+    dead iterations to cut and a delta check would be pure overhead).
+
+    ``eps`` set (convergence mode): iterate until the max per-node
+    |Δrank| ≤ eps micro-units, erroring loudly if the budget is hit
+    first — the components-loop contract (truncated ranks must never
+    pass silently as converged). Each round costs exactly ONE job: the
+    delta rides the same ``observe`` metric that materializes the
+    round's lazy localCheckpoint, the `_minlabel_components` pattern —
+    no second aggregate, no driver-side collect of data rows. The
+    checkpoint also truncates lineage so convergence runs of tens of
+    rounds keep O(1) plan depth.
+
+    Scale-adaptive (the ``connected_components`` design): the edge
+    list is persisted and counted first; graphs at or under
+    ``small_graph_edges`` (default PR_SMALL_GRAPH_EDGES, resolved at
+    call time so tests can force the distributed path) run the
+    bit-identical driver-side numpy loop (``_local_pagerank``),
+    skipping K rounds of scheduler floor; larger graphs fall through
+    to the distributed loop, fully tested via
+    tests/test_pagerank_operator.py (``small_graph_edges=0`` + path
+    equality pins).
+
+    Cache lifecycle per path (the probe persist must NOT leak, and the
+    async cache-release listener must NOT strip a cache mid-loop):
+
+    - local: the collect drains the probe cache; unpersist immediately.
+    - distributed eps: the loop's own actions reuse the probe cache;
+      it stays PRIVATE (untracked — a tracked materialized frame would
+      be reclaimed by the release listener after iteration 1's action)
+      and is unpersisted synchronously when the loop ends.
+    - distributed budget: the ladder is lazy, so the probe cache is
+      dropped and a FRESH persist is registered with track_cache as an
+      unmaterialized intent — the caller's action materializes it and
+      the release listener reclaims it afterwards, the exact lifecycle
+      tests/test_round9_hardening.py pins.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    if small_graph_edges is None:
+        small_graph_edges = PR_SMALL_GRAPH_EDGES
+    cached = withdeg.persist(StorageLevel.MEMORY_AND_DISK)
+    if cached.count() <= small_graph_edges:
+        spark = cached.sparkSession
+        try:
+            rows = [
+                (r.src, r.dst, r.d)
+                for r in cached.select("src", "dst", "d").collect()
+            ]
+        finally:
+            cached.unpersist()
+        labeled, n_iters = _local_pagerank(
+            rows, unit, base, damp_num, damp_den, max_iters, eps
+        )
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("node", withdeg.schema["src"].dataType),
+                StructField("rank", LongType()),
+            ]
+        )
+        return spark.createDataFrame(labeled, schema), n_iters
+
+    def make_step(edges: DataFrame):
+        def step(r: DataFrame) -> DataFrame:
+            return (
+                edges.join(r, edges.src == r.node)
+                .select("dst", F.expr("rank div d").alias("contrib"))
+                .groupBy("dst")
+                .agg(
+                    (
+                        F.lit(base)
+                        + F.expr(f"({damp_num} * sum(contrib)) div {damp_den}")
+                    )
+                    .cast("long")
+                    .alias("rank")
+                )
+                .select(F.col("dst").alias("node"), "rank")
+            )
+
+        return step
+
+    if eps is None:
+        # lazy ladder: swap the materialized probe cache for a fresh
+        # unmaterialized persist the release listener protects until
+        # the caller's action runs (see docstring)
+        cached.unpersist()
+        from flink_wikipedia_spark.plans.registry import track_cache
+
+        edges = track_cache(withdeg.persist(StorageLevel.MEMORY_AND_DISK))
+        step = make_step(edges)
+        ranks = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("rank", F.lit(unit).cast("long"))
+        )
+        for _ in range(max_iters):
+            ranks = step(ranks)
+        return ranks, max_iters
+
+    from pyspark.sql import Observation
+
+    step = make_step(cached)
+    try:
+        ranks = (
+            cached.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("rank", F.lit(unit).cast("long"))
+            .localCheckpoint()
+        )
+        for i in range(1, max_iters + 1):
+            prev = ranks.select("node", F.col("rank").alias("_prev"))
+            nxt = (
+                step(ranks)
+                .join(prev, "node")
+                .select(
+                    "node",
+                    "rank",
+                    F.abs(F.col("rank") - F.col("_prev")).alias("_delta"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            obs = Observation()
+            observed = nxt.observe(
+                obs,
+                # coalesce: max over an empty frame is null, which must
+                # read as converged (an empty graph has nothing to move)
+                F.coalesce(F.max("_delta"), F.lit(0)).alias("delta"),
+            )
+            observed.count()
+            ranks = nxt.select("node", "rank")
+            if obs.get["delta"] <= eps:
+                return ranks, i
+    finally:
+        cached.unpersist()
+    raise RuntimeError(
+        f"pagerank did not converge to max|Δrank| <= {eps} within "
+        f"max_iters={max_iters} rounds; raise the budget or eps"
+    )
+
+
 def _star_components(und: DataFrame, max_iter: int = 50) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al. 2014,
     Algorithms 3-4, the "two-phase" variant proven to converge in

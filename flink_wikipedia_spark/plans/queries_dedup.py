@@ -601,36 +601,131 @@ def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("src"),
         (F.col("l_partkey") * 2).alias("dst"),
     )
-    from pyspark import StorageLevel
-
-    from flink_wikipedia_spark.plans.registry import track_cache
-
-    # The persist outlives this builder on purpose (the caller's action
-    # replays K iterations over it); track it so release_caches() /
-    # clearCache() can free it once the result is consumed (ADVICE r7).
-    withdeg = track_cache(
-        fwd.union(rev)
-        .withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("src")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # Persistence of the degreed edge list is owned by the pagerank
+    # operator (probe cache / track_cache lifecycle per path — see its
+    # docstring); pass the frame unpersisted.
+    withdeg = fwd.union(rev).withColumn(
+        "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
     )
-    ranks = (
-        withdeg.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("rank", F.lit(PR_UNIT).cast("long"))
+    from flink_wikipedia_spark.operators.graph import pagerank
+
+    ranks, _ = pagerank(
+        withdeg,
+        unit=PR_UNIT,
+        base=PR_BASE,
+        damp_num=PR_DAMP_NUM,
+        damp_den=PR_DAMP_DEN,
+        max_iters=PR_ITERS,
+        eps=None,  # budget mode: measured max|Δ| decays only ~0.85x per
+        # round (the damping factor), so at this 2-round budget there
+        # are no dead iterations for a convergence check to cut — a
+        # delta probe would only add a per-round action (SCALE.md §r12)
     )
-    for _ in range(PR_ITERS):
-        ranks = (
-            withdeg.join(ranks, withdeg.src == ranks.node)
-            .select("dst", F.expr("rank div d").alias("contrib"))
-            .groupBy("dst")
-            .agg(
-                (
-                    F.lit(PR_BASE)
-                    + F.expr(f"({PR_DAMP_NUM} * sum(contrib)) div {PR_DAMP_DEN}")
-                )
-                .cast("long")
-                .alias("rank")
-            )
-            .select(F.col("dst").alias("node"), "rank")
-        )
     return ranks
+
+
+# Convergence-mode PageRank: damping 1/2 so the contraction factor is
+# 0.5x per round and the max per-node |Δrank| provably lands under
+# PRC_EPS well inside the budget at every tested SF (round counts:
+# SCALE.md §r12). Damping 0.85 (the classic constant, used by the
+# budget-mode query above) would need ~50+ rounds for the same epsilon
+# — the geometric decay rate IS the damping factor, independent of
+# graph size.
+PRC_EPS = 10_000        # stop at max|Δrank| ≤ 1% of the initial unit
+PRC_MAX_ITERS = 40      # budget; exhaustion raises, never truncates
+PRC_BASE = 500_000      # (1 - d) * PR_UNIT for d = 1/2
+PRC_DAMP_NUM, PRC_DAMP_DEN = 500, 1000
+
+
+@query(
+    "q_pagerank_converged",
+    oracle=f"""
+    WITH RECURSIVE
+    deg AS MATERIALIZED (
+        SELECT s_nationkey AS nk, COUNT(*) AS d
+        FROM supplier GROUP BY s_nationkey
+    ),
+    pr AS (
+        SELECT 0 AS it, nk * 2 AS node, CAST({PR_UNIT} AS BIGINT) AS rank,
+               CAST({PR_UNIT} AS BIGINT) AS delta
+        FROM deg
+        UNION ALL
+        SELECT 0, s_suppkey * 2 + 1, CAST({PR_UNIT} AS BIGINT),
+               CAST({PR_UNIT} AS BIGINT)
+        FROM supplier
+      UNION ALL
+        SELECT nxt.it, nxt.node, nxt.rank, ABS(nxt.rank - p.rank) AS delta
+        FROM (
+            SELECT p.it + 1 AS it, s.s_suppkey * 2 + 1 AS node,
+                   CAST({PRC_BASE} + ({PRC_DAMP_NUM} * (p.rank // d.d))
+                        // {PRC_DAMP_DEN} AS BIGINT) AS rank
+            FROM supplier s
+            JOIN deg d ON d.nk = s.s_nationkey
+            JOIN pr p ON p.node = s.s_nationkey * 2
+            UNION ALL
+            SELECT p.it + 1, s.s_nationkey * 2,
+                   CAST({PRC_BASE} + ({PRC_DAMP_NUM} * SUM(p.rank))
+                        // {PRC_DAMP_DEN} AS BIGINT)
+            FROM supplier s
+            JOIN pr p ON p.node = s.s_suppkey * 2 + 1
+            GROUP BY s.s_nationkey, p.it
+        ) nxt
+        JOIN pr p ON p.node = nxt.node
+        WHERE (SELECT MAX(delta) FROM pr) > {PRC_EPS}
+          AND (SELECT MAX(it) FROM pr) < {PRC_MAX_ITERS}
+    )
+    SELECT node, rank, CAST(it AS INT) AS n_iters
+    FROM pr WHERE it = (SELECT MAX(it) FROM pr)
+    """,
+)
+def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-mode PageRank with a FULL value oracle including the
+    stopping round: iterate the supplier↔nation trade graph (nodes
+    namespaced 2k nations / 2k+1 suppliers, supplier out-degree 1) until
+    the max per-node |Δrank| ≤ PRC_EPS micro-units, erroring loudly at
+    the PRC_MAX_ITERS budget. The emitted n_iters column makes the
+    early exit itself hash-verified: the engine's dynamic stop must land
+    on exactly the round the oracle's recursive CTE stops at.
+
+    The oracle iterates to the SAME fixed point: a WITH RECURSIVE whose
+    working table carries each round's per-node delta; the recursive
+    term re-derives both bipartite directions from the supplier base
+    table (the direction-split trick of q_pagerank_parts_suppliers'
+    oracle — no mirrored edge materialization) and the gate
+    ``MAX(delta) > eps`` over the working table stops the recursion on
+    the identical round the engine's observed metric does.
+
+    Scale: each engine round is edges ⋈ ranks + one groupBy — the
+    standard distributed PR shape — and costs exactly ONE job: the
+    convergence delta rides an ``observe`` metric on the round's lazy
+    localCheckpoint (operators/graph.pagerank), so the early exit adds
+    zero extra aggregates. The checkpoint keeps plan depth O(1) across
+    tens of rounds; round count grows only ~log(hub-degree) with SF
+    (delta decay per round is the damping factor — SCALE.md §r12
+    records the measured counts)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    fwd = sup.select(
+        (F.col("s_nationkey") * 2).alias("src"),
+        (F.col("s_suppkey") * 2 + 1).alias("dst"),
+    )
+    rev = sup.select(
+        (F.col("s_suppkey") * 2 + 1).alias("src"),
+        (F.col("s_nationkey") * 2).alias("dst"),
+    )
+    from flink_wikipedia_spark.operators.graph import pagerank
+
+    withdeg = fwd.union(rev).withColumn(
+        "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    )
+    ranks, n_iters = pagerank(
+        withdeg,
+        unit=PR_UNIT,
+        base=PRC_BASE,
+        damp_num=PRC_DAMP_NUM,
+        damp_den=PRC_DAMP_DEN,
+        max_iters=PRC_MAX_ITERS,
+        eps=PRC_EPS,
+    )
+    return ranks.select(
+        "node", "rank", F.lit(n_iters).cast("int").alias("n_iters")
+    )

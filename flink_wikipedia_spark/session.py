@@ -231,19 +231,34 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+    spark = builder.getOrCreate()
     # One startup line when the JVM-heap-per-core shape violates the
     # 1 GB/core deployment rule (sf100 forensics) — the rule travels
     # with the engine, not just the docs. Once per process: every
-    # later get_spark reuses the same session anyway.
+    # later get_spark reuses the same session anyway. Checked AFTER
+    # getOrCreate against the session's EFFECTIVE spark.driver.memory
+    # (ADVICE r11): a driver sized by spark-submit --driver-memory, or
+    # a pre-existing JVM this call merely re-attached to, may differ
+    # from SPARK_GRAFT_DRIVER_MEM — warning with env-var numbers would
+    # print MB/core figures that don't match the real heap. The env
+    # default stays as the fallback when the conf is unset (plain
+    # local[N] sessions report no driver.memory conf entry).
     global _HEAP_RULE_WARNED
     if not _HEAP_RULE_WARNED:
+        try:
+            effective_mem = spark.conf.get("spark.driver.memory")
+        except Exception:
+            effective_mem = None
         warning = heap_rule_warning(
-            master, os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+            # use the MASTER the session actually runs under, too — a
+            # reused session ignores this call's master argument
+            spark.sparkContext.master,
+            effective_mem
+            or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
         if warning is not None:
             print(warning, file=sys.stderr)
         _HEAP_RULE_WARNED = True
-    spark = builder.getOrCreate()
     # Any non-single-JVM master (local-cluster, standalone, YARN, k8s)
     # runs Python workers that must IMPORT this package: module-level
     # functions used as UDFs are cloudpickled by reference, not value.

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+_log = __import__("logging").getLogger(__name__)
+
 RUNNING_TOTALS_SCHEMA = "domain string, n_edits long, total_edit_size long"
 _STATE_SCHEMA = "n long, s long"
 
@@ -125,6 +127,72 @@ def default_bucket_count(cores: int, est_keys: int | None = None) -> int:
     return 1 << (raw - 1).bit_length()
 
 
+def resolve_bucket_count(
+    df: DataFrame,
+    buckets: int | None,
+    est_keys: int | None,
+    operator: str,
+) -> int:
+    """Resolve an operator's bucket count, LOGGING the value whenever
+    it is auto-derived (ADVICE r11: a silently-derived count that
+    differs across restarts of a checkpointed query re-shards state
+    incorrectly — pmod over a different modulus — so the derivation
+    must at least be visible in driver logs; validate_bucket_count
+    makes a mismatch fail loudly)."""
+    if buckets is not None:
+        return buckets
+    derived = default_bucket_count(
+        df.sparkSession.sparkContext.defaultParallelism, est_keys
+    )
+    _log.warning(
+        "%s: bucket count auto-derived as %d (defaultParallelism=%d, "
+        "est_keys=%s). Pin buckets= explicitly (or guard restarts with "
+        "validate_bucket_count) for any checkpointed query that must "
+        "survive a cluster resize — a different derived count on "
+        "restart re-shards state incorrectly.",
+        operator,
+        derived,
+        df.sparkSession.sparkContext.defaultParallelism,
+        est_keys,
+    )
+    return derived
+
+
+def validate_bucket_count(checkpoint_dir: str, buckets: int) -> int:
+    """Pin a bucketed operator's bucket count to its checkpoint
+    (ADVICE r11): on first use writes a ``_bucket_count`` sidecar next
+    to Spark's checkpoint data; on restart a mismatched count raises
+    instead of silently corrupting state (pmod over a different
+    modulus scatters each key's history across buckets). Returns the
+    validated count. Call it with the SAME dir passed as
+    checkpointLocation, before starting the query::
+
+        buckets = validate_bucket_count(ckpt, buckets)
+        q = sessionize_with_timers_bucketed(src, buckets=buckets)...
+
+    The sidecar is one integer in a text file — human-inspectable and
+    trivially removable WITH the checkpoint when intentionally
+    resharding (which always requires a fresh checkpoint anyway)."""
+    import os
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    sidecar = os.path.join(checkpoint_dir, "_bucket_count")
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            pinned = int(fh.read().strip())
+        if pinned != buckets:
+            raise ValueError(
+                f"bucket count {buckets} does not match the {pinned} this "
+                f"checkpoint ({checkpoint_dir}) was written with — "
+                "resuming would re-shard state incorrectly. Pass "
+                f"buckets={pinned}, or start a fresh checkpoint to reshard."
+            )
+        return pinned
+    with open(sidecar, "w") as fh:
+        fh.write(f"{buckets}\n")
+    return buckets
+
+
 def running_domain_totals_bucketed(
     decoded: DataFrame, buckets: int | None = None, est_keys: int | None = None
 ) -> DataFrame:
@@ -162,10 +230,9 @@ def running_domain_totals_bucketed(
     bucket dict — this operator needs neither (NoTimeout, state never
     expires), which is exactly when bucketing is safe.
     """
-    if buckets is None:
-        buckets = default_bucket_count(
-            decoded.sparkSession.sparkContext.defaultParallelism, est_keys
-        )
+    buckets = resolve_bucket_count(
+        decoded, buckets, est_keys, operator="running_domain_totals_bucketed"
+    )
     return (
         decoded.select(
             F.pmod(F.xxhash64("domain"), F.lit(buckets)).alias("bucket"),

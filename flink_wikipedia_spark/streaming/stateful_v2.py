@@ -143,6 +143,18 @@ class _SessionGapProcessor(StatefulProcessor):
     tests/test_session_processor_properties.py. State stays bounded:
     runs live only until watermark passes end + gap, so the array
     holds O(watermark_delay / gap + 1) sessions per key.
+
+    CHECKPOINT COMPATIBILITY (ADVICE r11): round 11 renamed/re-typed
+    this processor's state variable (r10's single-open-session 'sess'
+    struct → the 'sessions' four-array list) and shifted timer
+    deadlines by +1. A checkpointed sessionize query written by the
+    r10 processor must be restarted from a FRESH checkpoint: resuming
+    it here would start with empty 'sessions' state, orphan the old
+    'sess' value, and let old-deadline timers fire as no-ops, silently
+    losing every in-flight session. No automatic migration is provided
+    — the state store gives a processor no enumeration of legacy
+    variables to convert reliably, and a half-migrated key is worse
+    than a loud operational rule: NEW STATE SCHEMA ⇒ NEW CHECKPOINT.
     """
 
     def __init__(self, gap_ms: int):
@@ -284,6 +296,193 @@ def sessionize_with_timers(
         .groupBy("domain")
         .transformWithStateInPandas(
             statefulProcessor=_SessionGapProcessor(gap_ms),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )
+
+
+class _BucketedSessionProcessor(StatefulProcessor):
+    """_SessionGapProcessor with hash-bucketed state: one grouping key
+    per BUCKET, state = every stored run of every domain in the bucket
+    as five parallel arrays (domains, starts, ends, ns, sizes).
+
+    Semantics equal the per-key processor for ANY assignment of
+    domains to buckets (property-pinned in
+    tests/test_session_bucketing_properties.py) with ONE documented
+    label divergence: timers are per bucket and shared deadlines
+    cannot be deleted per domain (deleting deadline D for one domain's
+    merged run would cancel another domain's live timer at the same
+    D), so stale timers are left registered and tolerated — a stale
+    firing may emit a run with closed_by='timer' one batch earlier
+    than the per-key operator's 'gap' close. The emission is still
+    watermark-sound (a timer fires only once the watermark passed its
+    deadline, which proves every emitted run immutable), so the
+    session DATA multiset — (domain, start, end, n, size) — is
+    identical; only the closed_by label may differ.
+
+    Per-domain merge work is unchanged (merge-intervals over that
+    domain's rows + stored runs); what bucketing amortizes is the
+    per-GROUP overhead — Arrow round trips and state-store point
+    lookups, the measured bottleneck at sf100 for the totals twin
+    (stateful.running_domain_totals_bucketed has the sweep numbers).
+    Only domains present in the batch are merged at input time; other
+    domains' runs sit untouched in the bucket row until a timer fires.
+    """
+
+    def __init__(self, gap_ms: int):
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState(
+            "bucket_sessions",
+            "domains array<string>, starts array<long>, ends array<long>, "
+            "ns array<long>, sizes array<long>",
+        )
+
+    def _stored(self) -> dict:
+        v = self._sess.get()
+        if v is None:
+            return {}
+        out: dict = {}
+        for d, s, e, n, sz in zip(*v):
+            out.setdefault(d, []).append((s, e, n, sz))
+        return out
+
+    def _store(self, by_domain: dict) -> None:
+        flat = [
+            (d, *run) for d, runs in by_domain.items() for run in runs
+        ]
+        if flat:
+            self._sess.update(tuple(list(col) for col in zip(*flat)))
+        else:
+            self._sess.clear()
+
+    def _emit(self, domain, start, end, n, size, closed_by) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "domain": [domain],
+                "session_start": [pd.to_datetime(start, unit="ms")],
+                "session_end": [pd.to_datetime(end, unit="ms")],
+                "n_events": [n],
+                "total_size": [size],
+                "closed_by": [closed_by],
+            }
+        )
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timer_values: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        wm = (
+            timer_values.getCurrentWatermarkInMs()
+            if timer_values is not None
+            else 0
+        )
+        batch = pd.concat(list(rows), ignore_index=True)
+        ts_all = batch["ts"].astype("datetime64[ms]").astype("int64")
+        sizes_all = (batch["new_length"] - batch["old_length"]).abs().fillna(0)
+        stored = self._stored()
+        # dropna=False: a null domain is its own session key, exactly
+        # like the per-key operator's null grouping key
+        for domain, idx in batch.groupby(
+            "domain", dropna=False
+        ).indices.items():
+            if pd.isna(domain):
+                domain = None
+            intervals = [
+                (int(t), int(t), 1, int(sz))
+                for t, sz in sorted(
+                    zip(ts_all.iloc[idx].tolist(), sizes_all.iloc[idx].tolist())
+                )
+            ]
+            intervals.extend(stored.pop(domain, []))
+            intervals.sort(key=lambda iv: (iv[0], iv[1]))
+            runs = []
+            start, end, n, size = intervals[0]
+            for s2, e2, n2, sz2 in intervals[1:]:
+                if s2 - end > self._gap_ms:  # strict: batch-twin parity
+                    runs.append((start, end, n, size))
+                    start, end, n, size = s2, e2, n2, sz2
+                else:
+                    end = max(end, e2)
+                    n, size = n + n2, size + sz2
+            runs.append((start, end, n, size))
+            keep = []
+            for run in runs:
+                if run[1] + self._gap_ms < wm:
+                    yield self._emit(domain, *run, "gap")
+                else:
+                    keep.append(run)
+                    self._handle.registerTimer(run[1] + self._gap_ms + 1)
+            if keep:
+                stored[domain] = keep
+        self._store(stored)
+
+    def handleExpiredTimer(
+        self, key: Any, timer_values: TimerValues, expired: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        # the deadline belongs to the BUCKET: sweep every domain's runs
+        # past it; stale timers (superseded by merges) are no-ops
+        expiry = expired.getExpiryTimeInMs()
+        stored = self._stored()
+        keep: dict = {}
+        for domain, runs in stored.items():
+            for run in runs:
+                if run[1] + self._gap_ms + 1 <= expiry:
+                    yield self._emit(domain, *run, "timer")
+                else:
+                    keep.setdefault(domain, []).append(run)
+        self._store(keep)
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_with_timers_bucketed(
+    decoded: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 second",
+    buckets: int | None = None,
+    est_keys: int | None = None,
+) -> DataFrame:
+    """``sessionize_with_timers`` with hash-bucketed state — identical
+    session data multiset (closed_by labels may differ, see
+    _BucketedSessionProcessor) but grouped on ``hash(domain) %
+    buckets``, the same amortization move as
+    stateful.running_domain_totals_bucketed: at 100 TB sessionize is
+    the state-heavy operator (every live domain holds an open-session
+    list), and per-group Python-call overhead — not merge work — is
+    the measured bottleneck past ~10^6 live keys.
+
+    ``buckets=None`` derives the count from defaultParallelism and the
+    optional ``est_keys`` via stateful.default_bucket_count (logged —
+    see that docstring's warning: changing the bucket count between
+    restarts of a checkpointed query re-shards state incorrectly; pin
+    ``buckets`` for any query that must survive a resize, or guard the
+    restart with stateful.validate_bucket_count)."""
+    _require_rocksdb(decoded)
+    from flink_wikipedia_spark.streaming.stateful import resolve_bucket_count
+
+    buckets = resolve_bucket_count(
+        decoded, buckets, est_keys, operator="sessionize_with_timers_bucketed"
+    )
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+    return (
+        decoded.select("domain", "ts", "old_length", "new_length")
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .select(
+            F.pmod(F.xxhash64("domain"), F.lit(buckets)).alias("bucket"),
+            "domain",
+            "ts",
+            "old_length",
+            "new_length",
+        )
+        .groupBy("bucket")
+        .transformWithStateInPandas(
+            statefulProcessor=_BucketedSessionProcessor(gap_ms),
             outputStructType=SESSION_SCHEMA,
             outputMode="Update",
             timeMode="EventTime",

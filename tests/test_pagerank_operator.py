@@ -1,0 +1,96 @@
+"""operators.graph.pagerank: local-vs-distributed path equality and
+convergence semantics.
+
+The driver's oracle gate proves the guarded (local) path against
+DuckDB; these tests force the DISTRIBUTED path with
+``small_graph_edges=0`` and pin that both paths produce bit-identical
+ranks AND the same stopping round — the property that makes the
+bounded small-graph guard a pure optimization, never a semantic fork.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_wikipedia_spark.operators.graph import pagerank
+
+UNIT = 1_000_000
+
+
+def _withdeg(spark, pairs):
+    """Mirrored, degreed edge list from (a, b) pairs (a even, b odd)."""
+    df = spark.createDataFrame(pairs, "a long, b long")
+    fwd = df.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    rev = df.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    return fwd.union(rev).withColumn(
+        "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    )
+
+
+PAIRS = [
+    # two components: a hub (0 connected to 1,3,5,7) and a chain-ish
+    # pair sharing node 9; asymmetric degrees so ranks actually move
+    (0, 1), (0, 3), (0, 5), (0, 7),
+    (2, 1), (2, 9),
+    (4, 9),
+]
+
+
+@pytest.mark.parametrize("eps,max_iters", [(None, 3), (10_000, 40)])
+def test_paths_bit_identical(spark, eps, max_iters):
+    wd = _withdeg(spark, PAIRS)
+    kw = dict(
+        unit=UNIT, base=500_000, damp_num=500, damp_den=1000,
+        max_iters=max_iters, eps=eps,
+    )
+    local_df, local_n = pagerank(wd, **kw)  # 14 edges -> guarded path
+    dist_df, dist_n = pagerank(wd, **kw, small_graph_edges=0)
+    assert local_n == dist_n
+    local = dict(local_df.collect())
+    dist = dict(dist_df.collect())
+    assert local == dist
+    assert len(local) == 8  # every node of either parity ranked
+
+
+def test_convergence_stops_before_budget(spark):
+    wd = _withdeg(spark, PAIRS)
+    _, n = pagerank(
+        wd, unit=UNIT, base=500_000, damp_num=500, damp_den=1000,
+        max_iters=40, eps=10_000,
+    )
+    assert 1 < n < 40  # early exit actually fired
+
+
+def test_budget_exhaustion_raises_on_both_paths(spark):
+    wd = _withdeg(spark, PAIRS)
+    kw = dict(
+        unit=UNIT, base=150_000, damp_num=850, damp_den=1000,
+        max_iters=2, eps=0,  # exact fixed point unreachable in 2 rounds
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pagerank(wd, **kw)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pagerank(wd, **kw, small_graph_edges=0)
+
+
+def test_budget_mode_runs_exactly_max_iters(spark):
+    wd = _withdeg(spark, PAIRS)
+    ranks, n = pagerank(
+        wd, unit=UNIT, base=150_000, damp_num=850, damp_den=1000,
+        max_iters=2, eps=None,
+    )
+    assert n == 2
+    vals = dict(ranks.collect())
+    assert len(vals) == 8 and all(v > 0 for v in vals.values())
+
+
+def test_local_path_rejects_one_directional_edges(spark):
+    df = spark.createDataFrame([(0, 1), (2, 1)], "src long, dst long")
+    wd = df.withColumn("d", F.lit(1))
+    with pytest.raises(ValueError, match="both directions"):
+        pagerank(
+            wd, unit=UNIT, base=500_000, damp_num=500, damp_den=1000,
+            max_iters=2,
+        )

@@ -67,63 +67,40 @@ def test_driver_window_covers_every_family():
     in-window representative."""
     names = list(REGISTRY)[:50]
     assert names[0] == "q_windowed_edit_size"  # flagship = entry()
-    # Round-11 rotation (standing stalest-first policy — see
-    # plans/__init__.py): the 6 family anchors, ALL 37 r8-vintage
-    # queries (the stalest evidence after r10), and 6 r9-vintage picks.
+    # Round-12 rotation (standing stalest-first policy, now computed by
+    # tools/rotate_window.py — see plans/__init__.py): the 3 names with
+    # no driver record, the 2 changed names, the 6 family anchors, ALL
+    # 36 remaining r9-vintage queries, and the 2 alphabetically-first
+    # r10 names.
     families = {
+        "new_names": ["q_c4_quality", "q_gopher_quality",
+                      "q_pagerank_converged"],
+        "changed": ["q_pagerank_parts_suppliers", "q_sessionize"],
         "anchors": ["q_filter_events", "q_json_extract", "q_word_count",
                     "q_pii_redact", "q_dedup_docs_exact",
                     "q_multimodal_decode"],
-        "r8_vintage": ["q_antijoin_quiet_customers", "q_array_functions",
-                       "q_bigram_counts", "q_dedup_events",
-                       "q_dedup_pipeline", "q_edit_distance_kernel",
-                       "q_embedding_neardup_kernel", "q_encode_tokens",
-                       "q_grouping_sets_lineitem", "q_keyby_agg_edit_size",
-                       "q_map_functions", "q_minhash_dedup_pairs",
-                       "q_multimodal_frames", "q_orders_by_month",
-                       "q_rank_functions", "q_regex_extract_props",
-                       "q_repetition_signals", "q_repetition_stats",
-                       "q_semijoin_active_customers",
-                       "q_ship_latency_histogram", "q_shuffle_shards",
-                       "q_similarity_topk", "q_source_blocklist",
-                       "q_span_mask_stats", "q_stratified_sample",
-                       "q_string_functions", "q_top_tokens_per_lang",
-                       "q_topk_docs_per_lang", "q_tpch_q11_important_stock",
-                       "q_tpch_q12_late_shipments", "q_tpch_q15_top_supplier",
-                       "q_tpch_q20_excess_stock_suppliers",
-                       "q_tpch_q22_dormant_accounts",
-                       "q_tpch_q2_min_cost_supplier", "q_tpch_q8_market_share",
-                       "q_unpivot_event_daily", "q_vocab_ids"],
-        "r9_picks": ["q_tpch_q3_shipping_priority",
-                     "q_tpch_q5_regional_revenue",
-                     "q_tpch_q6_forecast_revenue", "q_to_json_roundtrip",
-                     "q_sessionize", "q_running_total"],
-        # semantic coverage: every operator family keeps a representative
-        "text": ["q_word_count", "q_bigram_counts", "q_top_tokens_per_lang",
-                 "q_vocab_ids", "q_encode_tokens"],
-        "curation": ["q_pii_redact", "q_source_blocklist",
-                     "q_stratified_sample", "q_shuffle_shards"],
-        "dedup": ["q_dedup_docs_exact", "q_dedup_events",
-                  "q_minhash_dedup_pairs", "q_dedup_pipeline",
-                  "q_span_mask_stats"],
-        "similarity": ["q_similarity_topk", "q_embedding_neardup_kernel"],
-        "multimodal": ["q_multimodal_decode", "q_multimodal_frames"],
-        "streaming_twin": ["q_sessionize", "q_keyby_agg_edit_size"],
-        "relational": ["q_semijoin_active_customers",
-                       "q_antijoin_quiet_customers", "q_orders_by_month",
-                       "q_grouping_sets_lineitem", "q_unpivot_event_daily"],
-        "tpch": ["q_tpch_q2_min_cost_supplier", "q_tpch_q3_shipping_priority",
-                 "q_tpch_q5_regional_revenue", "q_tpch_q6_forecast_revenue",
-                 "q_tpch_q8_market_share", "q_tpch_q11_important_stock",
-                 "q_tpch_q12_late_shipments", "q_tpch_q15_top_supplier",
-                 "q_tpch_q20_excess_stock_suppliers",
-                 "q_tpch_q22_dormant_accounts"],
-        "functions": ["q_array_functions", "q_map_functions",
-                      "q_string_functions", "q_rank_functions",
-                      "q_regex_extract_props", "q_running_total"],
-        "udf_surface": ["q_edit_distance_kernel", "q_multimodal_frames"],
-        "core": ["q_filter_events", "q_json_extract",
-                 "q_keyby_agg_edit_size", "q_to_json_roundtrip"],
+        "r9_vintage": ["q_ann_ivf", "q_ann_ivfpq_refined",
+                       "q_approx_distinct_users",
+                       "q_approx_percentile_value", "q_collect_user_lists",
+                       "q_cube_orders", "q_distinct_users",
+                       "q_embedding_neardup_lsh", "q_fingerprint",
+                       "q_hash_sample", "q_having_active_users",
+                       "q_ivfpq_search", "q_lang_stats",
+                       "q_like_filter_parts", "q_median_value",
+                       "q_minhash_dedup_clusters", "q_minhash_signatures",
+                       "q_ngram_jaccard_pairs", "q_pivot_user_event_values",
+                       "q_posexplode_tokens", "q_pq_codes",
+                       "q_range_join_counts", "q_rollup_event_value",
+                       "q_salted_agg_edit_size", "q_semantic_dedup",
+                       "q_setops_users", "q_top_events_by_value",
+                       "q_tpch_q10_returned_items",
+                       "q_tpch_q13_order_histogram",
+                       "q_tpch_q14_promo_share",
+                       "q_tpch_q4_priority_with_big_lines",
+                       "q_union_all_actions", "q_unpivot_part_metrics",
+                       "q_user_event_gaps", "q_value_moment_stats",
+                       "q_window_share_of_segment"],
+        "r10_fill": ["q_antijoin_inactive_users", "q_asof_join"],
     }
     missing = {
         fam: [q for q in qs if q not in names]
@@ -133,11 +110,45 @@ def test_driver_window_covers_every_family():
     assert not missing, f"driver-window regression: {missing}"
     # the groups that define the rotation must union to the full window
     rotation = {"q_windowed_edit_size"}
-    for fam in ("anchors", "r8_vintage", "r9_picks"):
+    for fam in families:
         rotation.update(families[fam])
     assert rotation == set(names), (
         f"window/rotation mismatch: extra={set(names) - rotation} "
         f"unlisted={rotation - set(names)}"
+    )
+    # semantic coverage: every operator family keeps AT LEAST ONE
+    # in-window representative each round, whatever the rotation picks
+    # (a family regression must never be able to hide behind rotation)
+    semantic = {
+        "text": ["q_word_count", "q_lang_stats", "q_posexplode_tokens",
+                 "q_gopher_quality", "q_c4_quality", "q_fingerprint"],
+        "curation": ["q_pii_redact", "q_hash_sample",
+                     "q_stratified_sample", "q_shuffle_shards"],
+        "dedup": ["q_dedup_docs_exact", "q_minhash_dedup_clusters",
+                  "q_minhash_signatures", "q_ngram_jaccard_pairs"],
+        "similarity": ["q_ann_ivf", "q_ivfpq_search",
+                       "q_embedding_neardup_lsh", "q_semantic_dedup"],
+        "multimodal": ["q_multimodal_decode", "q_multimodal_frames"],
+        "streaming_twin": ["q_sessionize", "q_keyby_agg_edit_size",
+                           "q_windowed_edit_size"],
+        "relational": ["q_cube_orders", "q_rollup_event_value",
+                       "q_setops_users", "q_pivot_user_event_values",
+                       "q_asof_join", "q_antijoin_inactive_users"],
+        "tpch": ["q_tpch_q10_returned_items", "q_tpch_q13_order_histogram",
+                 "q_tpch_q14_promo_share",
+                 "q_tpch_q4_priority_with_big_lines"],
+        "functions": ["q_window_share_of_segment", "q_user_event_gaps",
+                      "q_median_value", "q_value_moment_stats",
+                      "q_rank_functions", "q_running_total"],
+        "iterative_graph": ["q_pagerank_parts_suppliers",
+                            "q_pagerank_converged", "q_dedup_components"],
+        "core": ["q_filter_events", "q_json_extract",
+                 "q_windowed_edit_size"],
+    }
+    unrepresented = [fam for fam, qs in semantic.items()
+                     if not any(q in names for q in qs)]
+    assert not unrepresented, (
+        f"operator families with NO in-window representative: {unrepresented}"
     )
 
 
