@@ -64,6 +64,13 @@ def ensure_session_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "true")
+    # Arrow transfer is a PERFORMANCE conf, not a value-changing one,
+    # but it belongs in the same vanilla-session safety net: the
+    # pagerank small-graph guard moves edge lists driver-side with
+    # toPandas/createDataFrame(pandas), which silently fall back to
+    # row-at-a-time serialization (~10x slower at 10^6 rows) when the
+    # driver's own session never enabled Arrow.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # NOT set here: spark.sql.legacy.parquet.nanosAsLong. The events.ts
     # time unit is sniffed per file by schemas.load_table (the generator
     # has shipped both NANOS and MICROS across rounds); the legacy conf

@@ -299,25 +299,27 @@ PR_SMALL_GRAPH_EDGES = 1_000_000
 
 
 def _local_pagerank(
-    rows,
+    src,
+    dst,
+    deg,
     unit: int,
     base: int,
     damp_num: int,
     damp_den: int,
     max_iters: int,
     eps: int | None,
-) -> tuple[list, int]:
+):
     """Driver-side exact twin of the distributed loop: vectorized
-    integer PageRank over a collected (src, dst, d) edge list. All
+    integer PageRank over collected (src, dst, d) int64 arrays. All
     quantities are positive int64, where numpy's ``//`` equals Spark's
     ``div`` and DuckDB's ``//`` — every iteration is exact and
     order-independent, so results match the distributed path bit for
-    bit. Returns ([(node, rank)], n_iters)."""
+    bit. Returns ((nodes, ranks) int64 arrays, n_iters)."""
     import numpy as np
 
-    src = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
-    dst = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
-    deg = np.fromiter((r[2] for r in rows), dtype=np.int64, count=len(rows))
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    deg = np.asarray(deg, dtype=np.int64)
     nodes, src_idx = np.unique(src, return_inverse=True)
     dst_idx = np.searchsorted(nodes, dst)
     # both-directions contract: every receiver must also be a sender,
@@ -341,7 +343,7 @@ def _local_pagerank(
                 f"pagerank did not converge to max|Δrank| <= {eps} within "
                 f"max_iters={max_iters} rounds; raise the budget or eps"
             )
-    return list(zip(nodes.tolist(), ranks.tolist())), n_iters
+    return (nodes, ranks), n_iters
 
 
 def pagerank(
@@ -368,12 +370,18 @@ def pagerank(
 
     Returns ``(ranks, n_iters)`` where ranks is (node, rank).
 
-    ``eps=None`` (budget mode): run exactly ``max_iters`` iterations —
-    on the distributed path they stay lazy and the caller's single
-    action executes the whole ladder (the q_pagerank_parts_suppliers
-    shape; its measured per-iteration max-delta decays only by the
-    damping factor per round, ~0.85x, so at small budgets there are NO
-    dead iterations to cut and a delta check would be pure overhead).
+    ``eps=None`` (budget mode): run exactly ``max_iters`` LAZY
+    iterations — zero driver actions; the caller's single action
+    executes the whole ladder over a tracked persist (the
+    q_pagerank_parts_suppliers shape; its measured per-iteration
+    max-delta decays only by the damping factor per round, ~0.85x, so
+    at small budgets there are NO dead iterations to cut and a delta
+    check would be pure overhead). The small-graph guard does NOT
+    apply here: deciding it needs an edge count, and the probe's
+    materialization would double the dominant distinct+window work for
+    every large graph (measured +21 MB shuffle / +40% CPU at sf0.1
+    when an r12 draft probed unconditionally) — a lazy plan's cost
+    can't be probed without paying it.
 
     ``eps`` set (convergence mode): iterate until the max per-node
     |Δrank| ≤ eps micro-units, erroring loudly if the budget is hit
@@ -385,57 +393,63 @@ def pagerank(
     checkpoint also truncates lineage so convergence runs of tens of
     rounds keep O(1) plan depth.
 
-    Scale-adaptive (the ``connected_components`` design): the edge
-    list is persisted and counted first; graphs at or under
+    Scale-adaptive IN CONVERGENCE MODE ONLY (the
+    ``connected_components`` design): eps-mode runs driver actions
+    every round regardless, so the probe count just materializes the
+    cache round 1 needs anyway. Graphs at or under
     ``small_graph_edges`` (default PR_SMALL_GRAPH_EDGES, resolved at
     call time so tests can force the distributed path) run the
     bit-identical driver-side numpy loop (``_local_pagerank``),
-    skipping K rounds of scheduler floor; larger graphs fall through
-    to the distributed loop, fully tested via
+    skipping K rounds of scheduler floor — measured 9.5 s → 1.2 s on
+    the 20 K-edge supplier graph at sf1; larger graphs fall through to
+    the distributed loop, fully tested via
     tests/test_pagerank_operator.py (``small_graph_edges=0`` + path
     equality pins).
 
-    Cache lifecycle per path (the probe persist must NOT leak, and the
+    Cache lifecycle per path (the persist must NOT leak, and the
     async cache-release listener must NOT strip a cache mid-loop):
 
-    - local: the collect drains the probe cache; unpersist immediately.
-    - distributed eps: the loop's own actions reuse the probe cache;
-      it stays PRIVATE (untracked — a tracked materialized frame would
-      be reclaimed by the release listener after iteration 1's action)
-      and is unpersisted synchronously when the loop ends.
-    - distributed budget: the ladder is lazy, so the probe cache is
-      dropped and a FRESH persist is registered with track_cache as an
+    - budget: a FRESH persist is registered with track_cache as an
       unmaterialized intent — the caller's action materializes it and
       the release listener reclaims it afterwards, the exact lifecycle
       tests/test_round9_hardening.py pins.
+    - eps local: the Arrow toPandas drains the probe cache; unpersist
+      immediately.
+    - eps distributed: the loop's own actions reuse the probe cache;
+      it stays PRIVATE (untracked — a tracked materialized frame would
+      be reclaimed by the release listener after iteration 1's action)
+      and is unpersisted synchronously when the loop ends.
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     if small_graph_edges is None:
         small_graph_edges = PR_SMALL_GRAPH_EDGES
-    cached = withdeg.persist(StorageLevel.MEMORY_AND_DISK)
-    if cached.count() <= small_graph_edges:
-        spark = cached.sparkSession
-        try:
-            rows = [
-                (r.src, r.dst, r.d)
-                for r in cached.select("src", "dst", "d").collect()
-            ]
-        finally:
-            cached.unpersist()
-        labeled, n_iters = _local_pagerank(
-            rows, unit, base, damp_num, damp_den, max_iters, eps
-        )
-        from pyspark.sql.types import LongType, StructField, StructType
+    if eps is not None:
+        cached = withdeg.persist(StorageLevel.MEMORY_AND_DISK)
+        if cached.count() <= small_graph_edges:
+            import pandas as pd
 
-        schema = StructType(
-            [
-                StructField("node", withdeg.schema["src"].dataType),
-                StructField("rank", LongType()),
-            ]
-        )
-        return spark.createDataFrame(labeled, schema), n_iters
+            spark = cached.sparkSession
+            try:
+                # Arrow-batched transfer both ways (ensure_session_conf
+                # enables it even on a vanilla driver session): at the
+                # 10^6-edge guard ceiling, row-object collect/
+                # createDataFrame cost seconds of pure serialization
+                pdf = cached.select("src", "dst", "d").toPandas()
+            finally:
+                cached.unpersist()
+            (nodes, ranks), n_iters = _local_pagerank(
+                pdf["src"].to_numpy(),
+                pdf["dst"].to_numpy(),
+                pdf["d"].to_numpy(),
+                unit, base, damp_num, damp_den, max_iters, eps,
+            )
+            out = spark.createDataFrame(
+                pd.DataFrame({"node": nodes, "rank": ranks}),
+                schema="node long, rank long",
+            )
+            return out, n_iters
 
     def make_step(edges: DataFrame):
         def step(r: DataFrame) -> DataFrame:
@@ -457,10 +471,9 @@ def pagerank(
         return step
 
     if eps is None:
-        # lazy ladder: swap the materialized probe cache for a fresh
-        # unmaterialized persist the release listener protects until
-        # the caller's action runs (see docstring)
-        cached.unpersist()
+        # lazy ladder over a fresh unmaterialized persist: the release
+        # listener protects the intent until the caller's action runs
+        # (see docstring) — no probe ever materialized anything here
         from flink_wikipedia_spark.plans.registry import track_cache
 
         edges = track_cache(withdeg.persist(StorageLevel.MEMORY_AND_DISK))

@@ -38,12 +38,14 @@ PAIRS = [
 ]
 
 
-@pytest.mark.parametrize("eps,max_iters", [(None, 3), (10_000, 40)])
-def test_paths_bit_identical(spark, eps, max_iters):
+def test_paths_bit_identical_convergence_mode(spark):
+    """eps mode is where the small-graph guard applies (budget mode is
+    always the lazy distributed ladder — probing a lazy plan's size
+    would cost a full materialization)."""
     wd = _withdeg(spark, PAIRS)
     kw = dict(
         unit=UNIT, base=500_000, damp_num=500, damp_den=1000,
-        max_iters=max_iters, eps=eps,
+        max_iters=40, eps=10_000,
     )
     local_df, local_n = pagerank(wd, **kw)  # 14 edges -> guarded path
     dist_df, dist_n = pagerank(wd, **kw, small_graph_edges=0)
@@ -52,6 +54,30 @@ def test_paths_bit_identical(spark, eps, max_iters):
     dist = dict(dist_df.collect())
     assert local == dist
     assert len(local) == 8  # every node of either parity ranked
+
+
+def test_budget_ladder_matches_local_twin(spark):
+    """Budget mode (lazy distributed ladder) must equal the numpy twin
+    run directly — the same bit-identity the guard relies on in eps
+    mode, pinned for the fixed-iteration semantics too."""
+    import numpy as np
+
+    from flink_wikipedia_spark.operators.graph import _local_pagerank
+
+    wd = _withdeg(spark, PAIRS)
+    ladder, n = pagerank(
+        wd, unit=UNIT, base=150_000, damp_num=850, damp_den=1000,
+        max_iters=3, eps=None,
+    )
+    assert n == 3
+    pdf = wd.select("src", "dst", "d").toPandas()
+    (nodes, ranks), _ = _local_pagerank(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf["d"].to_numpy(),
+        UNIT, 150_000, 850, 1000, 3, None,
+    )
+    assert dict(ladder.collect()) == dict(
+        zip(nodes.tolist(), ranks.tolist())
+    )
 
 
 def test_convergence_stops_before_budget(spark):
@@ -92,5 +118,5 @@ def test_local_path_rejects_one_directional_edges(spark):
     with pytest.raises(ValueError, match="both directions"):
         pagerank(
             wd, unit=UNIT, base=500_000, damp_num=500, damp_den=1000,
-            max_iters=2,
+            max_iters=2, eps=10_000,  # eps mode: the guarded local path
         )

@@ -9,19 +9,16 @@ import pytest
 from conftest import SF_SMOKE
 
 
-def test_pagerank_cache_is_tracked_and_released(spark, monkeypatch):
+def test_pagerank_cache_is_tracked_and_released(spark):
     """q_pagerank_parts_suppliers persists its degreed edge list for the
     iteration loop; the persist must be tracked so release_caches() can
     free it after the caller consumes the result — without it every
     pagerank call leaked a fact-sized cached frame into the session.
-    The r12 small-graph guard would route sf0.001 to the driver-side
-    numpy path (which keeps no cache at all); force the DISTRIBUTED
-    lazy ladder — the path whose cache lifecycle this test pins."""
-    from flink_wikipedia_spark.operators import graph as graphmod
+    (Budget-mode pagerank is ALWAYS the lazy distributed ladder — the
+    r12 small-graph guard applies only in convergence mode — so this
+    pins the production path, no forcing needed.)"""
     from flink_wikipedia_spark.plans import REGISTRY
     from flink_wikipedia_spark.plans.registry import _LIVE_CACHES, release_caches
-
-    monkeypatch.setattr(graphmod, "PR_SMALL_GRAPH_EDGES", 0)
 
     release_caches()  # clean slate (other tests may have run queries)
     # other tests' own persists (and CacheManager plan-matching) are

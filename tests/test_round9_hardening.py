@@ -128,16 +128,11 @@ def _clean_slate(spark) -> set:
     return _persistent_ids(spark)
 
 
-def test_pagerank_via_registry_leaves_no_persistent_rdds(spark, monkeypatch):
+def test_pagerank_via_registry_leaves_no_persistent_rdds(spark):
     """VERDICT r8 Done criterion: an embedding app that only knows the
     public registry runs pagerank, consumes the result, and the session
     holds zero persistent RDDs afterwards — release is listener-driven,
     not a caller contract."""
-    from flink_wikipedia_spark.operators import graph as graphmod
-
-    # r12: force the distributed lazy ladder (the small-graph guard
-    # would otherwise run the cache-free driver-side numpy path here)
-    monkeypatch.setattr(graphmod, "PR_SMALL_GRAPH_EDGES", 0)
     baseline = _clean_slate(spark)
     from flink_wikipedia_spark.plans import REGISTRY
     from flink_wikipedia_spark.plans import registry as regmod
@@ -154,16 +149,11 @@ def test_pagerank_via_registry_leaves_no_persistent_rdds(spark, monkeypatch):
     assert regmod._LIVE_CACHES == []
 
 
-def test_unrelated_action_keeps_unmaterialized_cache_intent(spark, monkeypatch):
+def test_unrelated_action_keeps_unmaterialized_cache_intent(spark):
     """Building pagerank tracks a persist INTENT; an action on an
     unrelated DataFrame fires the listener but must not unpersist a
     cache that never materialized (the tracked frame's own action is
     still coming and relies on it)."""
-    from flink_wikipedia_spark.operators import graph as graphmod
-
-    # r12: force the distributed lazy ladder (the small-graph guard
-    # would otherwise run the cache-free driver-side numpy path here)
-    monkeypatch.setattr(graphmod, "PR_SMALL_GRAPH_EDGES", 0)
     baseline = _clean_slate(spark)
     from flink_wikipedia_spark.plans import REGISTRY
     from flink_wikipedia_spark.plans import registry as regmod
@@ -185,15 +175,10 @@ def test_unrelated_action_keeps_unmaterialized_cache_intent(spark, monkeypatch):
     assert _persistent_ids(spark) <= baseline
 
 
-def test_release_caches_stays_synchronous_for_gates(spark, monkeypatch):
+def test_release_caches_stays_synchronous_for_gates(spark):
     """bench/verify call release_caches() directly between queries; the
     synchronous path must still free a materialized cache immediately
     (no listener dependency) and report the count."""
-    from flink_wikipedia_spark.operators import graph as graphmod
-
-    # r12: force the distributed lazy ladder (the small-graph guard
-    # would otherwise run the cache-free driver-side numpy path here)
-    monkeypatch.setattr(graphmod, "PR_SMALL_GRAPH_EDGES", 0)
     baseline = _clean_slate(spark)
     from flink_wikipedia_spark.plans import REGISTRY
     from flink_wikipedia_spark.plans import registry as regmod

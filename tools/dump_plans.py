@@ -46,7 +46,8 @@ SHOWCASE = {
     "q_ann_ivfpq_refined": "trained IVF-PQ + refine: corpus encode is ONE map-only Arrow MapInPandas (numpy ADC codes — measured faster than expression folds, SCALE.md), ADC shortlist window, then a tiny broadcast join back to raw vectors for exact re-rank",
     "q_gapfill_rollup": "gap-fill: spine GENERATED from |types|-row bounds, joined to the rollup (never to raw events)",
     "q_duplicate_spans": "substring dedup: 16-byte (doc_id, hash) rows on the wire, ONE uniform groupBy, HAVING prunes to the dup tail",
-    "q_pagerank_parts_suppliers": "iterative PR: checkpointed edge list, per-iteration join+groupBy — integer fixed-point, so exact under any partition order",
+    "q_pagerank_parts_suppliers": "iterative PR: persisted edge list, per-iteration join+groupBy — integer fixed-point, so exact under any partition order",
+    "q_pagerank_converged": "convergence-mode PR: max|Δrank|<=eps stop via observe-on-checkpoint (one job/round); <=1M-edge graphs run the bit-identical driver numpy loop, so the bench plan is a LocalTableScan",
     "q_stratified_sample": "mixture sample: literal CASE rates + md5 draw — pure map-only scan, zero joins",
 }
 
