@@ -152,6 +152,30 @@ def test_driver_window_covers_every_family():
     )
 
 
+# The names whose builders changed in the CURRENT round — the
+# rotate_window rule-3 input. Updated each rotation, in the same commit
+# as plans/__init__._PRIORITY.
+ROUND_CHANGED = ["q_pagerank_parts_suppliers", "q_sessionize"]
+
+
+def test_priority_window_is_rotation_tool_output():
+    """plans/__init__._PRIORITY must be EXACTLY what
+    tools/rotate_window.py computes from the CORRECTNESS_r*.json
+    history + this round's changed-names list — the rotation is
+    mechanical as of r12, and a hand-edited window (or a stale one
+    after the driver writes a new CORRECTNESS file at round start)
+    fails here, forcing the re-rotation the standing policy requires."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo))
+    from tools.rotate_window import load_history, load_registry, rotate
+
+    expected = rotate(load_registry(), load_history(repo), ROUND_CHANGED)
+    assert expected == list(REGISTRY)[:50]
+
+
 def test_no_oracle_uses_nonportable_decimal_to_double():
     """Every decimal-sum → double conversion in an oracle must go
     through the portable floor/frac split (functions/compat.py

@@ -467,3 +467,69 @@ def test_events_exactly_gap_apart_share_a_session():
     assert out == [] or all(len(df) == 0 for df in out)
     starts, ends, ns, sizes = h.states["sessions"].get()
     assert list(ns) == [2, 2]  # second session merged to 2 events
+
+
+def test_bucketed_sessionize_e2e_matches_per_key(spark, tmp_path):
+    """ENV-GATED e2e (self-healing when google.protobuf appears): the
+    r12 bucketed sessionizer through a real transformWithState stream
+    must emit the same session DATA multiset as the per-key operator
+    (closed_by may differ — shared bucket timers; see
+    _BucketedSessionProcessor)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol is protobuf-based; "
+        "environment-blocked here (no pip installs)",
+    )
+    from flink_wikipedia_spark.streaming.stateful_v2 import (
+        sessionize_with_timers_bucketed,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = time.time() - 600
+    write_file(
+        src,
+        "000.json",
+        [
+            ev(1, domain="a.org", ts="2024-01-01T10:00:00Z", old=0, new=4),
+            ev(2, domain="a.org", ts="2024-01-01T10:00:10Z", old=0, new=6),
+            ev(3, domain="c.org", ts="2024-01-01T10:00:05Z", old=0, new=9),
+            ev(4, domain="a.org", ts="2024-01-01T10:10:00Z", old=0, new=1),
+        ],
+        base,
+    )
+    write_file(
+        src,
+        "001.json",
+        [ev(5, domain="b.org", ts="2024-01-01T11:00:00Z", old=0, new=2)],
+        base + 10,
+    )
+
+    def run(op, ck, **kw):
+        sink = MemorySink()
+        q = (
+            op(
+                decode_edit_events(
+                    file_source(spark, src, max_files_per_trigger=1)
+                ),
+                gap="30 seconds",
+                **kw,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r.domain, str(r.session_start), str(r.session_end),
+             r.n_events, r.total_size)
+            for r in sink.rows
+        )
+
+    with rocksdb_provider(spark):
+        per_key = run(sessionize_with_timers, "ck_pk")
+        bucketed = run(sessionize_with_timers_bucketed, "ck_bk", buckets=2)
+    assert per_key == bucketed
+    assert len(per_key) >= 3  # a-run, a-lone, c-run all closed by timers

@@ -22,6 +22,10 @@ event/document backlogs, the round-9 verdict ask:
   r10 answer to the stateful leg's per-group-call overhead: when the
   custom state machine is per-key-independent and needs no per-key
   timeout, bucketing recovers most of the Python-path gap;
+- **sessionize_bucketed** (r12) — sessionize_with_timers_bucketed
+  through a real transformWithState stream; records a `blocked` stub
+  where google.protobuf is absent (this sandbox) so the artifact
+  self-heals on standard deployments;
 - **ss_join**   — purchases_with_recent_views: stream-stream interval
   join, state bounded by the 1 h horizon on each side.
 
@@ -216,7 +220,7 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true", help="keep rendered inputs")
     ap.add_argument(
         "--legs",
-        default="curation,stateful,stateful_jvm,stateful_bucketed,ss_join",
+        default="curation,stateful,stateful_jvm,stateful_bucketed,sessionize_bucketed,ss_join",
         help="comma list to run",
     )
     ap.add_argument(
@@ -307,15 +311,26 @@ def main() -> None:
 
     if "stateful_bucketed" in legs:
         from flink_wikipedia_spark.streaming.stateful import (
+            default_bucket_count,
             running_domain_totals_bucketed,
+            validate_bucket_count,
         )
 
         def build(sink, ck):
+            # pin the count to the checkpoint (ADVICE r11 guard): a
+            # resumed run with a different --buckets (or a resize that
+            # changes the auto-derived count) fails loudly here instead
+            # of silently re-sharding state
+            buckets = validate_bucket_count(
+                ck,
+                args.buckets
+                or default_bucket_count(spark.sparkContext.defaultParallelism),
+            )
             totals = running_domain_totals_bucketed(
                 decode_edit_events(
                     file_source(spark, ev_dir, max_files_per_trigger=1)
                 ),
-                buckets=args.buckets,
+                buckets=buckets,
             )
             return (
                 totals.writeStream.outputMode("update")
@@ -340,6 +355,49 @@ def main() -> None:
             )
             rec["buckets_auto"] = True
         results["legs"]["stateful_bucketed"] = rec
+
+    if "sessionize_bucketed" in legs:
+        # r12: the hash-bucketed timer sessionizer through a REAL
+        # transformWithState stream. Gated on google.protobuf (the
+        # engine's Python<->JVM state protocol needs it — absent in
+        # the build sandbox, present on standard deployments); when
+        # blocked, the leg records the block instead of dying, so the
+        # artifact self-heals wherever protobuf exists. Harness-level
+        # throughput lives in tools/bench_session_processors.py.
+        try:
+            import google.protobuf  # noqa: F401
+
+            from flink_wikipedia_spark.streaming.stateful_v2 import (
+                sessionize_with_timers_bucketed,
+            )
+
+            def build(sink, ck):
+                sessions = sessionize_with_timers_bucketed(
+                    decode_edit_events(
+                        file_source(spark, ev_dir, max_files_per_trigger=1)
+                    ),
+                    gap="30 minutes",
+                    buckets=args.buckets,
+                )
+                return (
+                    sessions.writeStream.outputMode("update")
+                    .foreachBatch(sink)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+
+            results["legs"]["sessionize_bucketed"] = run_leg(
+                "sessionize_bucketed",
+                build,
+                os.path.join(work, "ck_sess_b"),
+                n_ev,
+            )
+        except ImportError:
+            results["legs"]["sessionize_bucketed"] = {
+                "blocked": "google.protobuf absent — transformWithState "
+                "state protocol unavailable (SCALE.md §r12 probe)"
+            }
 
     if "stateful_jvm" in legs:
         # Built-in twin of running_domain_totals: identical output

@@ -49,6 +49,7 @@ SHOWCASE = {
     "q_pagerank_parts_suppliers": "iterative PR: persisted edge list, per-iteration join+groupBy — integer fixed-point, so exact under any partition order",
     "q_pagerank_converged": "convergence-mode PR: max|Δrank|<=eps stop via observe-on-checkpoint (one job/round); <=1M-edge graphs run the bit-identical driver numpy loop, so the bench plan is a LocalTableScan",
     "q_stratified_sample": "mixture sample: literal CASE rates + md5 draw — pure map-only scan, zero joins",
+    "q_c4_quality": "C4 quality rules: one scan, zero exchanges — every line metric a row-local array fold in codegen",
 }
 
 # Queries whose ADAPTIVE final plan is evidence: executed (noop write)
@@ -61,7 +62,8 @@ KEEP = (
     "Scan", "PushedFilters", "ReadSchema", "HashAggregate", "Exchange",
     "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
     "TakeOrderedAndProject", "Window", "Sort ", "Filter", "Generate",
-    "InMemoryTableScan", "BroadcastNestedLoop", "CartesianProduct", "Project",
+    "InMemoryTableScan", "LocalTableScan", "BroadcastNestedLoop",
+    "CartesianProduct", "Project",
     # Python-boundary nodes: the dump must SHOW every Arrow crossing,
     # not hide it — a reviewer checking "UDFs off the hot path" reads
     # these lines
