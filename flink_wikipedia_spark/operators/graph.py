@@ -327,21 +327,30 @@ def _local_pagerank(
     if len(dst) and not np.array_equal(nodes[np.clip(dst_idx, 0, len(nodes) - 1)], dst):
         raise ValueError("pagerank edge list must contain both directions")
     ranks = np.full(len(nodes), unit, dtype=np.int64)
+    prev = ranks  # rank_{k-2} tracker for the two-round delta (below)
     n_iters = max_iters
     for i in range(1, max_iters + 1):
         sums = np.zeros(len(nodes), dtype=np.int64)
         np.add.at(sums, dst_idx, ranks[src_idx] // deg)
         new = base + (damp_num * sums) // damp_den
         if eps is not None:
-            if int(np.abs(new - ranks).max(initial=0)) <= eps:
+            # TWO-round delta |rank_k - rank_{k-2}| (round 1 compares
+            # against the seed): bipartite graphs sustain an
+            # integer-quantized PERIOD-2 cycle that single-round deltas
+            # never see — at sf100 the supplier graph's single-round
+            # delta plateaus at 19 999 forever (hub degree ~40 K
+            # amplifies ±1 supplier quantization), while the two-round
+            # delta hits exactly 0 at the cycle (SCALE.md §r12).
+            if int(np.abs(new - prev).max(initial=0)) <= eps:
                 ranks, n_iters = new, i
                 break
-        ranks = new
+        prev, ranks = ranks, new
     else:
         if eps is not None:
             raise RuntimeError(
-                f"pagerank did not converge to max|Δrank| <= {eps} within "
-                f"max_iters={max_iters} rounds; raise the budget or eps"
+                f"pagerank did not converge to two-round max|Δrank| <= "
+                f"{eps} within max_iters={max_iters} rounds; raise the "
+                f"budget or eps"
             )
     return (nodes, ranks), n_iters
 
@@ -384,9 +393,15 @@ def pagerank(
     can't be probed without paying it.
 
     ``eps`` set (convergence mode): iterate until the max per-node
-    |Δrank| ≤ eps micro-units, erroring loudly if the budget is hit
+    TWO-round delta |rank_k - rank_{k-2}| ≤ eps micro-units (round 1
+    compares against the seed), erroring loudly if the budget is hit
     first — the components-loop contract (truncated ranks must never
-    pass silently as converged). Each round costs exactly ONE job: the
+    pass silently as converged). Two rounds, not one: bipartite graphs
+    sustain an integer-quantized period-2 rank cycle whose single-round
+    delta NEVER falls below a fixed eps once hub degrees are large
+    enough (first seen at sf100 — SCALE.md §r12); the two-round delta
+    is blind to the oscillating component and reaches exactly 0 at the
+    cycle, so the stop is scale-independent. Each round costs exactly ONE job: the
     delta rides the same ``observe`` metric that materializes the
     round's lazy localCheckpoint, the `_minlabel_components` pattern —
     no second aggregate, no driver-side collect of data rows. The
@@ -491,21 +506,29 @@ def pagerank(
 
     step = make_step(cached)
     try:
-        ranks = (
+        # state carries (node, rank=rank_k, prev=rank_{k-1}) so each
+        # round can compute the TWO-round delta |rank_{k+1} - rank_{k-1}|
+        # — period-2-aware convergence (see _local_pagerank's comment;
+        # single-round deltas plateau forever on bipartite graphs whose
+        # integer quantization sustains a 2-cycle above eps). Seed
+        # prev = rank so round 1 compares against the initial ranks.
+        state = (
             cached.select(F.col("src").alias("node"))
             .distinct()
             .withColumn("rank", F.lit(unit).cast("long"))
+            .withColumn("prev", F.col("rank"))
             .localCheckpoint()
         )
         for i in range(1, max_iters + 1):
-            prev = ranks.select("node", F.col("rank").alias("_prev"))
             nxt = (
-                step(ranks)
-                .join(prev, "node")
+                step(state.select("node", "rank"))
+                .withColumnRenamed("rank", "_new")
+                .join(state, "node")
                 .select(
                     "node",
-                    "rank",
-                    F.abs(F.col("rank") - F.col("_prev")).alias("_delta"),
+                    F.col("_new").alias("rank"),
+                    F.col("rank").alias("prev"),
+                    F.abs(F.col("_new") - F.col("prev")).alias("_delta"),
                 )
                 .localCheckpoint(eager=False)
             )
@@ -517,14 +540,14 @@ def pagerank(
                 F.coalesce(F.max("_delta"), F.lit(0)).alias("delta"),
             )
             observed.count()
-            ranks = nxt.select("node", "rank")
+            state = nxt.select("node", "rank", "prev")
             if obs.get["delta"] <= eps:
-                return ranks, i
+                return state.select("node", "rank"), i
     finally:
         cached.unpersist()
     raise RuntimeError(
-        f"pagerank did not converge to max|Δrank| <= {eps} within "
-        f"max_iters={max_iters} rounds; raise the budget or eps"
+        f"pagerank did not converge to two-round max|Δrank| <= {eps} "
+        f"within max_iters={max_iters} rounds; raise the budget or eps"
     )
 
 

@@ -645,16 +645,23 @@ PRC_DAMP_NUM, PRC_DAMP_DEN = 500, 1000
         SELECT s_nationkey AS nk, COUNT(*) AS d
         FROM supplier GROUP BY s_nationkey
     ),
+    -- working rows carry (rank_k, prev=rank_(k-1), delta=|rank_k -
+    -- rank_(k-2)|): the TWO-round delta is the stop signal (period-2-
+    -- aware — see the builder docstring); seed prev=rank so round 1
+    -- compares against the initial ranks, seed delta is a sentinel
+    -- large enough to always admit round 1.
     pr AS (
         SELECT 0 AS it, nk * 2 AS node, CAST({PR_UNIT} AS BIGINT) AS rank,
+               CAST({PR_UNIT} AS BIGINT) AS prev,
                CAST({PR_UNIT} AS BIGINT) AS delta
         FROM deg
         UNION ALL
         SELECT 0, s_suppkey * 2 + 1, CAST({PR_UNIT} AS BIGINT),
-               CAST({PR_UNIT} AS BIGINT)
+               CAST({PR_UNIT} AS BIGINT), CAST({PR_UNIT} AS BIGINT)
         FROM supplier
       UNION ALL
-        SELECT nxt.it, nxt.node, nxt.rank, ABS(nxt.rank - p.rank) AS delta
+        SELECT nxt.it, nxt.node, nxt.rank, p.rank AS prev,
+               ABS(nxt.rank - p.prev) AS delta
         FROM (
             SELECT p.it + 1 AS it, s.s_suppkey * 2 + 1 AS node,
                    CAST({PRC_BASE} + ({PRC_DAMP_NUM} * (p.rank // d.d))
@@ -682,10 +689,17 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Convergence-mode PageRank with a FULL value oracle including the
     stopping round: iterate the supplier↔nation trade graph (nodes
     namespaced 2k nations / 2k+1 suppliers, supplier out-degree 1) until
-    the max per-node |Δrank| ≤ PRC_EPS micro-units, erroring loudly at
-    the PRC_MAX_ITERS budget. The emitted n_iters column makes the
-    early exit itself hash-verified: the engine's dynamic stop must land
-    on exactly the round the oracle's recursive CTE stops at.
+    the max per-node TWO-round delta |rank_k - rank_{k-2}| ≤ PRC_EPS
+    micro-units, erroring loudly at the PRC_MAX_ITERS budget. Two
+    rounds, not one (the r12 sf100 find): bipartite graphs sustain an
+    integer-quantized period-2 rank cycle — at sf100 the hub degree
+    (~40 K suppliers per nation) amplifies ±1 supplier quantization into
+    a permanent 19 999-micro-unit single-round oscillation, above any
+    fixed eps — while the two-round delta is blind to the oscillating
+    component and reaches exactly 0 at the cycle, making the stop
+    scale-independent. The emitted n_iters column makes the early exit
+    itself hash-verified: the engine's dynamic stop must land on
+    exactly the round the oracle's recursive CTE stops at.
 
     The oracle iterates to the SAME fixed point: a WITH RECURSIVE whose
     working table carries each round's per-node delta; the recursive
