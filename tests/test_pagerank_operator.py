@@ -120,3 +120,37 @@ def test_local_path_rejects_one_directional_edges(spark):
             wd, unit=UNIT, base=500_000, damp_num=500, damp_den=1000,
             max_iters=2, eps=10_000,  # eps mode: the guarded local path
         )
+
+
+def test_two_round_delta_converges_through_period2_cycle():
+    """Regression pin for the r12 sf100 find: a bipartite hub graph at
+    production hub degree sustains an integer-quantized PERIOD-2 rank
+    cycle whose SINGLE-round delta plateaus (~hub_degree/2 micro-units)
+    above any fixed eps forever; the operator's TWO-round delta is
+    blind to the oscillation and must converge. This is the exact sf100
+    supplier-graph shape (25 hubs x 40K spokes), driven through the
+    numpy twin — no Spark session, ~1.5 s."""
+    import numpy as np
+
+    from flink_wikipedia_spark.operators.graph import _local_pagerank
+
+    H, D = 25, 40_000
+    hubs = np.repeat(np.arange(H) * 2, D)
+    spokes = np.arange(H * D) * 2 + 1
+    src = np.concatenate([hubs, spokes])
+    dst = np.concatenate([spokes, hubs])
+    deg = np.concatenate([np.full(H * D, D), np.ones(H * D)])
+    (nodes, ranks), n = _local_pagerank(
+        src, dst, deg, 1_000_000, 500_000, 500, 1000, 40, 10_000
+    )
+    # converges inside the budget, at the round the sf100 gate measured
+    assert n == 22
+    assert len(nodes) == H * D + H
+    # and the 2-cycle is real: the single-round delta at the stop is
+    # still far above eps (the plateau the old stop never escaped)
+    sums = np.zeros(len(nodes), dtype=np.int64)
+    src_idx = np.searchsorted(nodes, src)
+    dst_idx = np.searchsorted(nodes, dst)
+    np.add.at(sums, dst_idx, ranks[src_idx] // deg.astype(np.int64))
+    nxt = 500_000 + (500 * sums) // 1000
+    assert int(np.abs(nxt - ranks).max()) > 10_000
