@@ -227,3 +227,112 @@ def sql_repetition_ok_duckdb() -> str:
         f"(({SQL_DUP_TOKEN_FRAC}) <= {REP_DUP_TOKEN_MAX}"
         f" AND ({SQL_TOP_BIGRAM_FRAC}) <= {REP_TOP_2GRAM_MAX})"
     )
+
+
+# --- Hashed linear quality classifier (fastText/CCNet-style shape) ---
+#
+# The model-based sibling of the heuristic rule sets (Gopher/C4): a
+# linear text classifier over hashed bag-of-words features. Weights are
+# INTEGER micro-units so per-document scores are exact integer sums —
+# order-independent and bit-identical across engines (the same move as
+# fixed-point PageRank). The weight of feature bucket b is derived from
+# b itself by a Knuth-LCG mix, which stands in for a learned table with
+# full value-oracle checkability; a real deployment swaps in learned
+# weights via `classifier_score_with_table` (broadcast join — the
+# distributed shape for weight tables too big to inline), which
+# tests/test_quality_rules.py pins equal to the derived-weight fold.
+CLF_N_BUCKETS = 1 << 20          # feature-hash space (fastText default)
+CLF_MIX = 2654435761             # Knuth multiplicative-hash constant
+CLF_WEIGHT_MOD = 1_000_003
+CLF_WEIGHT_CENTER = 501_001      # weights span [-501001, 499001] ≈ ±0.5
+
+
+def clf_bucket_expr(tok: Column) -> Column:
+    """Feature-hash bucket of a token (engine-portable md5 base)."""
+    return stable_token_hash(tok) % CLF_N_BUCKETS
+
+
+def clf_weight_expr(bucket: Column) -> Column:
+    """Integer micro-unit weight of a feature bucket. b < 2^20 and the
+    mix constant < 2^32, so the product stays < 2^52 — exact int64 on
+    both engines."""
+    return (bucket * CLF_MIX) % CLF_WEIGHT_MOD - CLF_WEIGHT_CENTER
+
+
+def classifier_score_cols(text_col: str = "text") -> list[Column]:
+    """Row-local scorer: (n_tokens, score_sum, score_mean, keep).
+    One scan, zero exchanges — token split → bucket → weight → integer
+    fold, all whole-stage codegen; score_mean is ONE IEEE division of
+    exact integers, so the full row is oracle-exact."""
+    toks = F.filter(
+        F.split(F.lower(text_col), " "), lambda w: w != F.lit("")
+    )
+    weights = F.transform(toks, lambda t: clf_weight_expr(clf_bucket_expr(t)))
+    n = F.size(toks)
+    ssum = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return [
+        n.cast("long").alias("n_tokens"),
+        ssum.alias("score_sum"),
+        F.when(n == 0, F.lit(None)).otherwise(
+            ssum.cast("double") / n
+        ).alias("score_mean"),
+        (ssum > 0).cast("int").alias("keep"),
+    ]
+
+
+def classifier_score_with_table(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The LEARNED-table variant: explode tokens → hash to buckets →
+    broadcast-join the (bucket, weight) table → integer sum per doc.
+    Same output schema/values as classifier_score_cols when ``weights``
+    contains clf_weight_expr(b) for every bucket (pinned in tests).
+
+    Scale: the weight table is model-sized (2^20 rows ≈ 12 MB as two
+    int64 columns — fastText-scale), independent of the corpus, so it
+    BROADCASTS; the only shuffle is the groupBy(doc_id) whose rows are
+    (id, weight) longs. Missing buckets score 0 (coalesce), matching a
+    sparse learned table. Docs with zero tokens survive via the
+    left join back to the doc spine (n_tokens=0, null mean)."""
+    toks = docs.select(
+        id_col,
+        F.explode_outer(
+            F.filter(
+                F.split(F.lower(text_col), " "), lambda w: w != F.lit("")
+            )
+        ).alias("_tok"),
+    )
+    scored = (
+        toks.withColumn("_bucket", clf_bucket_expr(F.col("_tok")))
+        .join(F.broadcast(weights), F.col("_bucket") == weights.bucket, "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_tok").cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("_tok").isNotNull(),
+                             F.coalesce("weight", F.lit(0)))),
+                F.lit(0),
+            ).cast("long").alias("score_sum"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "score_sum",
+        F.when(F.col("n_tokens") == 0, F.lit(None)).otherwise(
+            F.col("score_sum").cast("double") / F.col("n_tokens")
+        ).alias("score_mean"),
+        (F.col("score_sum") > 0).cast("int").alias("keep"),
+    )
+
+
+# DuckDB twins (token t staged as toks)
+SQL_CLF_WEIGHT = (
+    f"((CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % {CLF_N_BUCKETS})"
+    f" * {CLF_MIX}) % {CLF_WEIGHT_MOD} - {CLF_WEIGHT_CENTER}"
+)

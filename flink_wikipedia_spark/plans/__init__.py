@@ -35,26 +35,28 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 # ROUND-12 WINDOW — computed by ``tools/rotate_window.py --changed
 # q_pagerank_parts_suppliers q_sessionize`` (the rotation is mechanical
 # as of r12; this list is the tool's verbatim output). Composition:
-# rule 2 puts the three names with NO driver record first
-# (q_c4_quality and q_pagerank_converged — new this round — and
-# q_gopher_quality, pre-declared for r12 by the r11 note); rule 3 adds
-# the changed names (PageRank gained the small-graph guard +
-# convergence operator; sessionize's STREAMING twin was bucketed this
-# round — its batch twin is the oracle anchor); rule 4 holds the 6
-# family anchors; rule 5 fills with ALL 35 remaining r9-vintage names
-# (the stalest evidence — q_pagerank_parts_suppliers and 36 others
-# were r9; pagerank already in via rule 3) and the 2
-# alphabetically-first r10 names. Expected r12 outcome: 47/50
-# hash-green + 3 rows-only-by-design names that rotation forced
-# in-window this time (q_ann_ivfpq_refined, q_approx_distinct_users,
-# q_approx_percentile_value — each property-pinned with an oracled
-# exact twin). After r12 no name's newest record is older than r10.
+# rule 2 puts the four names with NO driver record first
+# (q_c4_quality, q_pagerank_converged and q_quality_classifier — new
+# this round — and q_gopher_quality, pre-declared for r12 by the r11
+# note); rule 3 adds the changed names (PageRank gained the
+# small-graph guard + convergence operator; sessionize's STREAMING
+# twin was bucketed this round — its batch twin is the oracle anchor);
+# rule 4 holds the 6 family anchors; rule 5 fills with ALL 36
+# remaining r9-vintage names (the stalest evidence —
+# q_pagerank_parts_suppliers and 36 others were r9; pagerank already
+# in via rule 3) and the alphabetically-first r10 name. Expected r12
+# outcome: 47/50 hash-green + 3 rows-only-by-design names that
+# rotation forced in-window this time (q_ann_ivfpq_refined,
+# q_approx_distinct_users, q_approx_percentile_value — each
+# property-pinned with an oracled exact twin). After r12 no name's
+# newest record is older than r10.
 _PRIORITY = [
     "q_windowed_edit_size",  # FLAGSHIP (O7+O8+O9) — must be slot 1
     # rule 2: no driver record yet
     "q_c4_quality",          # NEW r12 — C4 line-rule sibling of gopher
     "q_gopher_quality",      # NEW r11 — pre-declared for this window
     "q_pagerank_converged",  # NEW r12 — convergence-mode PR + n_iters
+    "q_quality_classifier",  # NEW r12 — hashed linear quality scorer
     # rule 3: builders changed this round
     "q_pagerank_parts_suppliers",  # r9 + convergence early-exit
     "q_sessionize",          # r11; streaming twin bucketed this round
@@ -102,9 +104,8 @@ _PRIORITY = [
     "q_user_event_gaps",
     "q_value_moment_stats",
     "q_window_share_of_segment",
-    # rule 5 continued: r10 vintage fills the last 2 slots
+    # rule 5 continued: r10 vintage fills the last slot
     "q_antijoin_inactive_users",
-    "q_asof_join",
     # --- driver cutoff is 50; everything below is registry tail ---
 ]
 

@@ -13,8 +13,10 @@ from flink_wikipedia_spark.operators.text import (
     BIGRAMS_EXPR,
     BPE_ISH_PATTERN,
     SQL_BIGRAMS,
+    SQL_CLF_WEIGHT,
     SQL_DUP_TOKEN_FRAC,
     SQL_TOP_BIGRAM_FRAC,
+    classifier_score_cols,
     dup_token_frac_expr,
     fingerprint_cols,
     lang_id_expr,
@@ -947,6 +949,50 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_stopwords_present") >= 2)
         ).cast("int").alias("keep"),
     )
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '')
+                   AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(coalesce(list_sum(list_transform(toks,
+                   t -> {SQL_CLF_WEIGHT})), 0) AS BIGINT) AS score_sum
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           score_sum,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE CAST(score_sum AS DOUBLE) / n_tokens END AS score_mean,
+           CAST(score_sum > 0 AS INT) AS keep
+    FROM m
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a hashed bag-of-words LINEAR
+    classifier (the fastText/CCNet-style scorer real pipelines run
+    after the heuristic gates) — tokens feature-hash into 2^20 buckets,
+    each bucket carries an integer micro-unit weight, the document
+    score is the exact integer weight sum, keep = score > 0. Weights
+    here are derived from the bucket id by a Knuth-LCG mix (a
+    deterministic stand-in that keeps the FULL value oracle — exact
+    int64 ops plus one IEEE division); a learned table drops in via
+    operators/text.classifier_score_with_table (broadcast join), which
+    tests pin value-equal to this fold.
+
+    Scale: one scan, zero exchanges — split → hash → weight → integer
+    fold, all whole-stage codegen. The learned-table variant broadcasts
+    the model (2^20 buckets ≈ 12 MB — model-sized, corpus-independent)
+    and shuffles only (doc_id, weight) longs for its groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *classifier_score_cols("text"))
 
 
 @query(

@@ -68,13 +68,13 @@ def test_driver_window_covers_every_family():
     names = list(REGISTRY)[:50]
     assert names[0] == "q_windowed_edit_size"  # flagship = entry()
     # Round-12 rotation (standing stalest-first policy, now computed by
-    # tools/rotate_window.py — see plans/__init__.py): the 3 names with
+    # tools/rotate_window.py — see plans/__init__.py): the 4 names with
     # no driver record, the 2 changed names, the 6 family anchors, ALL
-    # 36 remaining r9-vintage queries, and the 2 alphabetically-first
-    # r10 names.
+    # 36 remaining r9-vintage queries, and the alphabetically-first
+    # r10 name.
     families = {
         "new_names": ["q_c4_quality", "q_gopher_quality",
-                      "q_pagerank_converged"],
+                      "q_pagerank_converged", "q_quality_classifier"],
         "changed": ["q_pagerank_parts_suppliers", "q_sessionize"],
         "anchors": ["q_filter_events", "q_json_extract", "q_word_count",
                     "q_pii_redact", "q_dedup_docs_exact",
@@ -100,7 +100,7 @@ def test_driver_window_covers_every_family():
                        "q_union_all_actions", "q_unpivot_part_metrics",
                        "q_user_event_gaps", "q_value_moment_stats",
                        "q_window_share_of_segment"],
-        "r10_fill": ["q_antijoin_inactive_users", "q_asof_join"],
+        "r10_fill": ["q_antijoin_inactive_users"],
     }
     missing = {
         fam: [q for q in qs if q not in names]
@@ -133,7 +133,7 @@ def test_driver_window_covers_every_family():
                            "q_windowed_edit_size"],
         "relational": ["q_cube_orders", "q_rollup_event_value",
                        "q_setops_users", "q_pivot_user_event_values",
-                       "q_asof_join", "q_antijoin_inactive_users"],
+                       "q_antijoin_inactive_users"],
         "tpch": ["q_tpch_q10_returned_items", "q_tpch_q13_order_histogram",
                  "q_tpch_q14_promo_share",
                  "q_tpch_q4_priority_with_big_lines"],

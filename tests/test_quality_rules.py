@@ -119,3 +119,42 @@ def test_c4_matches_duckdb_on_structured_docs(result, sf_dir):
     pd.testing.assert_frame_equal(
         spark_df.astype("float64"), oracle.astype("float64")
     )
+
+
+def test_classifier_table_variant_matches_fold(spark, sf_dir):
+    """operators/text.classifier_score_with_table (broadcast learned-
+    weight table — the real-deployment shape) must produce exactly the
+    derived-weight fold's values when the table holds
+    clf_weight_expr(b) for every bucket the corpus touches (missing
+    buckets score 0, which the fold's total coverage makes moot)."""
+    import pyspark.sql.functions as F
+
+    from flink_wikipedia_spark.operators.text import (
+        classifier_score_cols,
+        classifier_score_with_table,
+        clf_bucket_expr,
+        clf_weight_expr,
+    )
+    from flink_wikipedia_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fold = docs.select("doc_id", *classifier_score_cols("text"))
+    weights = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "),
+                         lambda w: w != F.lit(""))
+            ).alias("tok")
+        )
+        .select(clf_bucket_expr(F.col("tok")).alias("bucket"))
+        .distinct()
+        .select("bucket", clf_weight_expr(F.col("bucket")).alias("weight"))
+    )
+    table = classifier_score_with_table(docs, weights)
+    a = {r.doc_id: (r.n_tokens, r.score_sum, r.score_mean, r.keep)
+         for r in fold.collect()}
+    b = {r.doc_id: (r.n_tokens, r.score_sum, r.score_mean, r.keep)
+         for r in table.collect()}
+    assert a == b
+    # the zero-token doc survives both paths with a null mean
+    assert a[6] == (0, 0, None, 0)
