@@ -3,7 +3,8 @@
 The north-star workload this engine exists for — raw documents in,
 clean training corpus out, every stage a distributed DataFrame op:
 
-    source blocklist → quality score → PII scrub → repetition gate →
+    source blocklist → quality score → classifier score → PII scrub →
+    repetition gate →
     near-dup clusters → canonical pick → keep-list join →
     duplicated-span damage gate → contamination screen → stratified
     mixture sample → chunk + pack into training bins → deterministic
@@ -58,6 +59,17 @@ def main() -> None:
     # 1. quality gate: cheap per-row signals, filter before anything heavy
     scored = docs.select("*", *quality_score_cols("text"))
     kept = scored.filter(F.col("keep") == 1)
+
+    # 1a. model-based quality filter: hashed bag-of-words linear scorer
+    #     (q_quality_classifier — the fastText/CCNet-style pass after
+    #     the heuristics; swap in learned weights via
+    #     operators/text.classifier_score_with_table)
+    from flink_wikipedia_spark.operators.text import classifier_score_cols
+
+    clf = kept.drop("keep").select("*", *classifier_score_cols("text"))
+    kept = clf.filter(F.col("keep") == 1).drop(
+        "n_tokens", "score_sum", "score_mean"
+    )
 
     # 1b. PII scrub: map-only codegen regexp replace (q_pii_redact) —
     #     downstream stages see only redacted text
@@ -236,7 +248,7 @@ def main() -> None:
 
     print(f"documents in:          {n_in}")
     print(f"after blocklist:       {docs.count()}")
-    print(f"after quality gate:    {kept.count()}")
+    print(f"after quality gates:   {kept.count()} (heuristic + classifier)")
     print(f"after near-dup pass:   {n_out}")
     print(f"after span-damage gate:{corpus.count()}")
     print(f"after contamination:   {clean.count()}")
