@@ -50,6 +50,7 @@ SHOWCASE = {
     "q_pagerank_converged": "convergence-mode PR: max|Δrank|<=eps stop via observe-on-checkpoint (one job/round); <=1M-edge graphs run the bit-identical driver numpy loop, so the bench plan is a LocalTableScan",
     "q_stratified_sample": "mixture sample: literal CASE rates + md5 draw — pure map-only scan, zero joins",
     "q_c4_quality": "C4 quality rules: one scan, zero exchanges — every line metric a row-local array fold in codegen",
+    "q_quality_classifier": "hashed linear classifier: token -> md5 bucket -> integer weight fold, one scan, zero exchanges (learned-table variant broadcasts the model)",
 }
 
 # Queries whose ADAPTIVE final plan is evidence: executed (noop write)
