@@ -87,3 +87,75 @@ def test_fixture_events_sessionize_like_the_batch_twin():
         checked_sessions += len(ref)
     # the fixture must actually exercise multi-session users
     assert checked_sessions > len(df["user_id"].unique())
+
+
+def test_fixture_events_bucketed_matches_reference():
+    """The r12 BUCKETED sessionizer over the same real fixture: ALL
+    users hash into 8 buckets (hundreds of domains per bucket — the
+    amortization regime the 4-domain property tests can't reach), fed
+    in event-time-ordered daily batches; the (user, start, end, n)
+    session multiset must equal the per-user reference exactly."""
+    from flink_wikipedia_spark.streaming.stateful_v2 import (
+        _BucketedSessionProcessor,
+    )
+
+    df = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts"]
+    ).to_pandas()
+    df["ts_ms"] = df["ts"].astype("datetime64[ms]").astype("int64")
+    df["domain"] = df["user_id"].map(lambda u: f"u{u}")
+    ref = sorted(
+        (dom, s, e, n)
+        for dom, g in df.sort_values("ts_ms").groupby("domain")
+        for s, e, n in _reference(g["ts_ms"].tolist())
+    )
+
+    BUCKETS = 8
+    df["bucket"] = df["user_id"] % BUCKETS
+    procs = {
+        b: (_BucketedSessionProcessor(GAP_MS), FakeHandle())
+        for b in range(BUCKETS)
+    }
+    for b, (p, h) in procs.items():
+        p.init(h)
+    emitted = []
+    df = df.assign(day=df["ts"].dt.floor("D"))
+    wm = 0
+    for _, day_rows in df.sort_values("ts_ms").groupby("day"):
+        for b, g in day_rows.groupby("bucket"):
+            p, h = procs[b]
+            pdf = pd.DataFrame(
+                {
+                    "domain": g["domain"].tolist(),
+                    "ts": g["ts"].astype("datetime64[ms]"),
+                    "old_length": 0.0,
+                    "new_length": 1.0,
+                }
+            )
+            for out in p.handleInputRows((b,), iter([pdf]), FakeTimerValues(wm)):
+                emitted.append(out)
+        wm = max(wm, day_rows["ts_ms"].max() - 1000)
+        for b, (p, h) in procs.items():
+            for t in sorted(x for x in h.timers if x <= wm):
+                h.timers.discard(t)
+                for out in p.handleExpiredTimer((b,), None, FakeExpired(t)):
+                    emitted.append(out)
+    for b, (p, h) in procs.items():
+        while h.timers:
+            t = max(h.timers)
+            h.timers.clear()
+            for out in p.handleExpiredTimer((b,), None, FakeExpired(t)):
+                emitted.append(out)
+        assert h.states["bucket_sessions"].get() is None
+
+    got = sorted(
+        (
+            r["domain"],
+            int(r["session_start"].value // 10**6),
+            int(r["session_end"].value // 10**6),
+            int(r["n_events"]),
+        )
+        for out in emitted
+        for _, r in out.iterrows()
+    )
+    assert got == ref
