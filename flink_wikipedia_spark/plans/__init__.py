@@ -50,6 +50,15 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 # q_approx_distinct_users, q_approx_percentile_value — each
 # property-pinned with an oracled exact twin). After r12 no name's
 # newest record is older than r10.
+#
+# NOTE for the r13 rotation (pre-declared, as r11 did for r12): once
+# CORRECTNESS_r12.json lands, every registry name has a driver record
+# and the stalest vintage is the 43 r10 names — run
+# ``python tools/rotate_window.py --changed <r13-changed-names>``,
+# paste its output here verbatim, and update ROUND_CHANGED + the
+# families pin in tests/test_plan_audit.py in the same commit
+# (test_priority_window_is_rotation_tool_output fails on a stale
+# window by design, forcing the rotation at round start).
 _PRIORITY = [
     "q_windowed_edit_size",  # FLAGSHIP (O7+O8+O9) — must be slot 1
     # rule 2: no driver record yet
