@@ -159,7 +159,20 @@ def compact_payload(
         "full_artifact": full_artifact,
         "truncated": True,
     }
-    return json.dumps(minimal, separators=(",", ":"))
+    line = json.dumps(minimal, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    # ADVICE r12: the documented len()<=budget contract must hold even
+    # for a pathological metric/full_artifact string — shed the two
+    # free-form fields (the driver still gets a parseable JSON line)
+    minimal["metric"] = str(minimal["metric"])[: budget // 10]
+    minimal["full_artifact"] = str(minimal["full_artifact"])[: budget // 10]
+    line = json.dumps(minimal, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    # last resort (absurdly small budget): a parseable stub, never a
+    # sliced-mid-string invalid JSON line
+    return json.dumps({"truncated": True}, separators=(",", ":"))
 
 
 def skew_bench(spark, sf_dir: str, runs: int = 3) -> dict:

@@ -442,7 +442,14 @@ def pagerank(
         small_graph_edges = PR_SMALL_GRAPH_EDGES
     if eps is not None:
         cached = withdeg.persist(StorageLevel.MEMORY_AND_DISK)
-        if cached.count() <= small_graph_edges:
+        try:
+            n_probe_edges = cached.count()
+        except Exception:
+            # ADVICE r12: a failed probe count must not leak the (possibly
+            # partially materialized) probe cache into the session
+            cached.unpersist()
+            raise
+        if n_probe_edges <= small_graph_edges:
             import pandas as pd
 
             spark = cached.sparkSession

@@ -263,9 +263,14 @@ def classifier_score_cols(text_col: str = "text") -> list[Column]:
     """Row-local scorer: (n_tokens, score_sum, score_mean, keep).
     One scan, zero exchanges — token split → bucket → weight → integer
     fold, all whole-stage codegen; score_mean is ONE IEEE division of
-    exact integers, so the full row is oracle-exact."""
+    exact integers, so the full row is oracle-exact.
+
+    Null text scores like empty text (coalesce to '' — ADVICE r12: the
+    oracle's list_sum coalesce already treated null as score 0/keep 0;
+    both sides now agree by construction)."""
     toks = F.filter(
-        F.split(F.lower(text_col), " "), lambda w: w != F.lit("")
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda w: w != F.lit(""),
     )
     weights = F.transform(toks, lambda t: clf_weight_expr(clf_bucket_expr(t)))
     n = F.size(toks)
@@ -297,13 +302,15 @@ def classifier_score_with_table(
     int64 columns — fastText-scale), independent of the corpus, so it
     BROADCASTS; the only shuffle is the groupBy(doc_id) whose rows are
     (id, weight) longs. Missing buckets score 0 (coalesce), matching a
-    sparse learned table. Docs with zero tokens survive via the
-    left join back to the doc spine (n_tokens=0, null mean)."""
+    sparse learned table. Docs with zero tokens survive because
+    explode_outer emits one null-token row per empty doc, which feeds
+    the groupBy as count=0 / sum=0 (n_tokens=0, null mean)."""
     toks = docs.select(
         id_col,
         F.explode_outer(
             F.filter(
-                F.split(F.lower(text_col), " "), lambda w: w != F.lit("")
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+                lambda w: w != F.lit(""),
             )
         ).alias("_tok"),
     )

@@ -955,8 +955,11 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_quality_classifier",
     oracle=f"""
     WITH t AS (
+        -- coalesce(text,''): null text scores like empty text on BOTH
+        -- sides (ADVICE r12 — engine/oracle null parity by construction)
         SELECT doc_id,
-               list_filter(string_split(lower(text), ' '), w -> w <> '')
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           w -> w <> '')
                    AS toks
         FROM documents
     ), m AS (

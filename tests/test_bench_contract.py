@@ -94,3 +94,15 @@ def test_compact_respects_tiny_budget_without_crashing():
     line = bench.compact_payload(full, budget=700)
     assert len(line) <= 700
     assert json.loads(line)["n_queries"] == len(full["queries"])
+
+
+def test_compact_budget_holds_for_pathological_strings():
+    # ADVICE r12: the len()<=budget contract must survive byte-fat
+    # metric/full_artifact strings — the minimal fallback clips them
+    full = _full_payload(_registry_walls())
+    full["metric"] = "m" * 5000
+    full["full_artifact"] = "f" * 5000
+    for budget in (2000, 700, 300):
+        line = bench.compact_payload(full, budget=budget)
+        assert len(line) <= budget
+        json.loads(line)  # still one parseable JSON object

@@ -158,3 +158,38 @@ def test_classifier_table_variant_matches_fold(spark, sf_dir):
     assert a == b
     # the zero-token doc survives both paths with a null mean
     assert a[6] == (0, 0, None, 0)
+
+
+def test_classifier_null_text_matches_oracle(spark, tmp_path):
+    """ADVICE r12: null text must score identically on both engines.
+    Both sides now coalesce(text,'') so a null doc behaves exactly like
+    an empty doc: n_tokens=0, score_sum=0, null mean, keep=0."""
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [None, "", "alpha beta gamma"],
+            "lang": ["en"] * 3,
+            "source": ["unit"] * 3,
+            "n_chars": [0, 0, 16],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    qd = REGISTRY["q_quality_classifier"]
+    sdf = (
+        qd.fn(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = con.execute(qd.oracle).fetchdf().set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(
+        sdf[oracle.columns].astype("float64"), oracle.astype("float64")
+    )
+    assert sdf.loc[0, "n_tokens"] == 0 and sdf.loc[0, "keep"] == 0

@@ -64,8 +64,17 @@ def load_history(repo: str) -> dict[str, int]:
         rnd = int(m.group(1))
         with open(path) as fh:
             rows = json.load(fh)
-        for name in rows:
-            newest[name] = max(newest.get(name, 0), rnd)
+        for name, rec in rows.items():
+            # ADVICE r12: only a PASSING record is fresh evidence — a
+            # failed run must not deprioritize the name next round.
+            # Passing = hash-green, or the designed rows-only outcome
+            # (err == 'no_oracle' with a recorded row count).
+            ok = rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+            )
+            if ok:
+                newest[name] = max(newest.get(name, 0), rnd)
     return newest
 
 
