@@ -343,3 +343,117 @@ SQL_CLF_WEIGHT = (
     f"((CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % {CLF_N_BUCKETS})"
     f" * {CLF_MIX}) % {CLF_WEIGHT_MOD} - {CLF_WEIGHT_CENTER}"
 )
+
+
+# --- Hashed n-gram LM perplexity filter (CCNet/KenLM shape) ---
+#
+# The third gate of the standard quality triad (after the heuristic
+# rules — Gopher/C4 — and the linear classifier): an n-gram language-
+# model score, the CCNet move (Wenzek et al. 2020: score every document
+# with a KenLM 5-gram model trained on Wikipedia, then bucket the
+# corpus into head/middle/tail by perplexity). Here the LM is a hashed
+# BIGRAM log-probability table: each bigram feature-hashes into 2^20
+# buckets and the bucket carries an integer micro-log10-prob derived by
+# the same Knuth-LCG mix as the classifier — a deterministic stand-in
+# for a trained KenLM table that keeps the FULL value oracle (exact
+# int64 sums + one IEEE division). A real deployment swaps in learned
+# log-probs exactly like classifier_score_with_table swaps in learned
+# weights (broadcast join — the table is model-sized, ~12 MB,
+# corpus-independent).
+#
+# Perplexity is reported in LOG space: logprob_mean is the mean log10
+# probability per bigram (ppl = 10^-logprob_mean); bucketing compares
+# exact integers (logprob_sum vs threshold·n) so head/middle/tail and
+# keep are engine-exact without a cross-engine pow().
+LM_N_BUCKETS = CLF_N_BUCKETS
+LM_MIX = CLF_MIX
+LM_LP_MOD = 7_000_001
+LM_LP_FLOOR_MICRO = 1_000_000   # lp ∈ [-8_000_001, -1_000_000] µlog10
+LM_HEAD_MEAN_MICRO = -4_400_000  # mean lp ≥ -4.4 → 'head'
+LM_KEEP_MEAN_MICRO = -4_600_000  # mean lp ≥ -4.6 → kept ('middle')
+
+
+def lm_bigram_logprob_expr(gram: Column) -> Column:
+    """Integer micro-log10-prob of one bigram. bucket < 2^20 and the
+    mix constant < 2^32 keep the product < 2^52 — exact int64 on both
+    engines."""
+    bucket = stable_token_hash(gram) % LM_N_BUCKETS
+    return -(F.lit(LM_LP_FLOOR_MICRO) + (bucket * LM_MIX) % LM_LP_MOD)
+
+
+def lm_perplexity_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Row-local LM scorer: id → (n_bigrams, logprob_sum, logprob_mean,
+    ppl_bucket, keep). One scan, ZERO exchanges — token split → bigram
+    zip → bucket → log-prob → integer fold, all row-local array
+    expressions; logprob_mean is ONE IEEE division of exact integers
+    and the head/middle/tail cut compares exact integers
+    (logprob_sum ≥ threshold·n), so every column is oracle-exact.
+
+    STAGED selects on purpose: the token and bigram arrays are aliased
+    in their own projections so every downstream reference reads the
+    computed column instead of re-deriving it — CollapseProject keeps
+    non-cheap multi-referenced aliases in separate Projects, while a
+    single flat projection re-evaluates the interpreted
+    split+filter+zip_with pipeline once PER REFERENCE (~20×/row;
+    measured 22% slower at sf0.1). Same move as q_gopher_quality's
+    staged metrics.
+
+    Null text scores like empty text (coalesce — same contract as
+    classifier_score_cols); docs with < 2 tokens have no bigrams:
+    n_bigrams=0, logprob_sum=0, null mean/bucket, keep=0."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda w: w != F.lit(""),
+    )
+    s1 = df.select(id_col, toks.alias("_toks"))
+    n_toks = F.size("_toks")
+    # CASE evaluates lazily per-row, so the negative-length slice of the
+    # <2-token branch is never executed
+    s2 = s1.select(
+        id_col,
+        F.when(
+            n_toks >= 2,
+            F.zip_with(
+                F.slice("_toks", 1, n_toks - 1),
+                F.slice("_toks", 2, n_toks - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_grams"),
+    )
+    s3 = s2.select(
+        id_col,
+        F.size("_grams").cast("long").alias("n_bigrams"),
+        F.aggregate(
+            F.transform("_grams", lm_bigram_logprob_expr),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("logprob_sum"),
+    )
+    n, ssum = F.col("n_bigrams"), F.col("logprob_sum")
+    # thresholds cast to long BEFORE the multiply: int32 · n overflows
+    # at n ≈ 500 under ANSI
+    head_cut = F.lit(LM_HEAD_MEAN_MICRO).cast("long") * n
+    keep_cut = F.lit(LM_KEEP_MEAN_MICRO).cast("long") * n
+    return s3.select(
+        id_col,
+        "n_bigrams",
+        "logprob_sum",
+        F.when(n == 0, F.lit(None)).otherwise(
+            ssum.cast("double") / (n * F.lit(1_000_000))
+        ).alias("logprob_mean"),
+        F.when(n == 0, F.lit(None).cast("string"))
+        .when(ssum >= head_cut, F.lit("head"))
+        .when(ssum >= keep_cut, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+        ((n > 0) & (ssum >= keep_cut)).cast("int").alias("keep"),
+    )
+
+
+# DuckDB twin (bigram g staged in a grams list)
+SQL_LM_LOGPROB = (
+    f"-({LM_LP_FLOOR_MICRO} + ((CAST('0x' || substring(md5(g), 1, 15)"
+    f" AS BIGINT) % {LM_N_BUCKETS}) * {LM_MIX}) % {LM_LP_MOD})"
+)

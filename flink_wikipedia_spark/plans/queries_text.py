@@ -12,14 +12,18 @@ from flink_wikipedia_spark.functions.constants import HM_MOD
 from flink_wikipedia_spark.operators.text import (
     BIGRAMS_EXPR,
     BPE_ISH_PATTERN,
+    LM_HEAD_MEAN_MICRO,
+    LM_KEEP_MEAN_MICRO,
     SQL_BIGRAMS,
     SQL_CLF_WEIGHT,
+    SQL_LM_LOGPROB,
     SQL_DUP_TOKEN_FRAC,
     SQL_TOP_BIGRAM_FRAC,
     classifier_score_cols,
     dup_token_frac_expr,
     fingerprint_cols,
     lang_id_expr,
+    lm_perplexity_frame,
     quality_score_cols,
     repetition_ok_expr,
     sql_lang_id_duckdb,
@@ -996,6 +1000,69 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shuffles only (doc_id, weight) longs for its groupBy."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", *classifier_score_cols("text"))
+
+
+@query(
+    "q_lm_perplexity",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           w -> w <> '') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END AS grams
+        FROM t
+    ), m AS (
+        SELECT doc_id,
+               len(grams) AS n_bigrams,
+               CAST(coalesce(list_sum(list_transform(grams,
+                   g -> {SQL_LM_LOGPROB})), 0) AS BIGINT) AS logprob_sum
+        FROM bg
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           logprob_sum,
+           CASE WHEN n_bigrams = 0 THEN NULL
+                ELSE CAST(logprob_sum AS DOUBLE) / (n_bigrams * 1000000)
+           END AS logprob_mean,
+           CASE WHEN n_bigrams = 0 THEN NULL
+                WHEN logprob_sum >= {LM_HEAD_MEAN_MICRO} * n_bigrams
+                    THEN 'head'
+                WHEN logprob_sum >= {LM_KEEP_MEAN_MICRO} * n_bigrams
+                    THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
+           CAST(n_bigrams > 0
+                AND logprob_sum >= {LM_KEEP_MEAN_MICRO} * n_bigrams
+                AS INT) AS keep
+    FROM m
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram LM perplexity filter — the THIRD gate of the quality
+    triad (CCNet shape, Wenzek et al. 2020: score each document with a
+    KenLM n-gram model, bucket the corpus head/middle/tail by
+    perplexity; KenLM — Heafield 2011). The LM here is a hashed-bigram
+    log-probability table (operators/text.lm_perplexity_cols): bigrams
+    feature-hash into 2^20 buckets whose integer micro-log10-prob is
+    derived by the same Knuth-LCG mix as q_quality_classifier — a
+    deterministic stand-in for a trained table with a FULL value
+    oracle. logprob_mean is the mean log10 prob per bigram
+    (ppl = 10^-mean, reported in log space so no cross-engine pow);
+    head/middle/tail and keep compare exact integers
+    (logprob_sum ≥ threshold·n), so every column hash-matches.
+
+    Scale: one scan, ZERO exchanges — split → bigram zip → hash →
+    log-prob → integer fold, all row-local array expressions (same
+    plan family as q_gopher_quality / q_quality_classifier). A learned
+    table drops in as a ~12 MB broadcast exactly like
+    classifier_score_with_table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity_frame(docs.select("doc_id", "text"))
 
 
 @query(

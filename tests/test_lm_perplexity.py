@@ -1,0 +1,138 @@
+"""q_lm_perplexity semantics: the hashed-bigram LM quality gate
+(CCNet/KenLM shape — the third member of the quality triad).
+
+Pins:
+- exact values against a pure-Python twin of the hash→log-prob fold
+  (same md5-prefix bucket + Knuth-LCG mix the engine and the DuckDB
+  oracle evaluate);
+- the n<2 / empty / null-text edge family (no bigrams → keep=0, null
+  mean/bucket);
+- Spark-vs-DuckDB value equality on a corpus that covers all three
+  perplexity buckets;
+- plan shape: ONE scan, ZERO exchanges (the row-local-fold contract
+  the docstring claims at 100 TB).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+
+from flink_wikipedia_spark.operators.text import (
+    LM_HEAD_MEAN_MICRO,
+    LM_KEEP_MEAN_MICRO,
+    LM_LP_FLOOR_MICRO,
+    LM_LP_MOD,
+    LM_MIX,
+    LM_N_BUCKETS,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "alpha beta"),          # exactly one bigram
+    (2, "single"),              # one token -> no bigrams
+    (3, ""),                    # empty
+    (4, None),                  # null text
+    (5, "  spaced   out   tokens  "),  # empty-string tokens dropped
+    (6, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+]
+
+
+def py_lm(text: str | None) -> tuple[int, int, float | None, str | None, int]:
+    toks = [w for w in (text or "").lower().split(" ") if w != ""]
+    grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    lps = []
+    for g in grams:
+        b = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % LM_N_BUCKETS
+        lps.append(-(LM_LP_FLOOR_MICRO + (b * LM_MIX) % LM_LP_MOD))
+    n, s = len(grams), sum(lps)
+    if n == 0:
+        return 0, 0, None, None, 0
+    mean = float(s) / (n * 1_000_000)
+    bucket = (
+        "head" if s >= LM_HEAD_MEAN_MICRO * n
+        else "middle" if s >= LM_KEEP_MEAN_MICRO * n
+        else "tail"
+    )
+    return n, s, mean, bucket, int(s >= LM_KEEP_MEAN_MICRO * n)
+
+
+@pytest.fixture(scope="module")
+def sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lmdocs")
+    pdf = pd.DataFrame(
+        [(i, t, "en", "unit", len(t or "")) for i, t in DOCS],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def result(spark, sf_dir):
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    df = REGISTRY["q_lm_perplexity"].fn(spark, sf_dir)
+    return df, {r.doc_id: r for r in df.collect()}
+
+
+def test_values_match_python_twin(result):
+    _, rows = result
+    for doc_id, text in DOCS:
+        n, s, mean, bucket, keep = py_lm(text)
+        r = rows[doc_id]
+        assert (r.n_bigrams, r.logprob_sum) == (n, s), doc_id
+        assert r.ppl_bucket == bucket and r.keep == keep, doc_id
+        if mean is None:
+            assert r.logprob_mean is None
+        else:
+            assert r.logprob_mean == mean  # one IEEE division, bit-exact
+
+
+def test_no_bigram_edge_family(result):
+    _, rows = result
+    for doc_id in (2, 3, 4):  # single token / empty / null text
+        r = rows[doc_id]
+        assert (r.n_bigrams, r.logprob_sum, r.keep) == (0, 0, 0)
+        assert r.logprob_mean is None and r.ppl_bucket is None
+
+
+def test_matches_duckdb_oracle(result, sf_dir):
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    df, _ = result
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(REGISTRY["q_lm_perplexity"].oracle)
+        .fetchdf()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    sdf = df.toPandas().set_index("doc_id").sort_index()[oracle.columns]
+    pd.testing.assert_frame_equal(sdf, oracle, check_dtype=False)
+
+
+def test_all_three_buckets_reachable_on_real_corpus(spark):
+    """The thresholds straddle the derived table's mean (-4.5): head,
+    middle, and tail must all be populated on the synthetic corpus —
+    a filter whose cut lies outside the score distribution gates
+    nothing."""
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    df = REGISTRY["q_lm_perplexity"].fn(spark, "/root/testdata/sf0.001")
+    seen = {r.ppl_bucket for r in df.select("ppl_bucket").distinct().collect()}
+    assert {"head", "middle", "tail"} <= seen
+
+
+def test_plan_is_one_scan_zero_exchanges(result):
+    df, _ = result
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
