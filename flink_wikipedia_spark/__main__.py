@@ -91,6 +91,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         help="curation job: parquet of benchmark fingerprints (column fp) "
         "for the contamination anti-join",
     )
+    p.add_argument(
+        "--classifier-gate",
+        action="store_true",
+        help="curation job: also gate on the model-based quality "
+        "classifier (operators/text.classifier_score_cols) after the "
+        "heuristic rules",
+    )
     p.add_argument("--sink", choices=["parquet", "upsert", "console"], default="console")
     p.add_argument("--out", help="output dir for parquet/upsert sinks")
     p.add_argument("--checkpoint", help="required for streaming jobs")
@@ -199,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
             benchmark_fps=bench_fps,
             watermark=args.watermark,
             window_duration=args.window,
+            classifier_gate=args.classifier_gate,
         )
     else:
         query = build_flagship_stream(

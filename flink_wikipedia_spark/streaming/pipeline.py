@@ -269,18 +269,27 @@ def build_curation_stream(
     benchmark_fps: DataFrame = None,
     watermark: str = "10 seconds",
     window_duration: str = FLAGSHIP_WINDOW,
+    classifier_gate: bool = False,
 ) -> StreamingQuery:
     """STREAMING corpus curation — the round-2 batch pipeline's gates
     applied to documents as they arrive (the shape an always-on
     ingestion service runs):
 
-        decode → quality gate → exact-dup drop (state bounded by the
-        watermark) → contamination screen (stream-static ANTI join
-        against benchmark fingerprints) → per (lang, window) kept-count
+        decode → quality gate [→ classifier gate] → exact-dup drop
+        (state bounded by the watermark) → contamination screen
+        (stream-static ANTI join against benchmark fingerprints) →
+        per (lang, window) kept-count
 
     Stage notes, 100 TB posture:
     - quality gate is stateless expressions — runs before anything
       that holds state, so junk never enters the dedup store;
+    - classifier_gate=True adds the r12 model-based scorer
+      (operators/text.classifier_score_cols) after the heuristic gate —
+      also stateless expressions, so it composes into the same
+      pre-state stage for free; its keep decision is IDENTICAL to the
+      batch q_quality_classifier's (parity pinned in
+      tests/test_streaming.py). Opt-in so existing checkpointed
+      deployments keep their gate semantics;
     - dropDuplicatesWithinWatermark keys on the md5 content
       fingerprint; state evicts as event time passes (plain
       dropDuplicates would grow forever on an unbounded corpus);
@@ -301,6 +310,14 @@ def build_curation_stream(
     kept = scored.filter(F.col("keep") == 1).drop(
         "n_tokens", "mean_token_len", "stopword_ratio", "keep"
     )
+    if classifier_gate:
+        from flink_wikipedia_spark.operators.text import classifier_score_cols
+
+        kept = (
+            kept.select("*", *classifier_score_cols("text"))
+            .filter(F.col("keep") == 1)
+            .drop("n_tokens", "score_sum", "score_mean", "keep")
+        )
     fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     deduped = (
         kept.withColumn("fp", fp)

@@ -512,6 +512,74 @@ def test_curation_stream_gates_compose(spark, tmp_path):
     assert out == {"en": 2, "de": 1}
 
 
+def test_curation_stream_classifier_gate_matches_batch(spark, tmp_path):
+    """classifier_gate=True composes the r12 model-based scorer into the
+    stream's pre-state gate (r13 task): per-doc keep decisions must be
+    EXACTLY the batch classifier_score_cols' — the expected survivor set
+    is computed batch-side in this test, not hardcoded, so the pin is
+    stream/batch parity itself. Each doc gets its own lang so the
+    windowed (lang, n_docs) output identifies individual survivors."""
+    from flink_wikipedia_spark.operators.text import classifier_score_cols
+    from flink_wikipedia_spark.streaming.pipeline import build_curation_stream
+
+    # 12 unique docs that ALL pass the heuristic gate (>=20 tokens, mean
+    # token length in range) so only the classifier distinguishes them
+    texts = {
+        i: " ".join(f"tok{i}word{j}" for j in range(25))
+        for i in range(1, 13)
+    }
+    docs_df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    batch_keep = {
+        r.doc_id
+        for r in docs_df.select("doc_id", *classifier_score_cols("text"))
+        .filter("keep = 1")
+        .collect()
+    }
+    # the gate must split the set, else the parity pin is vacuous
+    assert 0 < len(batch_keep) < len(texts)
+
+    # the watermark-advancing late doc must itself survive both gates or
+    # the 10:00 window never finalizes — pick one batch-side
+    later_texts = [
+        " ".join(f"later{k}word{j}" for j in range(25)) for k in range(8)
+    ]
+    later_df = spark.createDataFrame(
+        list(enumerate(later_texts)), "doc_id long, text string"
+    )
+    surviving_later = (
+        later_df.select("text", *classifier_score_cols("text"))
+        .filter("keep = 1")
+        .head()
+    )
+    assert surviving_later is not None
+    lines = [doc(i, lang=f"l{i:02d}", text=texts[i]) for i in texts]
+    later = [doc(99, lang="zz", text=surviving_later.text,
+                 ts="2024-01-01T11:00:00Z")]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir, exist_ok=True)
+    base = time.time() - 600
+    for i, chunk in enumerate([lines, later]):
+        write_file(src_dir, f"{i:03d}.json", chunk, mtime=base + i * 10)
+    sink = MemorySink()
+    q = build_curation_stream(
+        spark,
+        file_source(spark, src_dir, max_files_per_trigger=1),
+        sink,
+        str(tmp_path / "ck-curation-clf"),
+        classifier_gate=True,
+    )
+    q.awaitTermination(120)
+
+    survivors = {
+        r.lang
+        for r in sink.rows
+        if (r.window_start.hour, r.window_start.minute) == (10, 0)
+    }
+    assert survivors == {f"l{i:02d}" for i in batch_keep}
+
+
 def test_flagship_stream_rocksdb_state_store(spark, tmp_path):
     """The large-state deployment path (session.py's
     SPARK_GRAFT_STATE_STORE=rocksdb): the flagship windowed aggregate
