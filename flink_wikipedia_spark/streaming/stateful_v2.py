@@ -309,18 +309,21 @@ class _BucketedSessionProcessor(StatefulProcessor):
     as five parallel arrays (domains, starts, ends, ns, sizes).
 
     Semantics equal the per-key processor for ANY assignment of
-    domains to buckets (property-pinned in
-    tests/test_session_bucketing_properties.py) with ONE documented
-    label divergence: timers are per bucket and shared deadlines
-    cannot be deleted per domain (deleting deadline D for one domain's
-    merged run would cancel another domain's live timer at the same
-    D), so stale timers are left registered and tolerated — a stale
-    firing may emit a run with closed_by='timer' one batch earlier
-    than the per-key operator's 'gap' close. The emission is still
-    watermark-sound (a timer fires only once the watermark passed its
-    deadline, which proves every emitted run immutable), so the
-    session DATA multiset — (domain, start, end, n, size) — is
-    identical; only the closed_by label may differ.
+    domains to buckets — FULL equality including the closed_by label
+    (property-pinned in tests/test_session_bucketing_properties.py,
+    upgraded r13 from data-multiset-only). Timers are per bucket and
+    shared deadlines cannot be deleted per domain (deleting deadline D
+    for one domain's merged run would cancel another domain's live
+    timer at the same D), so stale timers are left registered — but a
+    stale firing is label-BENIGN, not just watermark-sound: a run is
+    sweepable at a stale expiry T only if its own deadline ≤ T ≤
+    watermark, and every stored run holds a live timer at exactly its
+    own deadline (registered at input time, never deleted here), so
+    its own timer fires in the SAME batch with the SAME 'timer' label;
+    input-time 'gap' emission checks the identical deadline<watermark
+    condition at the identical watermark in both layouts. Stale timers
+    therefore only ever fire as no-ops or duplicate sweeps of runs
+    already emitted/kept by the same batch's own-deadline firing.
 
     Per-domain merge work is unchanged (merge-intervals over that
     domain's rows + stored runs); what bucketing amortizes is the
@@ -448,7 +451,7 @@ def sessionize_with_timers_bucketed(
     est_keys: int | None = None,
 ) -> DataFrame:
     """``sessionize_with_timers`` with hash-bucketed state — identical
-    session data multiset (closed_by labels may differ, see
+    output, session data AND closed_by labels (property-pinned; see
     _BucketedSessionProcessor) but grouped on ``hash(domain) %
     buckets``, the same amortization move as
     stateful.running_domain_totals_bucketed: at 100 TB sessionize is

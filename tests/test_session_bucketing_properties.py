@@ -1,11 +1,21 @@
-"""Property pin: the hash-bucketed sessionizer is semantics-equal to
-the per-key one for ANY assignment of domains to buckets, any in-order
-batch split, and any watermark cadence — on the session DATA multiset
-(domain, start, end, n, size). closed_by labels are excluded by
-design: bucket-shared timer deadlines cannot be deleted per domain, so
-a stale timer may close a run one batch earlier than the per-key
-operator's 'gap' close would (see _BucketedSessionProcessor — the
-emission is still watermark-sound, only the label differs).
+"""Property pin: the hash-bucketed sessionizer is FULLY equal to the
+per-key one — session data AND closed_by label — for ANY assignment of
+domains to buckets, any in-order batch split, and any watermark
+cadence.
+
+r13 upgrade: closed_by is now part of the compared tuple. The r12
+docstring hedged that a stale bucket timer (undeletable per domain)
+might close a run one batch earlier than the per-key 'gap' close; that
+case is unreachable under the input-then-timers batch discipline both
+the engine and this harness follow: a run is sweepable by a stale
+timer only if its own deadline ≤ the stale expiry ≤ the watermark, and
+every stored run always holds a live timer at exactly its own deadline
+(registered at input time, never deleted in the bucketed layout), so
+its OWN timer fires in the same batch with the same 'timer' label —
+and input-time 'gap' emission checks the identical deadline<wm
+condition at the identical wm in both layouts. The property below is
+the proof-by-adversarial-search (see also the analysis in
+_BucketedSessionProcessor's docstring).
 
 Pure Python over the fake handle harness (no Spark session), so
 hypothesis can afford hundreds of adversarial examples — the same
@@ -57,6 +67,7 @@ def _norm(d):
 
 
 def _rows(emitted) -> list[tuple]:
+    # closed_by INCLUDED (r13): the pin is full equality, labels too
     out = []
     for df in emitted:
         for _, r in df.iterrows():
@@ -67,6 +78,7 @@ def _rows(emitted) -> list[tuple]:
                     int(r["session_end"].value // 10**6) - BASE_MS,
                     int(r["n_events"]),
                     int(r["total_size"]),
+                    str(r["closed_by"]),
                 )
             )
     return sorted(out, key=lambda t: (str(t[0]), t[1:]))
