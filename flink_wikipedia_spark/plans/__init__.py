@@ -32,89 +32,79 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 #      below so the verdict can check the gate outcome against a
 #      written prediction.
 #
-# ROUND-12 WINDOW — computed by ``tools/rotate_window.py --changed
-# q_pagerank_parts_suppliers q_sessionize`` (the rotation is mechanical
-# as of r12; this list is the tool's verbatim output). Composition:
-# rule 2 puts the four names with NO driver record first
-# (q_c4_quality, q_pagerank_converged and q_quality_classifier — new
-# this round — and q_gopher_quality, pre-declared for r12 by the r11
-# note); rule 3 adds the changed names (PageRank gained the
-# small-graph guard + convergence operator; sessionize's STREAMING
-# twin was bucketed this round — its batch twin is the oracle anchor);
-# rule 4 holds the 6 family anchors; rule 5 fills with ALL 36
-# remaining r9-vintage names (the stalest evidence —
-# q_pagerank_parts_suppliers and 36 others were r9; pagerank already
-# in via rule 3) and the alphabetically-first r10 name. Expected r12
-# outcome: 47/50 hash-green + 3 rows-only-by-design names that
-# rotation forced in-window this time (q_ann_ivfpq_refined,
-# q_approx_distinct_users, q_approx_percentile_value — each
-# property-pinned with an oracled exact twin). After r12 no name's
-# newest record is older than r10.
+# ROUND-13 WINDOW — computed by ``tools/rotate_window.py --changed
+# q_quality_classifier`` (this list is the tool's verbatim output).
+# Composition: rule 2 puts the ONE name with no driver record first
+# (q_lm_perplexity — the new hashed-bigram LM gate completing the
+# quality triad); rule 3 adds the changed name (q_quality_classifier:
+# both its Spark fold and its oracle gained coalesce(text,'') for
+# null-text parity, ADVICE r12); rule 4 holds the 6 family anchors +
+# flagship; rule 5 fills the remaining 41 slots with ALL 41 r10-vintage
+# names (the stalest evidence after r12 refreshed everything else).
+# Expected r13 outcome: 49/50 hash-green + 1 rows-only-by-design
+# (q_kmeans_doclen — iterative k-means, property-pinned with the
+# oracled exact twin q_zscore_docs). After r13 no name's newest record
+# is older than r11, and the remaining r11 vintage (42 names) is the
+# natural r14 rule-5 pool.
 #
-# NOTE for the r13 rotation (pre-declared, as r11 did for r12): once
-# CORRECTNESS_r12.json lands, every registry name has a driver record
-# and the stalest vintage is the 43 r10 names — run
-# ``python tools/rotate_window.py --changed <r13-changed-names>``,
+# NOTE for the r14 rotation (pre-declared, as r12 did for r13): once
+# CORRECTNESS_r13.json lands it becomes the rotation input — run
+# ``python tools/rotate_window.py --changed <r14-changed-names>``,
 # paste its output here verbatim, and update ROUND_CHANGED + the
 # families pin in tests/test_plan_audit.py in the same commit
 # (test_priority_window_is_rotation_tool_output fails on a stale
 # window by design, forcing the rotation at round start).
 _PRIORITY = [
-    "q_windowed_edit_size",  # FLAGSHIP (O7+O8+O9) — must be slot 1
-    # rule 2: no driver record yet
-    "q_c4_quality",          # NEW r12 — C4 line-rule sibling of gopher
-    "q_gopher_quality",      # NEW r11 — pre-declared for this window
-    "q_pagerank_converged",  # NEW r12 — convergence-mode PR + n_iters
-    "q_quality_classifier",  # NEW r12 — hashed linear quality scorer
-    # rule 3: builders changed this round
-    "q_pagerank_parts_suppliers",  # r9 + convergence early-exit
-    "q_sessionize",          # r11; streaming twin bucketed this round
-    # rule 4: family anchors (one per operator family, every round)
-    "q_filter_events",       # core
-    "q_json_extract",        # core
-    "q_word_count",          # text
-    "q_pii_redact",          # curation
-    "q_dedup_docs_exact",    # dedup
-    "q_multimodal_decode",   # multimodal
-    # rule 5: stalest-first — all remaining r9-vintage names
-    "q_ann_ivf",
-    "q_ann_ivfpq_refined",         # rows-only by design (pre-declared)
-    "q_approx_distinct_users",     # rows-only by design (pre-declared)
-    "q_approx_percentile_value",   # rows-only by design (pre-declared)
-    "q_collect_user_lists",
-    "q_cube_orders",
-    "q_distinct_users",
-    "q_embedding_neardup_lsh",
-    "q_fingerprint",
-    "q_hash_sample",
-    "q_having_active_users",
-    "q_ivfpq_search",
-    "q_lang_stats",
-    "q_like_filter_parts",
-    "q_median_value",
-    "q_minhash_dedup_clusters",
-    "q_minhash_signatures",
-    "q_ngram_jaccard_pairs",
-    "q_pivot_user_event_values",
-    "q_posexplode_tokens",
-    "q_pq_codes",
-    "q_range_join_counts",
-    "q_rollup_event_value",
-    "q_salted_agg_edit_size",
-    "q_semantic_dedup",
-    "q_setops_users",
-    "q_top_events_by_value",
-    "q_tpch_q10_returned_items",
-    "q_tpch_q13_order_histogram",
-    "q_tpch_q14_promo_share",
-    "q_tpch_q4_priority_with_big_lines",
-    "q_union_all_actions",
-    "q_unpivot_part_metrics",
-    "q_user_event_gaps",
-    "q_value_moment_stats",
-    "q_window_share_of_segment",
-    # rule 5 continued: r10 vintage fills the last slot
-    "q_antijoin_inactive_users",
+    "q_windowed_edit_size",  # r12
+    "q_lm_perplexity",  # NEW (no driver row)
+    "q_quality_classifier",  # r12
+    "q_filter_events",  # r12
+    "q_json_extract",  # r12
+    "q_word_count",  # r12
+    "q_pii_redact",  # r12
+    "q_dedup_docs_exact",  # r12
+    "q_multimodal_decode",  # r12
+    "q_asof_join",  # r10
+    "q_cohort_retention",  # r10
+    "q_contamination_check",  # r10
+    "q_corr_quantity_price",  # r10
+    "q_curation_funnel",  # r10
+    "q_data_quality_audit",  # r10
+    "q_date_functions",  # r10
+    "q_dedup_canonical",  # r10
+    "q_dedup_components",  # r10
+    "q_distribution_ranks",  # r10
+    "q_doc_chunks",  # r10
+    "q_duplicate_spans",  # r10
+    "q_edit_event_decode",  # r10
+    "q_filter_human_main",  # r10
+    "q_funnel_view_click_purchase",  # r10
+    "q_gapfill_rollup",  # r10
+    "q_join_orders_customer",  # r10
+    "q_kmeans_doclen",  # r10
+    "q_lang_id",  # r10
+    "q_multimodal_features",  # r10
+    "q_multimodal_meta",  # r10
+    "q_pack_sequences",  # r10
+    "q_pivot_event_daily",  # r10
+    "q_project",  # r10
+    "q_quality_score",  # r10
+    "q_simhash",  # r10
+    "q_similarity_lsh",  # r10
+    "q_sliding_window_counts",  # r10
+    "q_snapshot_merge",  # r10
+    "q_tfidf_top_terms",  # r10
+    "q_token_budget_waterfill",  # r10
+    "q_token_count",  # r10
+    "q_tpch_q16_supplier_variety",  # r10
+    "q_tpch_q17_small_quantity_revenue",  # r10
+    "q_tpch_q18_large_orders",  # r10
+    "q_tpch_q19_disjunctive_revenue",  # r10
+    "q_tpch_q1_pricing_summary",  # r10
+    "q_tpch_q21_sole_late_supplier",  # r10
+    "q_tpch_q7_volume_shipping",  # r10
+    "q_tpch_q9_nation_year_profit",  # r10
+    "q_window_navigation",  # r10
     # --- driver cutoff is 50; everything below is registry tail ---
 ]
 

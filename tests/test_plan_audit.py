@@ -67,40 +67,35 @@ def test_driver_window_covers_every_family():
     in-window representative."""
     names = list(REGISTRY)[:50]
     assert names[0] == "q_windowed_edit_size"  # flagship = entry()
-    # Round-12 rotation (standing stalest-first policy, now computed by
-    # tools/rotate_window.py — see plans/__init__.py): the 4 names with
-    # no driver record, the 2 changed names, the 6 family anchors, ALL
-    # 36 remaining r9-vintage queries, and the alphabetically-first
-    # r10 name.
+    # Round-13 rotation (tools/rotate_window.py --changed
+    # q_quality_classifier — see plans/__init__.py): the 1 name with no
+    # driver record, the 1 changed name, the 6 family anchors, and ALL
+    # 41 remaining r10-vintage queries.
     families = {
-        "new_names": ["q_c4_quality", "q_gopher_quality",
-                      "q_pagerank_converged", "q_quality_classifier"],
-        "changed": ["q_pagerank_parts_suppliers", "q_sessionize"],
+        "new_names": ["q_lm_perplexity"],
+        "changed": ["q_quality_classifier"],
         "anchors": ["q_filter_events", "q_json_extract", "q_word_count",
                     "q_pii_redact", "q_dedup_docs_exact",
                     "q_multimodal_decode"],
-        "r9_vintage": ["q_ann_ivf", "q_ann_ivfpq_refined",
-                       "q_approx_distinct_users",
-                       "q_approx_percentile_value", "q_collect_user_lists",
-                       "q_cube_orders", "q_distinct_users",
-                       "q_embedding_neardup_lsh", "q_fingerprint",
-                       "q_hash_sample", "q_having_active_users",
-                       "q_ivfpq_search", "q_lang_stats",
-                       "q_like_filter_parts", "q_median_value",
-                       "q_minhash_dedup_clusters", "q_minhash_signatures",
-                       "q_ngram_jaccard_pairs", "q_pivot_user_event_values",
-                       "q_posexplode_tokens", "q_pq_codes",
-                       "q_range_join_counts", "q_rollup_event_value",
-                       "q_salted_agg_edit_size", "q_semantic_dedup",
-                       "q_setops_users", "q_top_events_by_value",
-                       "q_tpch_q10_returned_items",
-                       "q_tpch_q13_order_histogram",
-                       "q_tpch_q14_promo_share",
-                       "q_tpch_q4_priority_with_big_lines",
-                       "q_union_all_actions", "q_unpivot_part_metrics",
-                       "q_user_event_gaps", "q_value_moment_stats",
-                       "q_window_share_of_segment"],
-        "r10_fill": ["q_antijoin_inactive_users"],
+        "r10_vintage": [
+            "q_asof_join", "q_cohort_retention", "q_contamination_check",
+            "q_corr_quantity_price", "q_curation_funnel",
+            "q_data_quality_audit", "q_date_functions", "q_dedup_canonical",
+            "q_dedup_components", "q_distribution_ranks", "q_doc_chunks",
+            "q_duplicate_spans", "q_edit_event_decode",
+            "q_filter_human_main", "q_funnel_view_click_purchase",
+            "q_gapfill_rollup", "q_join_orders_customer", "q_kmeans_doclen",
+            "q_lang_id", "q_multimodal_features", "q_multimodal_meta",
+            "q_pack_sequences", "q_pivot_event_daily", "q_project",
+            "q_quality_score", "q_simhash", "q_similarity_lsh",
+            "q_sliding_window_counts", "q_snapshot_merge",
+            "q_tfidf_top_terms", "q_token_budget_waterfill", "q_token_count",
+            "q_tpch_q16_supplier_variety",
+            "q_tpch_q17_small_quantity_revenue", "q_tpch_q18_large_orders",
+            "q_tpch_q19_disjunctive_revenue", "q_tpch_q1_pricing_summary",
+            "q_tpch_q21_sole_late_supplier", "q_tpch_q7_volume_shipping",
+            "q_tpch_q9_nation_year_profit", "q_window_navigation"
+        ],
     }
     missing = {
         fam: [q for q in qs if q not in names]
@@ -127,19 +122,31 @@ def test_driver_window_covers_every_family():
         "dedup": ["q_dedup_docs_exact", "q_minhash_dedup_clusters",
                   "q_minhash_signatures", "q_ngram_jaccard_pairs"],
         "similarity": ["q_ann_ivf", "q_ivfpq_search",
-                       "q_embedding_neardup_lsh", "q_semantic_dedup"],
+                       "q_embedding_neardup_lsh", "q_semantic_dedup",
+                       "q_similarity_lsh"],
         "multimodal": ["q_multimodal_decode", "q_multimodal_frames"],
         "streaming_twin": ["q_sessionize", "q_keyby_agg_edit_size",
                            "q_windowed_edit_size"],
         "relational": ["q_cube_orders", "q_rollup_event_value",
                        "q_setops_users", "q_pivot_user_event_values",
-                       "q_antijoin_inactive_users"],
+                       "q_antijoin_inactive_users",
+                       "q_join_orders_customer", "q_asof_join",
+                       "q_gapfill_rollup", "q_snapshot_merge"],
         "tpch": ["q_tpch_q10_returned_items", "q_tpch_q13_order_histogram",
                  "q_tpch_q14_promo_share",
-                 "q_tpch_q4_priority_with_big_lines"],
+                 "q_tpch_q4_priority_with_big_lines",
+                 "q_tpch_q1_pricing_summary", "q_tpch_q7_volume_shipping",
+                 "q_tpch_q9_nation_year_profit",
+                 "q_tpch_q16_supplier_variety",
+                 "q_tpch_q17_small_quantity_revenue",
+                 "q_tpch_q18_large_orders",
+                 "q_tpch_q19_disjunctive_revenue",
+                 "q_tpch_q21_sole_late_supplier"],
         "functions": ["q_window_share_of_segment", "q_user_event_gaps",
                       "q_median_value", "q_value_moment_stats",
-                      "q_rank_functions", "q_running_total"],
+                      "q_rank_functions", "q_running_total",
+                      "q_window_navigation", "q_distribution_ranks",
+                      "q_date_functions", "q_corr_quantity_price"],
         "iterative_graph": ["q_pagerank_parts_suppliers",
                             "q_pagerank_converged", "q_dedup_components"],
         "core": ["q_filter_events", "q_json_extract",
@@ -155,7 +162,7 @@ def test_driver_window_covers_every_family():
 # The names whose builders changed in the CURRENT round — the
 # rotate_window rule-3 input. Updated each rotation, in the same commit
 # as plans/__init__._PRIORITY.
-ROUND_CHANGED = ["q_pagerank_parts_suppliers", "q_sessionize"]
+ROUND_CHANGED = ["q_quality_classifier"]
 
 
 def test_priority_window_is_rotation_tool_output():
