@@ -98,6 +98,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "classifier (operators/text.classifier_score_cols) after the "
         "heuristic rules",
     )
+    p.add_argument(
+        "--lm-gate",
+        action="store_true",
+        help="curation job: also gate on the hashed-bigram LM "
+        "perplexity cut (operators/text.with_lm_keep) — the quality "
+        "triad's third gate",
+    )
     p.add_argument("--sink", choices=["parquet", "upsert", "console"], default="console")
     p.add_argument("--out", help="output dir for parquet/upsert sinks")
     p.add_argument("--checkpoint", help="required for streaming jobs")
@@ -207,6 +214,7 @@ def main(argv: list[str] | None = None) -> int:
             watermark=args.watermark,
             window_duration=args.window,
             classifier_gate=args.classifier_gate,
+            lm_gate=args.lm_gate,
         )
     else:
         query = build_flagship_stream(

@@ -373,12 +373,16 @@ LM_HEAD_MEAN_MICRO = -4_400_000  # mean lp ≥ -4.4 → 'head'
 LM_KEEP_MEAN_MICRO = -4_600_000  # mean lp ≥ -4.6 → kept ('middle')
 
 
-def lm_bigram_logprob_expr(gram: Column) -> Column:
-    """Integer micro-log10-prob of one bigram. bucket < 2^20 and the
-    mix constant < 2^32 keep the product < 2^52 — exact int64 on both
-    engines."""
-    bucket = stable_token_hash(gram) % LM_N_BUCKETS
+def lm_logprob_from_bucket(bucket: Column) -> Column:
+    """Integer micro-log10-prob of a feature bucket. bucket < 2^20 and
+    the mix constant < 2^32 keep the product < 2^52 — exact int64 on
+    both engines."""
     return -(F.lit(LM_LP_FLOOR_MICRO) + (bucket * LM_MIX) % LM_LP_MOD)
+
+
+def lm_bigram_logprob_expr(gram: Column) -> Column:
+    """Integer micro-log10-prob of one bigram (hash → bucket → table)."""
+    return lm_logprob_from_bucket(stable_token_hash(gram) % LM_N_BUCKETS)
 
 
 def lm_perplexity_frame(
@@ -403,24 +407,9 @@ def lm_perplexity_frame(
     Null text scores like empty text (coalesce — same contract as
     classifier_score_cols); docs with < 2 tokens have no bigrams:
     n_bigrams=0, logprob_sum=0, null mean/bucket, keep=0."""
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
-        lambda w: w != F.lit(""),
-    )
-    s1 = df.select(id_col, toks.alias("_toks"))
-    n_toks = F.size("_toks")
-    # CASE evaluates lazily per-row, so the negative-length slice of the
-    # <2-token branch is never executed
+    s1 = df.select(id_col, lm_tokens_expr(text_col).alias("_toks"))
     s2 = s1.select(
-        id_col,
-        F.when(
-            n_toks >= 2,
-            F.zip_with(
-                F.slice("_toks", 1, n_toks - 1),
-                F.slice("_toks", 2, n_toks - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("_grams"),
+        id_col, lm_bigrams_from_toks(F.col("_toks")).alias("_grams")
     )
     s3 = s2.select(
         id_col,
@@ -431,15 +420,59 @@ def lm_perplexity_frame(
             lambda a, x: a + x,
         ).alias("logprob_sum"),
     )
-    n, ssum = F.col("n_bigrams"), F.col("logprob_sum")
-    # thresholds cast to long BEFORE the multiply: int32 · n overflows
-    # at n ≈ 500 under ANSI
-    head_cut = F.lit(LM_HEAD_MEAN_MICRO).cast("long") * n
-    keep_cut = F.lit(LM_KEEP_MEAN_MICRO).cast("long") * n
     return s3.select(
         id_col,
         "n_bigrams",
         "logprob_sum",
+        *lm_metric_cols(F.col("n_bigrams"), F.col("logprob_sum")),
+    )
+
+
+# DuckDB twin (bigram g staged in a grams list)
+SQL_LM_LOGPROB = (
+    f"-({LM_LP_FLOOR_MICRO} + ((CAST('0x' || substring(md5(g), 1, 15)"
+    f" AS BIGINT) % {LM_N_BUCKETS}) * {LM_MIX}) % {LM_LP_MOD})"
+)
+
+
+def lm_tokens_expr(text_col: str = "text") -> Column:
+    """Filtered lowercase token array for the LM gate; null text
+    tokenizes like empty text (same contract as the classifier).
+    ALWAYS stage this behind an alias before multi-referencing it —
+    the split+filter re-evaluates per reference otherwise."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda w: w != F.lit(""),
+    )
+
+
+def lm_bigrams_from_toks(toks: Column) -> Column:
+    """Bigram array over an already-staged token COLUMN (cheap to
+    reference repeatedly). Empty and single-token docs yield an EMPTY
+    array; the <2-token CASE branch keeps the negative-length slice
+    unevaluated (CASE is lazy per row). Shared by the fold, the
+    learned-table variant, and the streaming gate so the feature
+    extraction cannot drift between paths."""
+    n_toks = F.size(toks)
+    return F.when(
+        n_toks >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n_toks - 1),
+            F.slice(toks, 2, n_toks - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lm_metric_cols(
+    n: Column, ssum: Column
+) -> list[Column]:
+    """The LM gate's derived columns from exact (n_bigrams,
+    logprob_sum) integers — shared by the row-local fold and the
+    broadcast-table variant so the two paths cannot drift."""
+    head_cut = F.lit(LM_HEAD_MEAN_MICRO).cast("long") * n
+    keep_cut = F.lit(LM_KEEP_MEAN_MICRO).cast("long") * n
+    return [
         F.when(n == 0, F.lit(None)).otherwise(
             ssum.cast("double") / (n * F.lit(1_000_000))
         ).alias("logprob_mean"),
@@ -449,11 +482,82 @@ def lm_perplexity_frame(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
         ((n > 0) & (ssum >= keep_cut)).cast("int").alias("keep"),
+    ]
+
+
+def lm_score_with_table(
+    docs: DataFrame,
+    logprobs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The LEARNED-LM variant of :func:`lm_perplexity_frame`: explode
+    bigrams → hash to buckets → broadcast-join a (bucket, logprob)
+    table → exact integer sum per doc. Same output schema/values as
+    the derived fold when ``logprobs`` holds the derived micro-log10
+    value for every bucket the corpus touches (pinned in
+    tests/test_lm_perplexity.py) — the drop-in seam for a REAL KenLM
+    table quantized to integer micro-units.
+
+    Scale: same posture as classifier_score_with_table — the table is
+    model-sized (2^20 rows ≈ 12 MB as two int64 columns),
+    corpus-independent, so it BROADCASTS; the only shuffle is the
+    groupBy(id) whose rows are (id, logprob) longs. Missing buckets
+    score 0 (coalesce — a sparse table's backoff); docs with no
+    bigrams survive via explode_outer's null row (count=0, sum=0,
+    null mean/bucket, keep=0)."""
+    grams = docs.select(
+        id_col, lm_tokens_expr(text_col).alias("_toks")
+    ).select(
+        id_col, F.explode_outer(lm_bigrams_from_toks(F.col("_toks"))).alias("_g")
+    )
+    scored = (
+        grams.withColumn(
+            "_bucket", stable_token_hash(F.col("_g")) % LM_N_BUCKETS
+        )
+        .join(
+            F.broadcast(logprobs),
+            F.col("_bucket") == logprobs.bucket,
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("_g").cast("long").alias("n_bigrams"),
+            F.coalesce(
+                F.sum(F.when(F.col("_g").isNotNull(),
+                             F.coalesce("logprob", F.lit(0)))),
+                F.lit(0),
+            ).cast("long").alias("logprob_sum"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        "logprob_sum",
+        *lm_metric_cols(F.col("n_bigrams"), F.col("logprob_sum")),
     )
 
 
-# DuckDB twin (bigram g staged in a grams list)
-SQL_LM_LOGPROB = (
-    f"-({LM_LP_FLOOR_MICRO} + ((CAST('0x' || substring(md5(g), 1, 15)"
-    f" AS BIGINT) % {LM_N_BUCKETS}) * {LM_MIX}) % {LM_LP_MOD})"
-)
+def with_lm_keep(
+    df: DataFrame, text_col: str = "text", out_col: str = "lm_keep"
+) -> DataFrame:
+    """Append the LM gate's 0/1 keep decision as ``out_col`` while
+    carrying every existing column — the streaming-gate layout (a
+    stream filter needs the decision NEXT TO the payload, not the
+    metrics-only frame lm_perplexity_frame returns). Stateless
+    projections, so it composes into a streaming pre-state gate; the
+    decision is defined by the same shared exprs as the batch fold
+    (lm_tokens_expr → lm_bigrams_from_toks → lm_metric_cols), pinned
+    equal in tests. Same staging discipline: tokens and bigrams are
+    aliased once per row, then dropped."""
+    staged = df.withColumn("_lm_toks", lm_tokens_expr(text_col)).withColumn(
+        "_lm_grams", lm_bigrams_from_toks(F.col("_lm_toks"))
+    )
+    n = F.size("_lm_grams").cast("long")
+    ssum = F.aggregate(
+        F.transform("_lm_grams", lm_bigram_logprob_expr),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    keep = lm_metric_cols(n, ssum)[2]  # the 'keep' column
+    return staged.withColumn(out_col, keep).drop("_lm_toks", "_lm_grams")

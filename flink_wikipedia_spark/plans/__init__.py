@@ -34,18 +34,22 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 #
 # ROUND-13 WINDOW — computed by ``tools/rotate_window.py --changed
 # q_quality_classifier`` (this list is the tool's verbatim output).
-# Composition: rule 2 puts the ONE name with no driver record first
-# (q_lm_perplexity — the new hashed-bigram LM gate completing the
-# quality triad); rule 3 adds the changed name (q_quality_classifier:
-# both its Spark fold and its oracle gained coalesce(text,'') for
-# null-text parity, ADVICE r12); rule 4 holds the 6 family anchors +
-# flagship; rule 5 fills the remaining 41 slots with ALL 41 r10-vintage
-# names (the stalest evidence after r12 refreshed everything else).
-# Expected r13 outcome: 49/50 hash-green + 1 rows-only-by-design
+# Composition (re-rotated mid-round when q_quality_triad_funnel
+# registered — the rotation is rerun whenever the registry grows, so
+# new code always gets driver evidence in its own round): rule 2 puts
+# the TWO names with no driver record first (q_lm_perplexity — the
+# hashed-bigram LM gate completing the quality triad — and
+# q_quality_triad_funnel — the triad's attribution funnel); rule 3
+# adds the changed name (q_quality_classifier: both its Spark fold and
+# its oracle gained coalesce(text,'') for null-text parity, ADVICE
+# r12); rule 4 holds the 6 family anchors + flagship; rule 5 fills the
+# remaining 40 slots with the stalest r10-vintage names (41 exist;
+# q_window_navigation, alphabetically last, waits for r14). Expected
+# r13 outcome: 49/50 hash-green + 1 rows-only-by-design
 # (q_kmeans_doclen — iterative k-means, property-pinned with the
-# oracled exact twin q_zscore_docs). After r13 no name's newest record
-# is older than r11, and the remaining r11 vintage (42 names) is the
-# natural r14 rule-5 pool.
+# oracled exact twin q_zscore_docs). After r13 the stalest evidence is
+# q_window_navigation (r10) then the 42 r11 names — the natural r14
+# rule-5 pool.
 #
 # NOTE for the r14 rotation (pre-declared, as r12 did for r13): once
 # CORRECTNESS_r13.json lands it becomes the rotation input — run
@@ -57,6 +61,7 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 _PRIORITY = [
     "q_windowed_edit_size",  # r12
     "q_lm_perplexity",  # NEW (no driver row)
+    "q_quality_triad_funnel",  # NEW (no driver row)
     "q_quality_classifier",  # r12
     "q_filter_events",  # r12
     "q_json_extract",  # r12
@@ -104,7 +109,6 @@ _PRIORITY = [
     "q_tpch_q21_sole_late_supplier",  # r10
     "q_tpch_q7_volume_shipping",  # r10
     "q_tpch_q9_nation_year_profit",  # r10
-    "q_window_navigation",  # r10
     # --- driver cutoff is 50; everything below is registry tail ---
 ]
 

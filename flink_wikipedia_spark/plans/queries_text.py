@@ -24,6 +24,7 @@ from flink_wikipedia_spark.operators.text import (
     fingerprint_cols,
     lang_id_expr,
     lm_perplexity_frame,
+    with_lm_keep,
     quality_score_cols,
     repetition_ok_expr,
     sql_lang_id_duckdb,
@@ -1063,6 +1064,81 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier_score_with_table."""
     docs = load_table(spark, sf_dir, "documents")
     return lm_perplexity_frame(docs.select("doc_id", "text"))
+
+
+@query(
+    "q_quality_triad_funnel",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split(lower(text), ' ') AS rawtoks,
+               length(text) AS ln,
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           w -> w <> '') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, lang, ln,
+               len(rawtoks) AS n,
+               CAST(coalesce(list_sum(list_transform(toks,
+                   t -> {SQL_CLF_WEIGHT})), 0) AS BIGINT) AS clf_sum,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END AS grams
+        FROM t
+    ), f AS (
+        SELECT lang,
+               (n >= 20 AND (CAST(ln - (n - 1) AS DOUBLE) / n)
+                    BETWEEN 2.0 AND 12.0) AS h_ok,
+               clf_sum > 0 AS c_ok,
+               (len(grams) > 0
+                AND CAST(coalesce(list_sum(list_transform(grams,
+                        g -> {SQL_LM_LOGPROB})), 0) AS BIGINT)
+                    >= {LM_KEEP_MEAN_MICRO} * len(grams)) AS lm_ok
+        FROM g
+    )
+    SELECT lang,
+           CASE WHEN NOT h_ok THEN 'quality'
+                WHEN NOT c_ok THEN 'classifier'
+                WHEN NOT lm_ok THEN 'lm_perplexity'
+                ELSE 'kept' END AS stage,
+           COUNT(*) AS n_docs
+    FROM f
+    GROUP BY 1, 2
+    """,
+)
+def q_quality_triad_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality TRIAD as an attribution funnel — the per-stage loss
+    report for the three-gate pipeline real corpora run (heuristic
+    rules → model classifier → LM perplexity, the CCNet/Gopher order:
+    cheap gates first): each document attributed to its FIRST failing
+    gate, counted per language. Gate definitions are the shared
+    operators (quality_score_cols / classifier_score_cols /
+    with_lm_keep), so this funnel, the standalone queries, and the
+    streaming curation gates (build_curation_stream classifier_gate +
+    lm_gate) can never disagree on a keep decision.
+
+    Scale: one scan computes all three flags row-locally (zero
+    exchanges until the final tiny groupBy(lang, stage) — ~langs×4
+    output rows); stage order fixed so counts are additive:
+    kept + losses = corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "lang",
+        quality_score_cols("text")[3].alias("h_keep"),
+        classifier_score_cols("text")[3].alias("c_keep"),
+        "text",
+    )
+    gated = with_lm_keep(staged)
+    stage = (
+        F.when(F.col("h_keep") == 0, F.lit("quality"))
+        .when(F.col("c_keep") == 0, F.lit("classifier"))
+        .when(F.col("lm_keep") == 0, F.lit("lm_perplexity"))
+        .otherwise(F.lit("kept"))
+    )
+    return gated.groupBy("lang", stage.alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
 
 
 @query(

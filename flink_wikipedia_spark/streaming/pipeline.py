@@ -270,6 +270,7 @@ def build_curation_stream(
     watermark: str = "10 seconds",
     window_duration: str = FLAGSHIP_WINDOW,
     classifier_gate: bool = False,
+    lm_gate: bool = False,
 ) -> StreamingQuery:
     """STREAMING corpus curation — the round-2 batch pipeline's gates
     applied to documents as they arrive (the shape an always-on
@@ -290,6 +291,11 @@ def build_curation_stream(
       batch q_quality_classifier's (parity pinned in
       tests/test_streaming.py). Opt-in so existing checkpointed
       deployments keep their gate semantics;
+    - lm_gate=True completes the quality TRIAD in the stream: the r13
+      hashed-bigram LM perplexity cut (operators/text.with_lm_keep —
+      keep decision defined by the same shared exprs as the batch
+      q_lm_perplexity, parity pinned). Also stateless, also pre-state,
+      also opt-in;
     - dropDuplicatesWithinWatermark keys on the md5 content
       fingerprint; state evicts as event time passes (plain
       dropDuplicates would grow forever on an unbounded corpus);
@@ -317,6 +323,14 @@ def build_curation_stream(
             kept.select("*", *classifier_score_cols("text"))
             .filter(F.col("keep") == 1)
             .drop("n_tokens", "score_sum", "score_mean", "keep")
+        )
+    if lm_gate:
+        from flink_wikipedia_spark.operators.text import with_lm_keep
+
+        kept = (
+            with_lm_keep(kept)
+            .filter(F.col("lm_keep") == 1)
+            .drop("lm_keep")
         )
     fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     deduped = (

@@ -136,3 +136,63 @@ def test_plan_is_one_scan_zero_exchanges(result):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_table_variant_matches_fold(spark, sf_dir):
+    """operators/text.lm_score_with_table (broadcast learned-logprob
+    table — the real-KenLM deployment shape) must produce exactly the
+    derived fold's values when the table holds lm_bigram_logprob_expr(b)
+    for every bucket the corpus touches (missing buckets score 0, moot
+    under total coverage). Same pin as the classifier's table twin."""
+    import pyspark.sql.functions as F
+
+    from flink_wikipedia_spark.operators.text import (
+        LM_N_BUCKETS,
+        lm_bigrams_from_toks,
+        lm_logprob_from_bucket,
+        lm_perplexity_frame,
+        lm_score_with_table,
+        lm_tokens_expr,
+    )
+    from flink_wikipedia_spark.functions.compat import stable_token_hash
+    from flink_wikipedia_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fold = lm_perplexity_frame(docs)
+    buckets = (
+        docs.select(lm_tokens_expr("text").alias("_t"))
+        .select(F.explode(lm_bigrams_from_toks(F.col("_t"))).alias("g"))
+        .select((stable_token_hash(F.col("g")) % LM_N_BUCKETS).alias("bucket"))
+        .distinct()
+    )
+    logprobs = buckets.select(
+        "bucket", lm_logprob_from_bucket(F.col("bucket")).alias("logprob")
+    )
+    table = lm_score_with_table(docs, logprobs)
+    key = lambda r: (  # noqa: E731
+        r.n_bigrams, r.logprob_sum, r.logprob_mean, r.ppl_bucket, r.keep
+    )
+    a = {r.doc_id: key(r) for r in fold.collect()}
+    b = {r.doc_id: key(r) for r in table.collect()}
+    assert a == b
+    # the no-bigram docs survive the explode_outer path with keep=0
+    assert a[3] == (0, 0, None, None, 0)
+
+
+def test_with_lm_keep_matches_frame(spark, sf_dir):
+    """operators/text.with_lm_keep (the streaming-gate layout: keep
+    decision appended next to the payload) must agree with
+    lm_perplexity_frame's keep for every doc, and must preserve the
+    input columns."""
+    from flink_wikipedia_spark.operators.text import (
+        lm_perplexity_frame,
+        with_lm_keep,
+    )
+    from flink_wikipedia_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = with_lm_keep(docs)
+    assert set(docs.columns) | {"lm_keep"} == set(gated.columns)
+    a = {r.doc_id: r.lm_keep for r in gated.collect()}
+    b = {r.doc_id: r.keep for r in lm_perplexity_frame(docs).collect()}
+    assert a == b

@@ -68,11 +68,12 @@ def test_driver_window_covers_every_family():
     names = list(REGISTRY)[:50]
     assert names[0] == "q_windowed_edit_size"  # flagship = entry()
     # Round-13 rotation (tools/rotate_window.py --changed
-    # q_quality_classifier — see plans/__init__.py): the 1 name with no
-    # driver record, the 1 changed name, the 6 family anchors, and ALL
-    # 41 remaining r10-vintage queries.
+    # q_quality_classifier — see plans/__init__.py): the 2 names with
+    # no driver record, the 1 changed name, the 6 family anchors, and
+    # the 40 stalest r10-vintage queries (q_window_navigation waits
+    # for r14).
     families = {
-        "new_names": ["q_lm_perplexity"],
+        "new_names": ["q_lm_perplexity", "q_quality_triad_funnel"],
         "changed": ["q_quality_classifier"],
         "anchors": ["q_filter_events", "q_json_extract", "q_word_count",
                     "q_pii_redact", "q_dedup_docs_exact",
@@ -94,7 +95,7 @@ def test_driver_window_covers_every_family():
             "q_tpch_q17_small_quantity_revenue", "q_tpch_q18_large_orders",
             "q_tpch_q19_disjunctive_revenue", "q_tpch_q1_pricing_summary",
             "q_tpch_q21_sole_late_supplier", "q_tpch_q7_volume_shipping",
-            "q_tpch_q9_nation_year_profit", "q_window_navigation"
+            "q_tpch_q9_nation_year_profit"
         ],
     }
     missing = {

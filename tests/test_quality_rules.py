@@ -193,3 +193,46 @@ def test_classifier_null_text_matches_oracle(spark, tmp_path):
         sdf[oracle.columns].astype("float64"), oracle.astype("float64")
     )
     assert sdf.loc[0, "n_tokens"] == 0 and sdf.loc[0, "keep"] == 0
+
+
+def test_triad_funnel_counts_additive_and_consistent(spark):
+    """q_quality_triad_funnel invariants on the real corpus: stage
+    labels are exactly the four declared, per-language counts are
+    ADDITIVE (kept + losses = corpus), and the kept count equals the
+    docs that pass all three standalone gates (the funnel can never
+    disagree with the operators it is built from)."""
+    import pyspark.sql.functions as F
+
+    from flink_wikipedia_spark.operators.text import (
+        classifier_score_cols,
+        quality_score_cols,
+        with_lm_keep,
+    )
+    from flink_wikipedia_spark.plans import REGISTRY
+    from flink_wikipedia_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    funnel = REGISTRY["q_quality_triad_funnel"].fn(spark, sf).collect()
+    assert {r.stage for r in funnel} <= {
+        "quality", "classifier", "lm_perplexity", "kept"
+    }
+    docs = load_table(spark, sf, "documents")
+    assert sum(r.n_docs for r in funnel) == docs.count()
+    kept_by_lang = {
+        r.lang: r.n_docs for r in funnel if r.stage == "kept"
+    }
+    standalone = (
+        with_lm_keep(
+            docs.select(
+                "lang",
+                quality_score_cols("text")[3].alias("h_keep"),
+                classifier_score_cols("text")[3].alias("c_keep"),
+                "text",
+            )
+        )
+        .filter("h_keep = 1 AND c_keep = 1 AND lm_keep = 1")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {r.lang: r.n for r in standalone} == kept_by_lang

@@ -580,6 +580,92 @@ def test_curation_stream_classifier_gate_matches_batch(spark, tmp_path):
     assert survivors == {f"l{i:02d}" for i in batch_keep}
 
 
+def test_curation_stream_full_triad_matches_batch(spark, tmp_path):
+    """The complete quality triad in the stream (heuristic +
+    classifier_gate + lm_gate): survivors must be exactly the docs that
+    pass BOTH model gates batch-side (all docs pass the heuristic by
+    construction). Expected set computed from the batch operators, so
+    the pin is three-gate stream/batch parity."""
+    import pyspark.sql.functions as F
+
+    from flink_wikipedia_spark.operators.text import (
+        classifier_score_cols,
+        with_lm_keep,
+    )
+    from flink_wikipedia_spark.streaming.pipeline import build_curation_stream
+
+    texts = {
+        i: " ".join(f"tri{i}word{j}" for j in range(25))
+        for i in range(1, 17)
+    }
+    docs_df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    clf_keep = {
+        r.doc_id
+        for r in docs_df.select("doc_id", *classifier_score_cols("text"))
+        .filter("keep = 1")
+        .collect()
+    }
+    lm_keep = {
+        r.doc_id
+        for r in with_lm_keep(docs_df).filter("lm_keep = 1").collect()
+    }
+    expected = clf_keep & lm_keep
+    # the triad must actually gate on BOTH model dimensions, and some
+    # doc must be split by the gates DISAGREEING, else the composition
+    # pin is vacuous
+    assert 0 < len(expected) < len(texts)
+    assert clf_keep != lm_keep
+
+    # watermark-advancing doc must survive all three gates
+    later_texts = [
+        " ".join(f"lat{k}w{j}" for j in range(25)) for k in range(12)
+    ]
+    later_df = spark.createDataFrame(
+        list(enumerate(later_texts)), "doc_id long, text string"
+    )
+    from flink_wikipedia_spark.operators.text import quality_score_cols
+
+    surviving_later = (
+        with_lm_keep(
+            later_df.select(
+                "doc_id", "text",
+                quality_score_cols("text")[3].alias("h_keep"),
+                classifier_score_cols("text")[3].alias("clf_keep"),
+            )
+        )
+        .filter("h_keep = 1 AND clf_keep = 1 AND lm_keep = 1")
+        .head()
+    )
+    assert surviving_later is not None
+    lines = [doc(i, lang=f"t{i:02d}", text=texts[i]) for i in texts]
+    later = [doc(99, lang="zz", text=surviving_later.text,
+                 ts="2024-01-01T11:00:00Z")]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir, exist_ok=True)
+    base = time.time() - 600
+    for i, chunk in enumerate([lines, later]):
+        write_file(src_dir, f"{i:03d}.json", chunk, mtime=base + i * 10)
+    sink = MemorySink()
+    q = build_curation_stream(
+        spark,
+        file_source(spark, src_dir, max_files_per_trigger=1),
+        sink,
+        str(tmp_path / "ck-curation-triad"),
+        classifier_gate=True,
+        lm_gate=True,
+    )
+    q.awaitTermination(120)
+
+    survivors = {
+        r.lang
+        for r in sink.rows
+        if (r.window_start.hour, r.window_start.minute) == (10, 0)
+    }
+    assert survivors == {f"t{i:02d}" for i in expected}
+
+
 def test_flagship_stream_rocksdb_state_store(spark, tmp_path):
     """The large-state deployment path (session.py's
     SPARK_GRAFT_STATE_STORE=rocksdb): the flagship windowed aggregate
