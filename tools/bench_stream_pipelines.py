@@ -7,6 +7,9 @@ event/document backlogs, the round-9 verdict ask:
 
 - **curation**  — build_curation_stream: quality gate → fp-dedup within
   watermark → broadcast anti-join → windowed counts (5 M docs at sf100);
+- **curation_triad** (r13) — the same pipeline with the FULL quality
+  triad gating pre-state (heuristic + hashed classifier + hashed-bigram
+  LM); the delta vs the curation leg is the marginal model-gate cost;
 - **stateful**  — running_domain_totals: applyInPandasWithState lifetime
   counters, one state row per key (~1.5 M user keys at sf100);
 - **stateful_jvm** — the SAME lifetime counters as a built-in streaming
@@ -220,7 +223,7 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true", help="keep rendered inputs")
     ap.add_argument(
         "--legs",
-        default="curation,stateful,stateful_jvm,stateful_bucketed,sessionize_bucketed,ss_join",
+        default="curation,curation_triad,stateful,stateful_jvm,stateful_bucketed,sessionize_bucketed,ss_join",
         help="comma list to run",
     )
     ap.add_argument(
@@ -267,7 +270,7 @@ def main() -> None:
         t0 = time.perf_counter()
         n_ev = render_events(spark, args.sf_dir, ev_dir, args.events)
         print(f"rendered {n_ev} events in {time.perf_counter()-t0:.0f}s", flush=True)
-    if "curation" in legs:
+    if "curation" in legs or "curation_triad" in legs:
         t0 = time.perf_counter()
         n_docs = render_docs(spark, args.sf_dir, doc_dir, args.docs)
         print(f"rendered {n_docs} docs in {time.perf_counter()-t0:.0f}s", flush=True)
@@ -287,6 +290,27 @@ def main() -> None:
 
         results["legs"]["curation"] = run_leg(
             "curation", build, os.path.join(work, "ck_curation"), n_docs
+        )
+
+    if "curation_triad" in legs:
+        # the r13 full quality triad in-stream (heuristic + classifier +
+        # LM gates, all stateless pre-state projections): measured
+        # side-by-side with the heuristic-only leg so the marginal cost
+        # of the two model gates is a standing number
+        def build(sink, ck):
+            return build_curation_stream(
+                spark,
+                file_source(spark, doc_dir, max_files_per_trigger=1),
+                sink,
+                ck,
+                watermark="10 minutes",
+                classifier_gate=True,
+                lm_gate=True,
+            )
+
+        results["legs"]["curation_triad"] = run_leg(
+            "curation_triad", build,
+            os.path.join(work, "ck_curation_triad"), n_docs
         )
 
     if "stateful" in legs:
