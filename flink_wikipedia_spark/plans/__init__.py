@@ -33,23 +33,28 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 #      written prediction.
 #
 # ROUND-13 WINDOW — computed by ``tools/rotate_window.py --changed
-# q_quality_classifier`` (this list is the tool's verbatim output).
+# q_quality_classifier q_kmeans_doclen`` (this list is the tool's
+# verbatim output).
 # Composition (re-rotated mid-round when q_quality_triad_funnel
 # registered — the rotation is rerun whenever the registry grows, so
 # new code always gets driver evidence in its own round): rule 2 puts
 # the TWO names with no driver record first (q_lm_perplexity — the
 # hashed-bigram LM gate completing the quality triad — and
 # q_quality_triad_funnel — the triad's attribution funnel); rule 3
-# adds the changed name (q_quality_classifier: both its Spark fold and
-# its oracle gained coalesce(text,'') for null-text parity, ADVICE
-# r12); rule 4 holds the 6 family anchors + flagship; rule 5 fills the
-# remaining 40 slots with the stalest r10-vintage names (41 exist;
-# q_window_navigation, alphabetically last, waits for r14). Expected
-# r13 outcome: 49/50 hash-green + 1 rows-only-by-design
-# (q_kmeans_doclen — iterative k-means, property-pinned with the
-# oracled exact twin q_zscore_docs). After r13 the stalest evidence is
-# q_window_navigation (r10) then the 42 r11 names — the natural r14
-# rule-5 pool.
+# adds the changed names (q_quality_classifier: both its Spark fold
+# and its oracle gained coalesce(text,'') for null-text parity, ADVICE
+# r12; q_kmeans_doclen: upgraded from rows-only to a FULL value oracle
+# — exact rational centroids + a recursive-CTE DuckDB twin, gated
+# hash-green at sf0.001/0.01/1/100 before this rotation); rule 4 holds
+# the 6 family anchors + flagship; rule 5 fills the remaining slots
+# with the stalest r10-vintage names (q_window_navigation,
+# alphabetically last, waits for r14). Expected r13 outcome: **50/50
+# hash-green, ZERO rows-only in-window** — the first all-oracle window
+# (the kmeans upgrade retired the window's only rows-only slot; the
+# registry's remaining rows-only names are the three approx-sketch
+# queries, each with an oracled exact twin). After r13 the stalest
+# evidence is q_window_navigation (r10) then the 42 r11 names — the
+# natural r14 rule-5 pool.
 #
 # NOTE for the r14 rotation (pre-declared, as r12 did for r13): once
 # CORRECTNESS_r13.json lands it becomes the rotation input — run
@@ -62,6 +67,7 @@ _PRIORITY = [
     "q_windowed_edit_size",  # r12
     "q_lm_perplexity",  # NEW (no driver row)
     "q_quality_triad_funnel",  # NEW (no driver row)
+    "q_kmeans_doclen",  # r10
     "q_quality_classifier",  # r12
     "q_filter_events",  # r12
     "q_json_extract",  # r12
@@ -86,7 +92,6 @@ _PRIORITY = [
     "q_funnel_view_click_purchase",  # r10
     "q_gapfill_rollup",  # r10
     "q_join_orders_customer",  # r10
-    "q_kmeans_doclen",  # r10
     "q_lang_id",  # r10
     "q_multimodal_features",  # r10
     "q_multimodal_meta",  # r10

@@ -247,54 +247,98 @@ def q_zscore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_kmeans_doclen", oracle=None)
+@query(
+    "q_kmeans_doclen",
+    oracle="""
+    WITH RECURSIVE lens AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents
+    ), iter AS (
+        SELECT lang,
+               MIN(x) AS s0, CAST(1 AS BIGINT) AS n0,
+               MAX(x) AS s1, CAST(1 AS BIGINT) AS n1,
+               CAST(0 AS BIGINT) AS a0, CAST(0 AS BIGINT) AS a1,
+               0 AS it
+        FROM lens GROUP BY lang
+      UNION ALL
+        SELECT lang,
+               CASE WHEN cnt0 > 0 THEN sum0 ELSE s0 END,
+               CASE WHEN cnt0 > 0 THEN cnt0 ELSE n0 END,
+               CASE WHEN cnt1 > 0 THEN sum1 ELSE s1 END,
+               CASE WHEN cnt1 > 0 THEN cnt1 ELSE n1 END,
+               cnt0, cnt1, it + 1
+        FROM (
+            SELECT z.lang, z.s0, z.n0, z.s1, z.n1, z.it,
+                   CAST(SUM(CASE WHEN near1 THEN 0 ELSE x END) AS BIGINT)
+                       AS sum0,
+                   CAST(COUNT(CASE WHEN near1 THEN NULL ELSE 1 END)
+                       AS BIGINT) AS cnt0,
+                   CAST(SUM(CASE WHEN near1 THEN x ELSE 0 END) AS BIGINT)
+                       AS sum1,
+                   CAST(COUNT(CASE WHEN near1 THEN 1 ELSE NULL END)
+                       AS BIGINT) AS cnt1
+            FROM (
+                SELECT i.lang, i.s0, i.n0, i.s1, i.n1, i.it, d.x,
+                       abs(d.x * i.n1 - i.s1) * i.n0
+                           < abs(d.x * i.n0 - i.s0) * i.n1 AS near1
+                FROM iter i JOIN lens d USING (lang)
+                WHERE i.it < 10
+            ) z
+            GROUP BY 1, 2, 3, 4, 5, 6
+        ) a
+    )
+    SELECT lang,
+           CAST(s0 AS DOUBLE) / n0 AS c_small,
+           CAST(s1 AS DOUBLE) / n1 AS c_large,
+           a0 AS n_small,
+           a1 AS n_large
+    FROM iter WHERE it = 10
+    """,
+)
 def q_kmeans_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine UDF surface (SURVEY.md §2.2 'UDF/UDAF/UDTF'): grouped
     applyInPandas doing something built-ins genuinely cannot — an
     ITERATIVE algorithm per group. 1-D Lloyd's k-means (k=2) over
     document lengths per language: centroids init at group min/max,
-    exactly 10 assignment/update sweeps, deterministic given the group
-    (init is order-free, updates are means over integer values).
+    exactly 10 assignment/update sweeps.
 
-    This is the legitimate grouped-map shape: a convergence loop over
-    the whole group's distribution, inexpressible as a SQL aggregate.
-    Arrow-batched; groups are per-language so each fits one batch.
-    Rows-only driver check — iterative fixpoints are the documented
-    non-SQL-expressible class."""
+    r13 upgrade — FULL value oracle via exact rational centroids (the
+    same integer-exactness move as fixed-point PageRank, r12): each
+    centroid is carried as an exact (sum, count) pair and the
+    assignment comparison |x−s0/n0| vs |x−s1/n1| cross-multiplies to
+    pure int64 arithmetic (|x·n1−s1|·n0 < |x·n0−s0|·n1, ties to the
+    small cluster; magnitudes ≤ ~5e16 at sf100, safely exact), so
+    every sweep is order-independent and engine-exact; the output
+    means are ONE IEEE division each. The DuckDB twin replays the
+    identical iteration as a recursive CTE — the r12 PageRank oracle
+    pattern — retiring this query from the rows-only class.
+
+    This remains the legitimate grouped-map shape: a whole-group
+    fixpoint loop, not a SQL aggregate. Arrow-batched; groups are
+    per-language so each fits one batch (~1 M rows/lang at sf100)."""
+    import numpy as np
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
     def kmeans2(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["n_chars"].to_numpy(dtype="float64")
-        x.sort()  # fixed summation order ⇒ identical floats across runs
-        lo, hi = float(x[0]), float(x[-1])
-        if lo == hi:
-            return pd.DataFrame(
-                {
-                    "lang": [pdf["lang"].iloc[0]],
-                    "c_small": [lo],
-                    "c_large": [hi],
-                    "n_small": [len(x)],
-                    "n_large": [0],
-                }
-            )
-        c0, c1 = lo, hi
+        x = pdf["n_chars"].to_numpy(dtype="int64")
+        s0, n0 = int(x.min()), 1
+        s1, n1 = int(x.max()), 1
+        a0, a1 = 0, 0
         for _ in range(10):
-            near1 = (x - c0) ** 2 > (x - c1) ** 2
-            # sums over sorted values: order-independent means
-            s0, s1 = x[~near1], x[near1]
-            if len(s0):
-                c0 = float(s0.sum()) / len(s0)
-            if len(s1):
-                c1 = float(s1.sum()) / len(s1)
+            near1 = np.abs(x * n1 - s1) * n0 < np.abs(x * n0 - s0) * n1
+            a0, a1 = int((~near1).sum()), int(near1.sum())
+            if a0:
+                s0, n0 = int(x[~near1].sum()), a0
+            if a1:
+                s1, n1 = int(x[near1].sum()), a1
         return pd.DataFrame(
             {
                 "lang": [pdf["lang"].iloc[0]],
-                "c_small": [c0],
-                "c_large": [c1],
-                "n_small": [int((~near1).sum())],
-                "n_large": [int(near1.sum())],
+                "c_small": [s0 / n0],
+                "c_large": [s1 / n1],
+                "n_small": [a0],
+                "n_large": [a1],
             }
         )
 

@@ -74,7 +74,7 @@ def test_driver_window_covers_every_family():
     # for r14).
     families = {
         "new_names": ["q_lm_perplexity", "q_quality_triad_funnel"],
-        "changed": ["q_quality_classifier"],
+        "changed": ["q_quality_classifier", "q_kmeans_doclen"],
         "anchors": ["q_filter_events", "q_json_extract", "q_word_count",
                     "q_pii_redact", "q_dedup_docs_exact",
                     "q_multimodal_decode"],
@@ -163,7 +163,7 @@ def test_driver_window_covers_every_family():
 # The names whose builders changed in the CURRENT round — the
 # rotate_window rule-3 input. Updated each rotation, in the same commit
 # as plans/__init__._PRIORITY.
-ROUND_CHANGED = ["q_quality_classifier"]
+ROUND_CHANGED = ["q_quality_classifier", "q_kmeans_doclen"]
 
 
 def test_priority_window_is_rotation_tool_output():
