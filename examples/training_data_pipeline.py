@@ -3,7 +3,8 @@
 The north-star workload this engine exists for — raw documents in,
 clean training corpus out, every stage a distributed DataFrame op:
 
-    source blocklist → quality score → classifier score → PII scrub →
+    source blocklist → quality score → classifier score → LM
+    perplexity cut → PII scrub →
     repetition gate →
     near-dup clusters → canonical pick → keep-list join →
     duplicated-span damage gate → contamination screen → stratified
@@ -70,6 +71,15 @@ def main() -> None:
     kept = clf.filter(F.col("keep") == 1).drop(
         "n_tokens", "score_sum", "score_mean"
     )
+
+    # 1a-bis. LM perplexity cut (q_lm_perplexity — the quality triad's
+    #     third gate, CCNet shape; swap in a real KenLM table via
+    #     operators/text.lm_score_with_table)
+    from flink_wikipedia_spark.operators.text import with_lm_keep
+
+    kept = with_lm_keep(kept.drop("keep")).filter(
+        F.col("lm_keep") == 1
+    ).drop("lm_keep")
 
     # 1b. PII scrub: map-only codegen regexp replace (q_pii_redact) —
     #     downstream stages see only redacted text
@@ -248,7 +258,7 @@ def main() -> None:
 
     print(f"documents in:          {n_in}")
     print(f"after blocklist:       {docs.count()}")
-    print(f"after quality gates:   {kept.count()} (heuristic + classifier)")
+    print(f"after quality gates:   {kept.count()} (heuristic + classifier + LM)")
     print(f"after near-dup pass:   {n_out}")
     print(f"after span-damage gate:{corpus.count()}")
     print(f"after contamination:   {clean.count()}")
