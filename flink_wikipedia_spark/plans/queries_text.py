@@ -322,6 +322,14 @@ def q_kmeans_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def kmeans2(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf["n_chars"].to_numpy(dtype="int64")
+        # loud headroom guard: |x·n−s|·n ≤ 2·max(x)·n² must fit int64 —
+        # numpy overflow WRAPS silently where DuckDB errors, and a
+        # silent wrap would be a value divergence, not a crash
+        if 2 * int(x.max()) * len(x) * len(x) > 2**62:
+            raise ValueError(
+                "kmeans2: int64 headroom exceeded for this group "
+                f"(n={len(x)}, max={int(x.max())})"
+            )
         s0, n0 = int(x.min()), 1
         s1, n1 = int(x.max()), 1
         a0, a1 = 0, 0
