@@ -276,10 +276,10 @@ def build_curation_stream(
     applied to documents as they arrive (the shape an always-on
     ingestion service runs):
 
-        decode → quality gate [→ classifier gate] → exact-dup drop
-        (state bounded by the watermark) → contamination screen
-        (stream-static ANTI join against benchmark fingerprints) →
-        per (lang, window) kept-count
+        decode → quality gate [→ classifier gate] [→ LM gate] →
+        exact-dup drop (state bounded by the watermark) →
+        contamination screen (stream-static ANTI join against
+        benchmark fingerprints) → per (lang, window) kept-count
 
     Stage notes, 100 TB posture:
     - quality gate is stateless expressions — runs before anything
