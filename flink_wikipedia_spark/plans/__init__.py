@@ -32,88 +32,94 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 #      below so the verdict can check the gate outcome against a
 #      written prediction.
 #
-# ROUND-13 WINDOW — computed by ``tools/rotate_window.py --changed
-# q_quality_classifier q_kmeans_doclen`` (this list is the tool's
-# verbatim output).
-# Composition (re-rotated mid-round when q_quality_triad_funnel
-# registered — the rotation is rerun whenever the registry grows, so
-# new code always gets driver evidence in its own round): rule 2 puts
-# the TWO names with no driver record first (q_lm_perplexity — the
-# hashed-bigram LM gate completing the quality triad — and
-# q_quality_triad_funnel — the triad's attribution funnel); rule 3
-# adds the changed names (q_quality_classifier: both its Spark fold
-# and its oracle gained coalesce(text,'') for null-text parity, ADVICE
-# r12; q_kmeans_doclen: upgraded from rows-only to a FULL value oracle
-# — exact rational centroids + a recursive-CTE DuckDB twin, gated
-# hash-green at sf0.001/0.01/1/100 before this rotation); rule 4 holds
-# the 6 family anchors + flagship; rule 5 fills the remaining slots
-# with the stalest r10-vintage names (q_window_navigation,
-# alphabetically last, waits for r14). Expected r13 outcome: **50/50
-# hash-green, ZERO rows-only in-window** — the first all-oracle window
-# (the kmeans upgrade retired the window's only rows-only slot; the
-# registry's remaining rows-only names are the three approx-sketch
-# queries, each with an oracled exact twin). After r13 the stalest
-# evidence is q_window_navigation (r10) then the 42 r11 names — the
-# natural r14 rule-5 pool.
+# ROUND-14 WINDOW — computed by ``tools/rotate_window.py --changed
+# q_quality_triad_funnel q_lm_perplexity`` (this list is the tool's
+# verbatim output; re-run mid-round if the registry grows — e.g. when
+# q_bpe_merges registers — so new code earns driver evidence in its
+# own round).
+# Composition: rule 2 has NO entrants at rotation time (every
+# registered name has a driver record after r13's all-oracle window;
+# the planned q_bpe_merges will enter here when it registers); rule 3
+# adds the two ADVICE-r13 touched names (q_quality_triad_funnel:
+# oracle gains coalesce so null text fails the heuristic stage on BOTH
+# sides — the latent stage-attribution divergence ADVICE flagged;
+# q_lm_perplexity: the lm_score_with_table seam's missing-bucket
+# backoff becomes a floor penalty instead of probability-1 — query
+# values unchanged, but the changed-code rule is about evidence, not
+# expected deltas); rule 4 now holds TWELVE family anchors + flagship
+# — the r14 rotation exposed that the six hand-era anchors left the
+# similarity/relational/TPC-H/functions/graph/streaming-twin families
+# with no structural in-window representative, so rotate_window.py
+# gained one canonical anchor per semantic family checked by
+# tests/test_plan_audit.py (the invariant now holds by construction);
+# rule 5 fills the remaining 35 slots with the stalest evidence:
+# q_window_navigation and q_zscore_docs (the last r10-vintage names)
+# then 33 r11-vintage names alphabetically (q_tpch_q2/q3/q5/q6,
+# q_tpch_q10_returned_items, q_union_all_actions, q_unpivot_metrics
+# and the other r11/r12 tail wait for r15). Expected r14 outcome:
+# **50/50 hash-green, ZERO rows-only in-window** — the second
+# consecutive all-oracle window (the registry's only rows-only names
+# remain the three approx-sketch queries, all out-of-window with
+# oracled exact twins).
 #
-# NOTE for the r14 rotation (pre-declared, as r12 did for r13): once
-# CORRECTNESS_r13.json lands it becomes the rotation input — run
-# ``python tools/rotate_window.py --changed <r14-changed-names>``,
-# paste its output here verbatim, and update ROUND_CHANGED + the
-# families pin in tests/test_plan_audit.py in the same commit
+# NOTE for the r15 rotation (pre-declared): once CORRECTNESS_r14.json
+# lands it becomes the rotation input — run ``python
+# tools/rotate_window.py --changed <r15-changed-names>``, paste its
+# output here verbatim, and update ROUND_CHANGED + the families pin in
+# tests/test_plan_audit.py in the same commit
 # (test_priority_window_is_rotation_tool_output fails on a stale
 # window by design, forcing the rotation at round start).
 _PRIORITY = [
-    "q_windowed_edit_size",  # r12
-    "q_lm_perplexity",  # NEW (no driver row)
-    "q_quality_triad_funnel",  # NEW (no driver row)
-    "q_kmeans_doclen",  # r10
-    "q_quality_classifier",  # r12
-    "q_filter_events",  # r12
-    "q_json_extract",  # r12
-    "q_word_count",  # r12
-    "q_pii_redact",  # r12
-    "q_dedup_docs_exact",  # r12
-    "q_multimodal_decode",  # r12
-    "q_asof_join",  # r10
-    "q_cohort_retention",  # r10
-    "q_contamination_check",  # r10
-    "q_corr_quantity_price",  # r10
-    "q_curation_funnel",  # r10
-    "q_data_quality_audit",  # r10
-    "q_date_functions",  # r10
-    "q_dedup_canonical",  # r10
-    "q_dedup_components",  # r10
-    "q_distribution_ranks",  # r10
-    "q_doc_chunks",  # r10
-    "q_duplicate_spans",  # r10
-    "q_edit_event_decode",  # r10
-    "q_filter_human_main",  # r10
-    "q_funnel_view_click_purchase",  # r10
-    "q_gapfill_rollup",  # r10
-    "q_join_orders_customer",  # r10
-    "q_lang_id",  # r10
-    "q_multimodal_features",  # r10
-    "q_multimodal_meta",  # r10
-    "q_pack_sequences",  # r10
-    "q_pivot_event_daily",  # r10
-    "q_project",  # r10
-    "q_quality_score",  # r10
-    "q_simhash",  # r10
-    "q_similarity_lsh",  # r10
-    "q_sliding_window_counts",  # r10
-    "q_snapshot_merge",  # r10
-    "q_tfidf_top_terms",  # r10
-    "q_token_budget_waterfill",  # r10
-    "q_token_count",  # r10
-    "q_tpch_q16_supplier_variety",  # r10
-    "q_tpch_q17_small_quantity_revenue",  # r10
-    "q_tpch_q18_large_orders",  # r10
-    "q_tpch_q19_disjunctive_revenue",  # r10
-    "q_tpch_q1_pricing_summary",  # r10
-    "q_tpch_q21_sole_late_supplier",  # r10
-    "q_tpch_q7_volume_shipping",  # r10
-    "q_tpch_q9_nation_year_profit",  # r10
+    "q_windowed_edit_size",  # r13
+    "q_lm_perplexity",  # r13
+    "q_quality_triad_funnel",  # r13
+    "q_filter_events",  # r13
+    "q_json_extract",  # r13
+    "q_word_count",  # r13
+    "q_pii_redact",  # r13
+    "q_dedup_docs_exact",  # r13
+    "q_multimodal_decode",  # r13
+    "q_similarity_lsh",  # r13
+    "q_join_orders_customer",  # r13
+    "q_tpch_q1_pricing_summary",  # r13
+    "q_rank_functions",  # r11
+    "q_dedup_components",  # r13
+    "q_keyby_agg_edit_size",  # r11
+    "q_window_navigation",  # r10
+    "q_zscore_docs",  # r10
+    "q_antijoin_quiet_customers",  # r11
+    "q_array_functions",  # r11
+    "q_bigram_counts",  # r11
+    "q_dedup_events",  # r11
+    "q_dedup_pipeline",  # r11
+    "q_edit_distance_kernel",  # r11
+    "q_embedding_neardup_kernel",  # r11
+    "q_encode_tokens",  # r11
+    "q_grouping_sets_lineitem",  # r11
+    "q_map_functions",  # r11
+    "q_minhash_dedup_pairs",  # r11
+    "q_multimodal_frames",  # r11
+    "q_orders_by_month",  # r11
+    "q_regex_extract_props",  # r11
+    "q_repetition_signals",  # r11
+    "q_repetition_stats",  # r11
+    "q_running_total",  # r11
+    "q_semijoin_active_customers",  # r11
+    "q_ship_latency_histogram",  # r11
+    "q_shuffle_shards",  # r11
+    "q_similarity_topk",  # r11
+    "q_source_blocklist",  # r11
+    "q_span_mask_stats",  # r11
+    "q_stratified_sample",  # r11
+    "q_string_functions",  # r11
+    "q_to_json_roundtrip",  # r11
+    "q_top_tokens_per_lang",  # r11
+    "q_topk_docs_per_lang",  # r11
+    "q_tpch_q11_important_stock",  # r11
+    "q_tpch_q12_late_shipments",  # r11
+    "q_tpch_q15_top_supplier",  # r11
+    "q_tpch_q20_excess_stock_suppliers",  # r11
+    "q_tpch_q22_dormant_accounts",  # r11
     # --- driver cutoff is 50; everything below is registry tail ---
 ]
 

@@ -67,35 +67,42 @@ def test_driver_window_covers_every_family():
     in-window representative."""
     names = list(REGISTRY)[:50]
     assert names[0] == "q_windowed_edit_size"  # flagship = entry()
-    # Round-13 rotation (tools/rotate_window.py --changed
-    # q_quality_classifier — see plans/__init__.py): the 2 names with
-    # no driver record, the 1 changed name, the 6 family anchors, and
-    # the 40 stalest r10-vintage queries (q_window_navigation waits
-    # for r14).
+    # Round-14 rotation (tools/rotate_window.py --changed
+    # q_quality_triad_funnel q_lm_perplexity — see plans/__init__.py):
+    # no rule-2 entrants at rotation time (every name had a driver
+    # record after r13's all-oracle window), the 2 ADVICE-touched
+    # changed names, the TWELVE family anchors (rule 4 grew this round
+    # so every semantic family below has a structural anchor), and the
+    # 35 stalest names — the last 2 r10-vintage queries plus 33 of the
+    # r11-vintage ones (alphabetical; the r11 TPC-H tail and
+    # q_union_all_actions / q_unpivot_metrics wait for r15).
     families = {
-        "new_names": ["q_lm_perplexity", "q_quality_triad_funnel"],
-        "changed": ["q_quality_classifier", "q_kmeans_doclen"],
+        "changed": ["q_quality_triad_funnel", "q_lm_perplexity"],
         "anchors": ["q_filter_events", "q_json_extract", "q_word_count",
                     "q_pii_redact", "q_dedup_docs_exact",
-                    "q_multimodal_decode"],
-        "r10_vintage": [
-            "q_asof_join", "q_cohort_retention", "q_contamination_check",
-            "q_corr_quantity_price", "q_curation_funnel",
-            "q_data_quality_audit", "q_date_functions", "q_dedup_canonical",
-            "q_dedup_components", "q_distribution_ranks", "q_doc_chunks",
-            "q_duplicate_spans", "q_edit_event_decode",
-            "q_filter_human_main", "q_funnel_view_click_purchase",
-            "q_gapfill_rollup", "q_join_orders_customer", "q_kmeans_doclen",
-            "q_lang_id", "q_multimodal_features", "q_multimodal_meta",
-            "q_pack_sequences", "q_pivot_event_daily", "q_project",
-            "q_quality_score", "q_simhash", "q_similarity_lsh",
-            "q_sliding_window_counts", "q_snapshot_merge",
-            "q_tfidf_top_terms", "q_token_budget_waterfill", "q_token_count",
-            "q_tpch_q16_supplier_variety",
-            "q_tpch_q17_small_quantity_revenue", "q_tpch_q18_large_orders",
-            "q_tpch_q19_disjunctive_revenue", "q_tpch_q1_pricing_summary",
-            "q_tpch_q21_sole_late_supplier", "q_tpch_q7_volume_shipping",
-            "q_tpch_q9_nation_year_profit"
+                    "q_multimodal_decode", "q_similarity_lsh",
+                    "q_join_orders_customer", "q_tpch_q1_pricing_summary",
+                    "q_rank_functions", "q_dedup_components",
+                    "q_keyby_agg_edit_size"],
+        "r10_vintage": ["q_window_navigation", "q_zscore_docs"],
+        "r11_vintage": [
+            "q_antijoin_quiet_customers", "q_array_functions",
+            "q_bigram_counts", "q_dedup_events", "q_dedup_pipeline",
+            "q_edit_distance_kernel", "q_embedding_neardup_kernel",
+            "q_encode_tokens", "q_grouping_sets_lineitem",
+            "q_map_functions", "q_minhash_dedup_pairs",
+            "q_multimodal_frames", "q_orders_by_month",
+            "q_regex_extract_props", "q_repetition_signals",
+            "q_repetition_stats", "q_running_total",
+            "q_semijoin_active_customers", "q_ship_latency_histogram",
+            "q_shuffle_shards", "q_similarity_topk", "q_source_blocklist",
+            "q_span_mask_stats", "q_stratified_sample",
+            "q_string_functions", "q_to_json_roundtrip",
+            "q_top_tokens_per_lang", "q_topk_docs_per_lang",
+            "q_tpch_q11_important_stock", "q_tpch_q12_late_shipments",
+            "q_tpch_q15_top_supplier",
+            "q_tpch_q20_excess_stock_suppliers",
+            "q_tpch_q22_dormant_accounts"
         ],
     }
     missing = {
@@ -163,7 +170,7 @@ def test_driver_window_covers_every_family():
 # The names whose builders changed in the CURRENT round — the
 # rotate_window rule-3 input. Updated each rotation, in the same commit
 # as plans/__init__._PRIORITY.
-ROUND_CHANGED = ["q_quality_classifier", "q_kmeans_doclen"]
+ROUND_CHANGED = ["q_quality_triad_funnel", "q_lm_perplexity"]
 
 
 def test_priority_window_is_rotation_tool_output():

@@ -40,15 +40,27 @@ import sys
 FLAGSHIP = "q_windowed_edit_size"
 
 # Rule 4: one anchor per operator family, held in-window every round so
-# a family regression can never hide behind rotation. Mirror of the
-# hand-maintained set used in rounds 8-11.
+# a family regression can never hide behind rotation. The first six
+# mirror the hand-maintained set used in rounds 8-11; the r14 rotation
+# exposed that the families added since (similarity, relational, TPC-H,
+# window functions, iterative graph, streaming twins — all checked by
+# tests/test_plan_audit.py's semantic invariant) had NO structural
+# anchor, so a purely staleness-driven window could leave them
+# unrepresented. One canonical anchor per semantic family makes the
+# invariant hold by construction instead of by rule-5 luck.
 FAMILY_ANCHORS = [
-    "q_filter_events",       # core
-    "q_json_extract",        # core / JSON
-    "q_word_count",          # text
-    "q_pii_redact",          # curation
-    "q_dedup_docs_exact",    # dedup
-    "q_multimodal_decode",   # multimodal
+    "q_filter_events",           # core
+    "q_json_extract",            # core / JSON
+    "q_word_count",              # text
+    "q_pii_redact",              # curation
+    "q_dedup_docs_exact",        # dedup
+    "q_multimodal_decode",       # multimodal
+    "q_similarity_lsh",          # similarity / ANN
+    "q_join_orders_customer",    # relational joins
+    "q_tpch_q1_pricing_summary", # TPC-H suite
+    "q_rank_functions",          # analytic window functions
+    "q_dedup_components",        # iterative graph
+    "q_keyby_agg_edit_size",     # streaming twin
 ]
 
 WINDOW = 50
