@@ -368,7 +368,7 @@ SQL_CLF_WEIGHT = (
 LM_N_BUCKETS = CLF_N_BUCKETS
 LM_MIX = CLF_MIX
 LM_LP_MOD = 7_000_001
-LM_LP_FLOOR_MICRO = 1_000_000   # lp ∈ [-8_000_001, -1_000_000] µlog10
+LM_LP_FLOOR_MICRO = 1_000_000   # lp ∈ [-8_000_000, -1_000_000] µlog10
 LM_HEAD_MEAN_MICRO = -4_400_000  # mean lp ≥ -4.4 → 'head'
 LM_KEEP_MEAN_MICRO = -4_600_000  # mean lp ≥ -4.6 → kept ('middle')
 
@@ -485,11 +485,22 @@ def lm_metric_cols(
     ]
 
 
+#: Backoff micro-log10-prob for bigram buckets ABSENT from the learned
+#: table: one µunit below the derived family's floor (-(FLOOR+MOD) =
+#: -8_000_001, strictly lower than every representable table value), so
+#: an unseen bigram pulls a doc toward 'tail'/drop — the direction a
+#: real sparse KenLM backoff takes. ADVICE r13: the previous coalesce
+#: to 0 meant probability 1 — unseen bigrams scored as PERFECT and
+#: pulled docs toward 'head'/keep, inverted backoff semantics.
+LM_BACKOFF_MICRO = -(LM_LP_FLOOR_MICRO + LM_LP_MOD)
+
+
 def lm_score_with_table(
     docs: DataFrame,
     logprobs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    backoff_micro: int = LM_BACKOFF_MICRO,
 ) -> DataFrame:
     """The LEARNED-LM variant of :func:`lm_perplexity_frame`: explode
     bigrams → hash to buckets → broadcast-join a (bucket, logprob)
@@ -503,9 +514,12 @@ def lm_score_with_table(
     model-sized (2^20 rows ≈ 12 MB as two int64 columns),
     corpus-independent, so it BROADCASTS; the only shuffle is the
     groupBy(id) whose rows are (id, logprob) longs. Missing buckets
-    score 0 (coalesce — a sparse table's backoff); docs with no
-    bigrams survive via explode_outer's null row (count=0, sum=0,
-    null mean/bucket, keep=0)."""
+    score ``backoff_micro`` (default LM_BACKOFF_MICRO, one µunit below
+    the table's floor — a sparse table's backoff must penalize unseen
+    bigrams, never reward them; pass 0 only if you explicitly want
+    'treat unseen as perfect'); docs with no bigrams survive via
+    explode_outer's null row (count=0, sum=0, null mean/bucket,
+    keep=0)."""
     grams = docs.select(
         id_col, lm_tokens_expr(text_col).alias("_toks")
     ).select(
@@ -525,7 +539,8 @@ def lm_score_with_table(
             F.count("_g").cast("long").alias("n_bigrams"),
             F.coalesce(
                 F.sum(F.when(F.col("_g").isNotNull(),
-                             F.coalesce("logprob", F.lit(0)))),
+                             F.coalesce("logprob",
+                                        F.lit(backoff_micro)))),
                 F.lit(0),
             ).cast("long").alias("logprob_sum"),
         )

@@ -1123,8 +1123,12 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
         SELECT doc_id, lang,
-               string_split(lower(text), ' ') AS rawtoks,
-               length(text) AS ln,
+               -- coalesce BOTH heuristic inputs (ADVICE r13): null text
+               -- must fail the heuristic stage here exactly as on the
+               -- Spark side (quality_score_cols keep=0), not slip to
+               -- 'classifier' via a NULL h_ok skipping the CASE arm
+               string_split(lower(coalesce(text, '')), ' ') AS rawtoks,
+               coalesce(length(text), 0) AS ln,
                list_filter(string_split(lower(coalesce(text, '')), ' '),
                            w -> w <> '') AS toks
         FROM documents
@@ -1173,8 +1177,16 @@ def q_quality_triad_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan computes all three flags row-locally (zero
     exchanges until the final tiny groupBy(lang, stage) — ~langs×4
     output rows); stage order fixed so counts are additive:
-    kept + losses = corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    kept + losses = corpus.
+
+    Null contract (ADVICE r13): null text is coalesced to '' BEFORE any
+    gate, so it fails the FIRST (heuristic) stage on both engines — a
+    raw null would make h_keep NULL, skip the 'quality' when-arm, and
+    mis-attribute the doc to 'classifier' (the classifier and LM gates
+    already coalesce internally, so their flags are unaffected)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     staged = docs.select(
         "lang",
         quality_score_cols("text")[3].alias("h_keep"),

@@ -142,8 +142,8 @@ def test_table_variant_matches_fold(spark, sf_dir):
     """operators/text.lm_score_with_table (broadcast learned-logprob
     table — the real-KenLM deployment shape) must produce exactly the
     derived fold's values when the table holds lm_bigram_logprob_expr(b)
-    for every bucket the corpus touches (missing buckets score 0, moot
-    under total coverage). Same pin as the classifier's table twin."""
+    for every bucket the corpus touches (the backoff never fires under
+    total coverage). Same pin as the classifier's table twin."""
     import pyspark.sql.functions as F
 
     from flink_wikipedia_spark.operators.text import (
@@ -196,3 +196,50 @@ def test_with_lm_keep_matches_frame(spark, sf_dir):
     a = {r.doc_id: r.lm_keep for r in gated.collect()}
     b = {r.doc_id: r.keep for r in lm_perplexity_frame(docs).collect()}
     assert a == b
+
+
+def test_sparse_table_backoff_penalizes_unseen(spark, tmp_path):
+    """ADVICE r13: a SPARSE learned table (the real-KenLM deployment
+    shape) must treat an unseen bigram as LOW probability, not
+    probability 1 — before the fix, missing buckets coalesced to
+    0 µlog10 (strictly higher than every representable table value),
+    so unseen bigrams pulled docs toward 'head'/keep. Pins: (a) the
+    backoff constant sits strictly below the whole derived family's
+    range, (b) a doc whose bigrams are all absent from the table lands
+    in 'tail' with keep=0, (c) the explicit backoff_micro=0 escape
+    hatch restores the old 'unseen is perfect' scoring."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from flink_wikipedia_spark.operators.text import (
+        LM_BACKOFF_MICRO,
+        LM_LP_FLOOR_MICRO,
+        LM_LP_MOD,
+        lm_score_with_table,
+    )
+
+    assert LM_BACKOFF_MICRO == -(LM_LP_FLOOR_MICRO + LM_LP_MOD)
+    # strictly below the derived range [-8_000_000, -1_000_000]
+    assert LM_BACKOFF_MICRO < -(LM_LP_FLOOR_MICRO + LM_LP_MOD - 1)
+
+    pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["alpha beta gamma delta epsilon zeta"],
+            "lang": ["en"],
+            "source": ["unit"],
+            "n_chars": [35],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    empty_table = spark.createDataFrame([], "bucket long, logprob long")
+
+    row = lm_score_with_table(docs, empty_table).collect()[0]
+    assert row.n_bigrams == 5
+    assert row.logprob_sum == 5 * LM_BACKOFF_MICRO
+    assert row.ppl_bucket == "tail" and row.keep == 0
+
+    legacy = lm_score_with_table(
+        docs, empty_table, backoff_micro=0
+    ).collect()[0]
+    assert legacy.logprob_sum == 0 and legacy.ppl_bucket == "head"

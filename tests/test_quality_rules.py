@@ -236,3 +236,49 @@ def test_triad_funnel_counts_additive_and_consistent(spark):
         .collect()
     )
     assert {r.lang: r.n for r in standalone} == kept_by_lang
+
+
+def test_triad_funnel_null_text_stage_parity(spark, tmp_path):
+    """ADVICE r13: a null-text document must be attributed to the
+    FIRST gate ('quality') on BOTH engines. Before the fix the oracle
+    split raw text without coalesce, so h_ok was NULL, the 'quality'
+    CASE arm was skipped, and the doc silently landed in 'classifier'
+    while Spark (quality_score_cols keep=0) put it in 'quality' — a
+    stage-attribution divergence no generator corpus could surface
+    because the generator never emits null text."""
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                None,
+                "",
+                # long enough to pass the heuristic gate: 20+ tokens of
+                # plausible prose with stopword-weighted words
+                "the quick brown fox jumps over the lazy dog and then "
+                "the dog wakes up to chase the fox around the big yard",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["unit"] * 3,
+            "n_chars": [0, 0, 100],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    qd = REGISTRY["q_quality_triad_funnel"]
+    got = {
+        (r.lang, r.stage): r.n_docs
+        for r in qd.fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {
+        (lang, stage): n
+        for lang, stage, n in con.execute(qd.oracle).fetchall()
+    }
+    assert got == want
+    # both null and empty text fail the heuristic stage specifically
+    assert got.get(("en", "quality"), 0) >= 2
