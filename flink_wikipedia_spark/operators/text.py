@@ -576,3 +576,183 @@ def with_lm_keep(
     )
     keep = lm_metric_cols(n, ssum)[2]  # the 'keep' column
     return staged.withColumn(out_col, keep).drop("_lm_toks", "_lm_grams")
+
+
+# --- BPE merge learning (tokenizer training) ---------------------------
+#
+# Classic byte-pair encoding (Sennrich et al. 2016, the public
+# subword-nmt algorithm): start from words segmented into characters,
+# then K times (count adjacent symbol pairs weighted by word frequency
+# → take the most frequent pair, ties broken lexicographically → merge
+# every non-overlapping left-to-right occurrence). The reference engine
+# has no tokenizer training at all — this is north-star LLM-pipeline
+# surface, the actual vocabulary-LEARNING step upstream of q_vocab_ids'
+# frequency-ranked id assignment and q_encode_tokens' encode pass.
+#
+# Segmentations are carried as a WRAPPED STRING: every symbol is
+# enclosed as "\x01<sym>\x02", so applying merge (a, b) is a plain
+# non-regex replace of "\x01a\x02\x01b\x02" with "\x01ab\x02" — and
+# because adjacent wrapped symbols share no characters, SQL replace's
+# left-to-right non-overlapping scan IS exactly BPE's greedy merge
+# order, identically on Spark, DuckDB, and Python str.replace. A merge
+# can never re-fire on its own output within a round (a||b = a needs
+# an empty right symbol). Precondition: the sentinel bytes \x01/\x02
+# do not appear in the corpus alphabet (a deployment over arbitrary
+# bytes would pick two unused codepoints).
+BPE_NUM_MERGES = 8
+BPE_WRAP_L = "\x01"
+BPE_WRAP_R = "\x02"
+#: Vocabularies at or under this many distinct words train in one
+#: exact driver-side pass (same guarded small-side fast path as
+#: pagerank's PR_SMALL_GRAPH_EDGES; the distributed loop is pinned
+#: bit-identical by forcing small_vocab_words=0 in tests). The merge
+#: loop's input is the DISTINCT-WORD table, bounded by morphology
+#: (~1e6-1e7 rows regardless of corpus bytes), not the corpus.
+BPE_SMALL_VOCAB_WORDS = 1_000_000
+
+
+def bpe_wrap_word_expr(word: Column | str) -> Column:
+    """word → initial wrapped-character segmentation string."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.array_join(
+        F.transform(
+            F.split(c, ""),
+            lambda ch: F.concat(F.lit(BPE_WRAP_L), ch, F.lit(BPE_WRAP_R)),
+        ),
+        "",
+    )
+
+
+def _bpe_pairs_expr(seg: Column) -> Column:
+    """Adjacent symbol pairs of a wrapped segmentation string, as an
+    array of (lsym, rsym) structs (empty for single-symbol words)."""
+    syms = F.split(F.btrim(seg, F.lit(BPE_WRAP_L + BPE_WRAP_R)),
+                   BPE_WRAP_R + BPE_WRAP_L)
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("lsym"),
+                F.element_at(syms, i + 1).alias("rsym"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lsym:string,rsym:string>>"))
+
+
+def _bpe_local(words: list[tuple[str, int]], k: int) -> list[tuple]:
+    """Exact driver-side BPE over a bounded (word, freq) list — the
+    same wrapped-string replace semantics as the distributed loop and
+    the unrolled DuckDB oracle, so all three are bit-identical."""
+    segs = [
+        ("".join(BPE_WRAP_L + ch + BPE_WRAP_R for ch in w), f)
+        for w, f in words
+    ]
+    out = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for seg, f in segs:
+            syms = seg[1:-1].split(BPE_WRAP_R + BPE_WRAP_L)
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            raise ValueError(
+                f"bpe_learn_merges: corpus exhausted pairs after "
+                f"{rank - 1} merges (asked for {k})"
+            )
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        pat = BPE_WRAP_L + a + BPE_WRAP_R + BPE_WRAP_L + b + BPE_WRAP_R
+        rep = BPE_WRAP_L + a + b + BPE_WRAP_R
+        segs = [(seg.replace(pat, rep), f) for seg, f in segs]
+        out.append((rank, a, b, a + b, n))
+    return out
+
+
+BPE_MERGES_SCHEMA = (
+    "merge_rank long, lsym string, rsym string, merged string, "
+    "pair_count long"
+)
+
+
+def bpe_learn_merges(
+    words: DataFrame,
+    k: int = BPE_NUM_MERGES,
+    *,
+    small_vocab_words: int | None = None,
+) -> DataFrame:
+    """Learn the first ``k`` BPE merge rules from a (word, freq) table.
+
+    Returns a k-row DataFrame (merge_rank, lsym, rsym, merged,
+    pair_count) — the ordered merge list a tokenizer ships. Pair
+    counts are exact int64 sums of word frequencies, so the
+    argmax-with-lexicographic-tie-break is deterministic and
+    engine-exact (the PageRank/k-means integer-exactness discipline);
+    headroom: counts ≤ corpus token count, far inside int64.
+
+    Scale: the caller's corpus-sized work (the word count) has already
+    collapsed the input to the DISTINCT-WORD relation, bounded by
+    morphology — so like pagerank, small vocabularies (≤
+    ``small_vocab_words``, default BPE_SMALL_VOCAB_WORDS) train in one
+    exact driver-side pass, and larger ones run the distributed loop:
+    per round, ONE vocabulary-scale job (explode pairs → partial-agg'd
+    groupBy(lsym, rsym) → TakeOrdered(1) argmax) plus a map-only
+    re-segmentation persisted for the next round (persist rotates —
+    the previous round's cache is released as soon as its successor
+    materializes, keeping O(vocab) not O(k·vocab) memory)."""
+    from pyspark import StorageLevel
+
+    if small_vocab_words is None:
+        small_vocab_words = BPE_SMALL_VOCAB_WORDS
+    spark = words.sparkSession
+
+    cur = words.select("word", "freq").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_words = cur.count()
+    except Exception:
+        cur.unpersist()
+        raise
+
+    if n_words <= small_vocab_words:
+        try:
+            pdf = cur.toPandas()
+        finally:
+            cur.unpersist()
+        merges = _bpe_local(
+            list(zip(pdf["word"].tolist(), (int(x) for x in pdf["freq"]))), k
+        )
+        return spark.createDataFrame(merges, BPE_MERGES_SCHEMA)
+
+    cur = cur.select("freq", bpe_wrap_word_expr("word").alias("seg"))
+    merges = []
+    prev = None
+    try:
+        for rank in range(1, k + 1):
+            best = (
+                cur.select("freq", F.explode(_bpe_pairs_expr(F.col("seg"))).alias("pr"))
+                .groupBy("pr.lsym", "pr.rsym")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("lsym").asc(), F.col("rsym").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                raise ValueError(
+                    f"bpe_learn_merges: corpus exhausted pairs after "
+                    f"{rank - 1} merges (asked for {k})"
+                )
+            a, b, n = best[0].lsym, best[0].rsym, int(best[0].n)
+            merges.append((rank, a, b, a + b, n))
+            pat = BPE_WRAP_L + a + BPE_WRAP_R + BPE_WRAP_L + b + BPE_WRAP_R
+            rep = BPE_WRAP_L + a + b + BPE_WRAP_R
+            nxt = cur.select(
+                "freq", F.replace("seg", F.lit(pat), F.lit(rep)).alias("seg")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()
+            if prev is not None:
+                prev.unpersist()
+            prev, cur = cur, nxt
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        cur.unpersist()
+    return spark.createDataFrame(merges, BPE_MERGES_SCHEMA)

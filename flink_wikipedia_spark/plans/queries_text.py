@@ -12,6 +12,8 @@ from flink_wikipedia_spark.functions.constants import HM_MOD
 from flink_wikipedia_spark.operators.text import (
     BIGRAMS_EXPR,
     BPE_ISH_PATTERN,
+    BPE_NUM_MERGES,
+    bpe_learn_merges,
     LM_HEAD_MEAN_MICRO,
     LM_KEEP_MEAN_MICRO,
     SQL_BIGRAMS,
@@ -1314,3 +1316,96 @@ def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("keep"),
     )
     return metrics
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Unrolled DuckDB twin of bpe_learn_merges: the k-round
+    count→argmax→replace iteration as k mechanical CTE stages (the
+    k-means oracle used a recursive CTE because its state is one row
+    per group; BPE's state is the whole segmented-vocabulary RELATION,
+    which DuckDB's recursive CTEs can't aggregate over per round, so
+    the fixed merge budget is unrolled instead — same exactness
+    argument: integer pair counts, lexicographic tie-break, and the
+    shared wrapped-string replace semantics)."""
+    wl, wr = "chr(1)", "chr(2)"
+    stages = [f"""
+    w AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents
+        ) WHERE word <> '' GROUP BY 1
+    ), s0 AS (
+        SELECT freq,
+               array_to_string(list_transform(string_split(word, ''),
+                   c -> {wl} || c || {wr}), '') AS seg
+        FROM w
+    )"""]
+    for i in range(1, k + 1):
+        stages.append(f"""
+    p{i} AS (
+        SELECT pr[1] AS lsym, pr[2] AS rsym,
+               CAST(SUM(freq) AS BIGINT) AS n
+        FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(syms)),
+                          j -> [syms[j], syms[j+1]])) AS pr
+            FROM (SELECT freq,
+                         string_split(trim(seg, {wl} || {wr}),
+                                      {wr} || {wl}) AS syms
+                  FROM s{i-1})
+        ) GROUP BY 1, 2
+    ), m{i} AS (
+        SELECT lsym, rsym, n FROM p{i}
+        ORDER BY n DESC, lsym ASC, rsym ASC LIMIT 1
+    ), s{i} AS (
+        SELECT s.freq,
+               replace(s.seg,
+                       {wl} || m.lsym || {wr} || {wl} || m.rsym || {wr},
+                       {wl} || m.lsym || m.rsym || {wr}) AS seg
+        FROM s{i-1} s, m{i} m
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, lsym, rsym, "
+        f"lsym || rsym AS merged, n AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",".join(stages) + "\n    " + finals
+
+
+@query(
+    "q_bpe_merges",
+    oracle=_bpe_oracle_sql(BPE_NUM_MERGES),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the vocabulary-learning step of an LLM
+    data pipeline (Sennrich et al. 2016), upstream of q_vocab_ids'
+    frequency-ranked ids and q_encode_tokens' encode pass: the first
+    BPE_NUM_MERGES learned merge rules (rank, pair, merged symbol,
+    exact pair count) from character-level segmentations of the
+    corpus's words.
+
+    The third conquest of the iterative-algorithm family (PageRank
+    r12, k-means r13): bounded rounds, exact int64 pair counts,
+    deterministic lexicographic tie-break, and ONE shared greedy-merge
+    semantics — segmentations live as wrapped strings so each round's
+    merge is a non-regex replace() that scans left-to-right
+    non-overlapping identically on Spark, DuckDB, and Python (see
+    operators/text.py BPE block).
+
+    Scale: the only corpus-sized work is the word count (map-side
+    partials absorb the Zipfian head); the merge loop runs over the
+    DISTINCT-WORD relation, bounded by morphology (~1e6-1e7 rows at
+    any corpus size) — vocabularies under BPE_SMALL_VOCAB_WORDS train
+    in one exact driver pass (pagerank's guarded small-side shape),
+    larger ones take the distributed per-round job loop, pinned
+    bit-identical in tests/test_bpe_merges.py by forcing the guard to
+    0. Reference has no tokenizer training (north-star E3 extension;
+    cf. DataStreamJob.java:68-83's fixed map-only pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return bpe_learn_merges(words, BPE_NUM_MERGES)
