@@ -80,6 +80,31 @@ def minhash_band_col(band: int) -> Column:
     )
 
 
+def minhash_sig_cols(text_col: str = "text") -> list[Column]:
+    """ROW-LOCAL MinHash signature: the same sig_i values as
+    :func:`minhash_signatures`, computed as per-row array folds
+    (split → hash per token → array_min per hash function) instead of
+    explode + groupBy — ZERO exchanges, so it composes into a
+    STREAMING stateless projection (the near-dup gate's input) or any
+    map-only stage. min over the token array equals min over the
+    grouped rows by construction; bit-equality with the batch operator
+    is pinned in tests/test_neardup_stream.py.
+
+    A doc with no tokens yields null sigs (array_min of empty) — the
+    batch operator emits NO row for such docs; callers must filter or
+    gate empties first (the curation stream's quality gate does)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    hm = F.transform(toks, lambda t: stable_token_hash(t) % HM_MOD)
+    return [
+        F.array_min(
+            F.transform(hm, lambda h: (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P)
+        ).alias(f"sig_{i}")
+        for i in range(MINHASH_NUM_HASHES)
+    ]
+
+
 MAX_BUCKET_FOR_PAIRS = 64
 
 

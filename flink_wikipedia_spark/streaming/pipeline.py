@@ -271,6 +271,7 @@ def build_curation_stream(
     window_duration: str = FLAGSHIP_WINDOW,
     classifier_gate: bool = False,
     lm_gate: bool = False,
+    neardup_gate: bool = False,
 ) -> StreamingQuery:
     """STREAMING corpus curation — the round-2 batch pipeline's gates
     applied to documents as they arrive (the shape an always-on
@@ -278,8 +279,10 @@ def build_curation_stream(
 
         decode → quality gate [→ classifier gate] [→ LM gate] →
         exact-dup drop (state bounded by the watermark) →
-        contamination screen (stream-static ANTI join against
-        benchmark fingerprints) → per (lang, window) kept-count
+        [NEAR-dup drop: MinHash-LSH band keys, one within-watermark
+        drop per band] → contamination screen (stream-static ANTI
+        join against benchmark fingerprints) → per (lang, window)
+        kept-count
 
     Stage notes, 100 TB posture:
     - quality gate is stateless expressions — runs before anything
@@ -299,6 +302,25 @@ def build_curation_stream(
     - dropDuplicatesWithinWatermark keys on the md5 content
       fingerprint; state evicts as event time passes (plain
       dropDuplicates would grow forever on an unbounded corpus);
+    - neardup_gate=True (r14) extends the drop to FUZZY duplicates —
+      the batch MinHash→LSH family in-stream: each doc's MinHash
+      signature is a row-local array fold (operators/dedup.
+      minhash_sig_cols — bit-identical to the batch operator, zero
+      exchanges, stateless), its MINHASH_BANDS band keys are the SAME
+      md5 bucket keys batch LSH buckets on (minhash_band_col), and one
+      dropDuplicatesWithinWatermark per band chains them: a doc is
+      dropped when ANY band bucket was already claimed by a doc that
+      reached that band's stage. Semantics note: this is the GREEDY
+      first-arriver-keeps rule over chained band states — like the
+      batch cluster view (minhash_dedup_clusters keeps one doc per
+      bucket, no pairwise verify), collisions are conservative: a doc
+      dropped at band b still claimed the earlier bands' buckets, so
+      transitive chains collapse to their first arrival (parity with a
+      replayed Python greedy is pinned in tests). Recall is the LSH
+      banding curve (P[caught] = 1-(1-s^r)^B over MINHASH_BANDS=B
+      bands of r rows); state cost is B keys per kept doc per
+      watermark horizon — the gate runs AFTER the exact-dup drop so
+      exact copies never claim band state;
     - the benchmark fingerprint set is static and broadcast; ANTI join
       drops contaminated docs without holding stream state;
     - the windowed count is the same partial-aggregate shape as the
@@ -338,6 +360,26 @@ def build_curation_stream(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["fp"])
     )
+    if neardup_gate:
+        from flink_wikipedia_spark.functions.constants import (
+            MINHASH_BANDS,
+            MINHASH_NUM_HASHES,
+        )
+        from flink_wikipedia_spark.operators.dedup import (
+            minhash_band_col,
+            minhash_sig_cols,
+        )
+
+        deduped = deduped.select("*", *minhash_sig_cols("text")).select(
+            "*",
+            *[minhash_band_col(b).alias(f"_nd_band_{b}") for b in range(MINHASH_BANDS)],
+        )
+        for b in range(MINHASH_BANDS):
+            deduped = deduped.dropDuplicatesWithinWatermark([f"_nd_band_{b}"])
+        deduped = deduped.drop(
+            *[f"sig_{i}" for i in range(MINHASH_NUM_HASHES)],
+            *[f"_nd_band_{b}" for b in range(MINHASH_BANDS)],
+        )
     if benchmark_fps is not None:
         deduped = deduped.join(F.broadcast(benchmark_fps), ["fp"], "left_anti")
     w = F.window(F.col("ts"), window_duration)

@@ -223,7 +223,7 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true", help="keep rendered inputs")
     ap.add_argument(
         "--legs",
-        default="curation,curation_triad,stateful,stateful_jvm,stateful_bucketed,sessionize_bucketed,ss_join",
+        default="curation,curation_triad,curation_neardup,stateful,stateful_jvm,stateful_bucketed,sessionize_bucketed,ss_join",
         help="comma list to run",
     )
     ap.add_argument(
@@ -270,7 +270,7 @@ def main() -> None:
         t0 = time.perf_counter()
         n_ev = render_events(spark, args.sf_dir, ev_dir, args.events)
         print(f"rendered {n_ev} events in {time.perf_counter()-t0:.0f}s", flush=True)
-    if "curation" in legs or "curation_triad" in legs:
+    if legs & {"curation", "curation_triad", "curation_neardup"}:
         t0 = time.perf_counter()
         n_docs = render_docs(spark, args.sf_dir, doc_dir, args.docs)
         print(f"rendered {n_docs} docs in {time.perf_counter()-t0:.0f}s", flush=True)
@@ -311,6 +311,27 @@ def main() -> None:
         results["legs"]["curation_triad"] = run_leg(
             "curation_triad", build,
             os.path.join(work, "ck_curation_triad"), n_docs
+        )
+
+    if "curation_neardup" in legs:
+        # the r14 fuzzy-dedup gate: MinHash band keys (row-local folds)
+        # + one within-watermark drop per band, chained after the exact
+        # fp drop. Measured side-by-side with the curation leg so the
+        # marginal throughput cost AND the extra state (MINHASH_BANDS
+        # keys per kept doc vs 1 fp key) are standing numbers.
+        def build(sink, ck):
+            return build_curation_stream(
+                spark,
+                file_source(spark, doc_dir, max_files_per_trigger=1),
+                sink,
+                ck,
+                watermark="10 minutes",
+                neardup_gate=True,
+            )
+
+        results["legs"]["curation_neardup"] = run_leg(
+            "curation_neardup", build,
+            os.path.join(work, "ck_curation_neardup"), n_docs
         )
 
     if "stateful" in legs:
