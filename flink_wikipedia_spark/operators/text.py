@@ -756,3 +756,56 @@ def bpe_learn_merges(
             prev.unpersist()
         cur.unpersist()
     return spark.createDataFrame(merges, BPE_MERGES_SCHEMA)
+
+
+def bpe_apply_merges_expr(text_col: str, merges: list[tuple]) -> Column:
+    """Segment a document with a LEARNED merge list: every word wrapped
+    to its character segmentation, words joined with a space (merges
+    never cross word boundaries — the space breaks wrapped-symbol
+    adjacency), then the K merge rules replayed IN LEARNED ORDER as
+    non-regex replaces — the same greedy semantics the trainer used.
+    Returns the final wrapped segmentation string; row-local, zero
+    exchanges, whole corpus in one map.
+
+    ``merges``: rows of (merge_rank, lsym, rsym, merged, n) as returned
+    by :func:`bpe_learn_merges` (rank order is applied order)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    seg = F.array_join(F.transform(toks, _wrap_symbolwise), " ")
+    for r in sorted(merges, key=lambda r: r[0]):
+        _, a, b, _, _ = r
+        seg = F.replace(
+            seg,
+            F.lit(BPE_WRAP_L + a + BPE_WRAP_R + BPE_WRAP_L + b + BPE_WRAP_R),
+            F.lit(BPE_WRAP_L + a + b + BPE_WRAP_R),
+        )
+    return seg
+
+
+def _wrap_symbolwise(word: Column) -> Column:
+    return F.array_join(
+        F.transform(
+            F.split(word, ""),
+            lambda ch: F.concat(F.lit(BPE_WRAP_L), ch, F.lit(BPE_WRAP_R)),
+        ),
+        "",
+    )
+
+
+def bpe_encode_cols(seg: Column) -> list[Column]:
+    """Per-document encode metrics from a final wrapped segmentation:
+    subword-token count (one ``\\x01`` per symbol), word count, and an
+    md5 fingerprint that pins the EXACT segmentation (so the oracle
+    compare proves the full token sequence, not just counts)."""
+    n_sub = (
+        F.length(seg) - F.length(F.replace(seg, F.lit(BPE_WRAP_L), F.lit("")))
+    ).cast("long")
+    n_words = F.when(
+        F.length(seg) == 0, F.lit(0)
+    ).otherwise(
+        F.length(seg) - F.length(F.replace(seg, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+    return [
+        n_words.alias("n_words"),
+        n_sub.alias("n_subwords"),
+        F.md5(seg).alias("seg_fp"),
+    ]

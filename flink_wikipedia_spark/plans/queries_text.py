@@ -1372,6 +1372,49 @@ def _bpe_oracle_sql(k: int) -> str:
     return "WITH " + ",".join(stages) + "\n    " + finals
 
 
+def _bpe_encode_oracle_sql(k: int) -> str:
+    """DuckDB twin of q_bpe_encode: re-derives the k merge rules with
+    the SAME unrolled stages as q_bpe_merges' oracle (so learn and
+    apply can never disagree), then replays them over each document's
+    word-wise wrapped segmentation as a nested replace chain — the m{i}
+    CTEs are single rows, so the k-way join is a scalar broadcast, not
+    a blow-up."""
+    wl, wr = "chr(1)", "chr(2)"
+    # reuse the merge-derivation stages verbatim (w, s0, p/m/s 1..k):
+    # cut the sibling oracle at its final SELECT, keeping only the CTEs
+    derive = _bpe_oracle_sql(k)
+    cut = derive.index("\n    SELECT CAST(1 AS BIGINT) AS merge_rank")
+    stages = derive[len("WITH "):cut].rstrip()
+    # outer coalesce: DuckDB's array_to_string([]) is NULL where
+    # Spark's array_join([]) is '' — a wordless doc must segment to ''
+    seg0 = f"""coalesce(array_to_string(list_transform(
+                 list_filter(string_split(lower(coalesce(text, '')), ' '),
+                             t -> t <> ''),
+                 w -> array_to_string(list_transform(string_split(w, ''),
+                          c -> {wl} || c || {wr}), '')), ' '), '')"""
+    chain = seg0
+    for i in range(1, k + 1):
+        chain = (
+            f"replace({chain}, {wl} || m{i}.lsym || {wr} || {wl} || "
+            f"m{i}.rsym || {wr}, {wl} || m{i}.lsym || m{i}.rsym || {wr})"
+        )
+    froms = ", ".join(f"m{i}" for i in range(1, k + 1))
+    return f"""WITH {stages},
+    docseg AS (
+        SELECT doc_id, {chain} AS seg
+        FROM documents, {froms}
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN length(seg) = 0 THEN 0
+                ELSE length(seg) - length(replace(seg, ' ', '')) + 1
+                END AS BIGINT) AS n_words,
+           CAST(length(seg) - length(replace(seg, {wl}, ''))
+                AS BIGINT) AS n_subwords,
+           md5(seg) AS seg_fp
+    FROM docseg
+    """
+
+
 @query(
     "q_bpe_merges",
     oracle=_bpe_oracle_sql(BPE_NUM_MERGES),
@@ -1409,3 +1452,50 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return bpe_learn_merges(words, BPE_NUM_MERGES)
+
+
+@query(
+    "q_bpe_encode",
+    oracle=_bpe_encode_oracle_sql(BPE_NUM_MERGES),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY — the encode half of the learn→apply tokenizer
+    pipeline: learn the corpus's BPE_NUM_MERGES merge rules
+    (q_bpe_merges' operator, same derivation), then replay them over
+    every document to produce its subword segmentation, surfaced as
+    (n_words, n_subwords, seg_fp) where seg_fp is the md5 of the exact
+    final segmentation string — the oracle compare proves the full
+    per-document token SEQUENCE, not just counts (the q_encode_tokens
+    fingerprint discipline).
+
+    Null contract: text coalesces to '' before segmentation on both
+    engines (the funnel rule), so null docs encode as 0 words /
+    0 subwords.
+
+    Scale: learning runs over the morphology-bounded word relation
+    (see q_bpe_merges); the learned rules return to the driver as K
+    plan LITERALS, so the corpus-sized encode pass is ONE map-only
+    scan — a K-deep replace chain per document in whole-stage codegen,
+    no join against a rules table, no shuffle anywhere. The oracle
+    re-derives the rules in-SQL (single-row m{i} CTEs cross-joined as
+    scalars) so learn and apply can never disagree."""
+    from flink_wikipedia_spark.operators.text import (
+        bpe_apply_merges_expr,
+        bpe_encode_cols,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = [
+        (r.merge_rank, r.lsym, r.rsym, r.merged, r.pair_count)
+        for r in bpe_learn_merges(words, BPE_NUM_MERGES).collect()
+    ]
+    seg = bpe_apply_merges_expr("text", merges)
+    return docs.select("doc_id", *bpe_encode_cols(seg))

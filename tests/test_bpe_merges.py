@@ -128,3 +128,102 @@ def test_matches_duckdb_oracle_on_fixture(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(qd.oracle).fetchall())
     assert got == want
+
+
+def test_bpe_encode_applies_learned_merges(spark, tmp_path):
+    """q_bpe_encode: the learned rules replayed over each document.
+    On a corpus where 'ab' is learned, 'abab cd' must segment to
+    [ab][ab] [c][d] — 2 words, 3 subwords — and the seg_fp pins the
+    exact sequence against the oracle."""
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    texts = [
+        None,
+        "",
+        "the quick brown fox jumps over the lazy dog the fox",
+        "lower lowest newer newest wider widest low new wide",
+        "streaming streams streamed stream upstream downstream",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["unit"] * len(texts),
+            "n_chars": [len(t or "") for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    qd = REGISTRY["q_bpe_encode"]
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords, r.seg_fp)
+        for r in qd.fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(qd.oracle).fetchall()}
+    assert got == want
+    # null and empty docs encode to nothing
+    assert got[0] == got[1]
+    assert got[0][:2] == (0, 0)
+    # merges genuinely compress: subwords strictly fewer than chars,
+    # strictly more than words (8 merges can't fully fuse these words)
+    n_words, n_sub, _ = got[2]
+    n_chars_no_space = len(texts[2].replace(" ", ""))
+    assert n_words == 11 and n_words < n_sub < n_chars_no_space
+
+
+def test_bpe_encode_subword_counts_consistent_with_local_replay(spark, tmp_path):
+    """Python replay of learn+apply must reproduce the engine's
+    per-doc subword counts exactly (the same wrapped-string semantics
+    end to end)."""
+    from flink_wikipedia_spark.operators.text import (
+        BPE_WRAP_L,
+        BPE_WRAP_R,
+        _bpe_local,
+    )
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    texts = {
+        1: "banana bandana cabana banana",
+        2: "ban ban cab cab ana ana",
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 2,
+            "source": ["unit"] * 2,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    freq: dict[str, int] = {}
+    for t in texts.values():
+        for w in t.split(" "):
+            freq[w] = freq.get(w, 0) + 1
+    # engine runs BPE_NUM_MERGES=8 rules; replay the same 8
+    merges = _bpe_local(sorted(freq.items()), 8)
+
+    def seg_doc(t: str) -> str:
+        seg = " ".join(
+            "".join(BPE_WRAP_L + c + BPE_WRAP_R for c in w)
+            for w in t.split(" ") if w
+        )
+        for _, a, b, _, _ in merges:
+            seg = seg.replace(
+                BPE_WRAP_L + a + BPE_WRAP_R + BPE_WRAP_L + b + BPE_WRAP_R,
+                BPE_WRAP_L + a + b + BPE_WRAP_R,
+            )
+        return seg
+
+    want = {i: seg_doc(t).count(BPE_WRAP_L) for i, t in texts.items()}
+    got = {
+        r.doc_id: r.n_subwords
+        for r in REGISTRY["q_bpe_encode"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == want

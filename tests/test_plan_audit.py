@@ -68,16 +68,16 @@ def test_driver_window_covers_every_family():
     names = list(REGISTRY)[:50]
     assert names[0] == "q_windowed_edit_size"  # flagship = entry()
     # Round-14 rotation (tools/rotate_window.py --changed
-    # q_quality_triad_funnel q_lm_perplexity, re-run when q_bpe_merges
-    # registered — see plans/__init__.py): the 1 name with no driver
-    # record (q_bpe_merges), the 2 ADVICE-touched changed names, the
-    # TWELVE family anchors (rule 4 grew this round so every semantic
-    # family below has a structural anchor), and the 34 stalest names —
-    # the last 2 r10-vintage queries plus 32 of the r11-vintage ones
-    # (alphabetical; the r11 TPC-H tail and q_union_all_actions /
-    # q_unpivot_metrics wait for r15).
+    # q_quality_triad_funnel q_lm_perplexity, re-run as the registry
+    # grew: q_bpe_merges then q_bpe_encode — see plans/__init__.py):
+    # the 2 names with no driver record, the 2 ADVICE-touched changed
+    # names, the TWELVE family anchors (rule 4 grew this round so every
+    # semantic family below has a structural anchor), and the 33
+    # stalest names — the last 2 r10-vintage queries plus 31 of the
+    # r11-vintage ones (alphabetical; the r11 TPC-H tail and
+    # q_union_all_actions / q_unpivot_metrics wait for r15).
     families = {
-        "new_names": ["q_bpe_merges"],
+        "new_names": ["q_bpe_encode", "q_bpe_merges"],
         "changed": ["q_quality_triad_funnel", "q_lm_perplexity"],
         "anchors": ["q_filter_events", "q_json_extract", "q_word_count",
                     "q_pii_redact", "q_dedup_docs_exact",
@@ -101,8 +101,7 @@ def test_driver_window_covers_every_family():
             "q_string_functions", "q_to_json_roundtrip",
             "q_top_tokens_per_lang", "q_topk_docs_per_lang",
             "q_tpch_q11_important_stock", "q_tpch_q12_late_shipments",
-            "q_tpch_q15_top_supplier",
-            "q_tpch_q20_excess_stock_suppliers"
+            "q_tpch_q15_top_supplier"
         ],
     }
     missing = {
