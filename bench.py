@@ -275,12 +275,43 @@ def skew_bench(spark, sf_dir: str, runs: int = 3) -> dict:
     return out
 
 
+def _steal_ticks() -> int | None:
+    """Hypervisor steal ticks (8th field of /proc/stat's cpu line,
+    10 ms units). r14 protocol addition: this VM sits on an
+    overcommitted host where loadavg can read idle while steal inflates
+    measured CPU ~20 % uniformly — the steal DELTA across the run,
+    divided by (n_cpus × wall), is the stolen-CPU fraction and the
+    missing discriminator loadavg can't provide."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _steal_payload(steal_before: int | None, wall_t0: float) -> dict | None:
+    """Steal delta across the whole suite + the stolen-CPU fraction
+    (delta ticks × 10 ms / (n_cpus × wall))."""
+    after = _steal_ticks()
+    if steal_before is None or after is None:
+        return None
+    wall = time.perf_counter() - wall_t0
+    ncpu = os.cpu_count() or 1
+    return {
+        "ticks_delta": after - steal_before,
+        "stolen_cpu_frac": round((after - steal_before) * 0.01 / (ncpu * wall), 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Load BEFORE the run (judge protocol, round 9): a contaminated run
     # must be self-evident from the artifact alone — the end-of-run
     # averages miss co-tenant load that died mid-suite.
     load_before = [round(x, 2) for x in os.getloadavg()[:2]]
+    steal_before = _steal_ticks()
+    wall_t0 = time.perf_counter()
     # Expose the UI REST API so per-query executor CPU / shuffle / spill
     # deltas ride the artifact (round-10 protocol: CPU time is the drift
     # discriminator — wall inflates under co-tenant load, CPU doesn't).
@@ -362,6 +393,7 @@ def main() -> None:
         "runs": n_runs,
         "load_avg_1m_5m": load_avg,
         "load_avg_before": load_before,
+        "cpu_steal": _steal_payload(steal_before, wall_t0),
         "stream_events": stream_rows,
         "stream_events_per_sec": stream_eps,
         "skew_join": skew,

@@ -10,6 +10,11 @@ event/document backlogs, the round-9 verdict ask:
 - **curation_triad** (r13) — the same pipeline with the FULL quality
   triad gating pre-state (heuristic + hashed classifier + hashed-bigram
   LM); the delta vs the curation leg is the marginal model-gate cost;
+- **curation_neardup** (r14) — the heuristic pipeline plus the
+  MinHash-LSH NEAR-dup gate (one within-watermark drop per band key);
+  the delta vs the curation leg is the fuzzy-dedup cost — two extra
+  per-band stateful shuffles per trigger — and the state delta is the
+  per-band key stores;
 - **stateful**  — running_domain_totals: applyInPandasWithState lifetime
   counters, one state row per key (~1.5 M user keys at sf100);
 - **stateful_jvm** — the SAME lifetime counters as a built-in streaming
