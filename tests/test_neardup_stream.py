@@ -181,3 +181,57 @@ def test_stream_survivors_match_batch_greedy(spark, tmp_path):
         r.lang for r in sink.rows if r.window_start.hour == 10
     }
     assert survivors == expected
+
+
+def test_neardup_band_state_survives_checkpoint_restart(spark, tmp_path):
+    """The band-key stores must RESTORE across a query restart: doc 1
+    arrives before the stop, its near-dup (doc 2, band collision) only
+    after the resume — doc 2 must still drop, which is only possible if
+    the restored state carries doc 1's band claims. The resumed run's
+    survivors must equal an uninterrupted run over the same files."""
+    from flink_wikipedia_spark.streaming.pipeline import build_curation_stream
+
+    ts = "2024-01-01T10:01:{:02d}Z"
+    part1 = [(1, "l1", TEXTS[1], ts.format(1))]
+    part2 = [
+        (2, "l2", TEXTS[2], ts.format(2)),   # near-dup of doc 1
+        (4, "l4", TEXTS[4], ts.format(4)),   # distinct
+        (9, "l9", TEXTS[4] + " tail marker", "2024-01-01T11:00:00Z"),
+    ]
+
+    def run(src, ck, sink):
+        q = build_curation_stream(
+            spark, file_source(spark, src, max_files_per_trigger=1),
+            sink, ck, neardup_gate=True,
+        )
+        q.awaitTermination(120)
+
+    # interrupted run: two availableNow executions over one checkpoint
+    src = str(tmp_path / "src_resume")
+    os.makedirs(src, exist_ok=True)
+    base_t = time.time() - 600
+    def add(rows, offset):
+        for i, (doc_id, lang, text, t) in enumerate(rows, start=offset):
+            p = os.path.join(src, f"{i:03d}.json")
+            with open(p, "w") as f:
+                f.write(json.dumps({"doc_id": doc_id, "lang": lang,
+                                    "text": text, "timestamp": t}) + "\n")
+            os.utime(p, (base_t + i * 10, base_t + i * 10))
+    sink = MemorySink()
+    ck = str(tmp_path / "ck_resume")
+    add(part1, 0)
+    run(src, ck, sink)
+    add(part2, 1)
+    run(src, ck, sink)
+    resumed = {(r.lang, r.window_start) for r in sink.rows}
+
+    # uninterrupted control: same rows, fresh source/checkpoint
+    src2 = _write_stream_files(tmp_path, part1 + part2)
+    sink2 = MemorySink()
+    run(src2, str(tmp_path / "ck_control"), sink2)
+    control = {(r.lang, r.window_start) for r in sink2.rows}
+
+    assert resumed == control
+    survivors = {lang for lang, w in resumed if w.hour == 10}
+    # doc 2 dropped ACROSS the restart boundary; doc 1 and 4 kept
+    assert survivors == {"l1", "l4"}
