@@ -38,11 +38,13 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 # q_bpe_merges registers — so new code earns driver evidence in its
 # own round).
 # Composition (re-rotated mid-round as the registry grew — first when
-# q_bpe_merges registered, again for q_bpe_encode): rule 2 puts the
-# TWO names with no driver record first (q_bpe_encode — the encode
-# half of the learn→apply tokenizer pipeline, per-doc segmentation
-# fingerprint oracle; q_bpe_merges — BPE merge learning, the third
-# iterative-algorithm conquest, full unrolled value oracle); rule 3
+# q_bpe_merges registered, again for q_bpe_encode and q_bpe_vocab):
+# rule 2 puts the THREE names with no driver record first
+# (q_bpe_encode — the encode half of the learn→apply tokenizer
+# pipeline, per-doc segmentation fingerprint oracle; q_bpe_merges —
+# BPE merge learning, the third iterative-algorithm conquest, full
+# unrolled value oracle; q_bpe_vocab — the final post-merge symbol
+# vocabulary with exact corpus counts); rule 3
 # adds the two ADVICE-r13 touched names (q_quality_triad_funnel:
 # oracle gains coalesce so null text fails the heuristic stage on BOTH
 # sides — the latent stage-attribution divergence ADVICE flagged;
@@ -57,10 +59,11 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 # tests/test_plan_audit.py (the invariant now holds by construction);
 # rule 5 fills the remaining 35 slots with the stalest evidence:
 # q_window_navigation and q_zscore_docs (the last r10-vintage names)
-# then 31 r11-vintage names alphabetically (q_tpch_q2/q3/q5/q6,
-# q_tpch_q10_returned_items, q_tpch_q20_excess_stock_suppliers,
-# q_tpch_q22_dormant_accounts, q_union_all_actions,
-# q_unpivot_metrics and the other r11/r12 tail wait for r15). Expected r14 outcome:
+# then 30 r11-vintage names alphabetically (q_tpch_q2/q3/q5/q6,
+# q_tpch_q10_returned_items, q_tpch_q15_top_supplier,
+# q_tpch_q20_excess_stock_suppliers, q_tpch_q22_dormant_accounts,
+# q_union_all_actions, q_unpivot_metrics and the other r11/r12 tail
+# wait for r15). Expected r14 outcome:
 # **50/50 hash-green, ZERO rows-only in-window** — the second
 # consecutive all-oracle window (the registry's only rows-only names
 # remain the three approx-sketch queries, all out-of-window with
@@ -77,6 +80,7 @@ _PRIORITY = [
     "q_windowed_edit_size",  # r13
     "q_bpe_encode",  # NEW (no driver row)
     "q_bpe_merges",  # NEW (no driver row)
+    "q_bpe_vocab",  # NEW (no driver row)
     "q_lm_perplexity",  # r13
     "q_quality_triad_funnel",  # r13
     "q_filter_events",  # r13
@@ -123,7 +127,6 @@ _PRIORITY = [
     "q_topk_docs_per_lang",  # r11
     "q_tpch_q11_important_stock",  # r11
     "q_tpch_q12_late_shipments",  # r11
-    "q_tpch_q15_top_supplier",  # r11
     # --- driver cutoff is 50; everything below is registry tail ---
 ]
 

@@ -1499,3 +1499,73 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     seg = bpe_apply_merges_expr("text", merges)
     return docs.select("doc_id", *bpe_encode_cols(seg))
+
+
+def _bpe_vocab_oracle_sql(k: int) -> str:
+    """DuckDB twin of q_bpe_vocab: the same unrolled derivation, final
+    SELECT unnests s{k}'s segmented words and sums word frequencies per
+    surviving symbol."""
+    wl, wr = "chr(1)", "chr(2)"
+    derive = _bpe_oracle_sql(k)
+    cut = derive.index("\n    SELECT CAST(1 AS BIGINT) AS merge_rank")
+    stages = derive[len("WITH "):cut].rstrip()
+    return f"""WITH {stages}
+    SELECT sym AS symbol, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM (
+        SELECT freq,
+               unnest(string_split(trim(seg, {wl} || {wr}),
+                                   {wr} || {wl})) AS sym
+        FROM s{k}
+    ) GROUP BY 1
+    """
+
+
+@query(
+    "q_bpe_vocab",
+    oracle=_bpe_vocab_oracle_sql(BPE_NUM_MERGES),
+)
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINAL VOCABULARY after BPE training: every symbol surviving
+    the K learned merges (single characters plus the merged subwords),
+    with its exact corpus occurrence count (word frequency × in-word
+    count) — the table a tokenizer ships alongside its merge list, and
+    the direct input to q_vocab_ids-style id assignment over SUBWORDS
+    instead of whole words.
+
+    Scale: same posture as q_bpe_merges — learning on the
+    morphology-bounded word relation; the vocab aggregation is one
+    explode + groupBy over that same bounded relation (symbols per
+    word ≤ word length), never the corpus. Oracle reuses the unrolled
+    derivation stages, so rules, encode, and vocab all derive from ONE
+    definition of the iteration."""
+    from flink_wikipedia_spark.operators.text import (
+        BPE_WRAP_L,
+        BPE_WRAP_R,
+        bpe_wrap_word_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = [
+        (r.merge_rank, r.lsym, r.rsym, r.merged, r.pair_count)
+        for r in bpe_learn_merges(words, BPE_NUM_MERGES).collect()
+    ]
+    seg = bpe_wrap_word_expr("word")
+    for _, a, b, _, _ in sorted(merges, key=lambda m: m[0]):
+        seg = F.replace(
+            seg,
+            F.lit(BPE_WRAP_L + a + BPE_WRAP_R + BPE_WRAP_L + b + BPE_WRAP_R),
+            F.lit(BPE_WRAP_L + a + b + BPE_WRAP_R),
+        )
+    syms = F.split(F.btrim(seg, F.lit(BPE_WRAP_L + BPE_WRAP_R)),
+                   BPE_WRAP_R + BPE_WRAP_L)
+    return (
+        words.select("freq", F.explode(syms).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+    )

@@ -227,3 +227,48 @@ def test_bpe_encode_subword_counts_consistent_with_local_replay(spark, tmp_path)
         for r in REGISTRY["q_bpe_encode"].fn(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_bpe_vocab_symbols_and_counts(spark, tmp_path):
+    """q_bpe_vocab: the final vocabulary contains every learned merged
+    symbol plus the surviving single characters, and counts are exact
+    corpus occurrences (word freq × in-word count). Pinned against the
+    oracle AND a structural invariant: total symbol mass equals total
+    post-merge subword count."""
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    texts = [
+        "banana bandana cabana banana",
+        "ban ban cab cab ana ana",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["unit"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.symbol: r.n_occurrences
+        for r in REGISTRY["q_bpe_vocab"].fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = dict(con.execute(REGISTRY["q_bpe_vocab"].oracle).fetchall())
+    assert got == want
+    # the 8 learned merges (see test_bpe_encode_..._local_replay) end
+    # with fully-fused 'banana' and 'bandana'; 'cab' and 'ana' survive
+    assert {"banana", "bandana", "cab", "ana"} <= set(got)
+    # every count positive; symbol mass equals the corpus subword count
+    assert all(n > 0 for n in got.values())
+    enc = {
+        r.doc_id: r.n_subwords
+        for r in REGISTRY["q_bpe_encode"].fn(spark, str(tmp_path)).collect()
+    }
+    assert sum(got.values()) == sum(enc.values())

@@ -69,15 +69,16 @@ def test_driver_window_covers_every_family():
     assert names[0] == "q_windowed_edit_size"  # flagship = entry()
     # Round-14 rotation (tools/rotate_window.py --changed
     # q_quality_triad_funnel q_lm_perplexity, re-run as the registry
-    # grew: q_bpe_merges then q_bpe_encode — see plans/__init__.py):
-    # the 2 names with no driver record, the 2 ADVICE-touched changed
-    # names, the TWELVE family anchors (rule 4 grew this round so every
-    # semantic family below has a structural anchor), and the 33
-    # stalest names — the last 2 r10-vintage queries plus 31 of the
-    # r11-vintage ones (alphabetical; the r11 TPC-H tail and
-    # q_union_all_actions / q_unpivot_metrics wait for r15).
+    # grew: q_bpe_merges, q_bpe_encode, q_bpe_vocab — see
+    # plans/__init__.py): the 3 names with no driver record, the 2
+    # ADVICE-touched changed names, the TWELVE family anchors (rule 4
+    # grew this round so every semantic family below has a structural
+    # anchor), and the 32 stalest names — the last 2 r10-vintage
+    # queries plus 30 of the r11-vintage ones (alphabetical; the r11
+    # TPC-H tail and q_union_all_actions / q_unpivot_metrics wait for
+    # r15).
     families = {
-        "new_names": ["q_bpe_encode", "q_bpe_merges"],
+        "new_names": ["q_bpe_encode", "q_bpe_merges", "q_bpe_vocab"],
         "changed": ["q_quality_triad_funnel", "q_lm_perplexity"],
         "anchors": ["q_filter_events", "q_json_extract", "q_word_count",
                     "q_pii_redact", "q_dedup_docs_exact",
@@ -100,8 +101,7 @@ def test_driver_window_covers_every_family():
             "q_span_mask_stats", "q_stratified_sample",
             "q_string_functions", "q_to_json_roundtrip",
             "q_top_tokens_per_lang", "q_topk_docs_per_lang",
-            "q_tpch_q11_important_stock", "q_tpch_q12_late_shipments",
-            "q_tpch_q15_top_supplier"
+            "q_tpch_q11_important_stock", "q_tpch_q12_late_shipments"
         ],
     }
     missing = {
