@@ -722,6 +722,13 @@ def bpe_learn_merges(
         )
         return spark.createDataFrame(merges, BPE_MERGES_SCHEMA)
 
+    # Keep a handle to the persisted (word, freq) frame: ``cur`` is about
+    # to be reassigned to the derived seg projection, and without the
+    # handle the original MEMORY_AND_DISK cache (up to ~1e7 rows on this
+    # path) would never be unpersisted (ADVICE r14). Round 1 is its last
+    # reader, so it is released as soon as round 1's successor
+    # materializes (the same rotation discipline as ``prev``).
+    base = cur
     cur = cur.select("freq", bpe_wrap_word_expr("word").alias("seg"))
     merges = []
     prev = None
@@ -748,10 +755,15 @@ def bpe_learn_merges(
                 "freq", F.replace("seg", F.lit(pat), F.lit(rep)).alias("seg")
             ).persist(StorageLevel.MEMORY_AND_DISK)
             nxt.count()
+            if base is not None:
+                base.unpersist()
+                base = None
             if prev is not None:
                 prev.unpersist()
             prev, cur = cur, nxt
     finally:
+        if base is not None:
+            base.unpersist()
         if prev is not None:
             prev.unpersist()
         cur.unpersist()

@@ -1378,7 +1378,16 @@ def _bpe_encode_oracle_sql(k: int) -> str:
     apply can never disagree), then replays them over each document's
     word-wise wrapped segmentation as a nested replace chain — the m{i}
     CTEs are single rows, so the k-way join is a scalar broadcast, not
-    a blow-up."""
+    a blow-up.
+
+    The ``FROM documents, m1, …, mk`` cross join PRESUMES every m{i}
+    is exactly one row: on a corpus that exhausts pair types before k
+    merges, an empty m{i} would make this oracle silently return ZERO
+    rows while the Spark side raises ValueError (ADVICE r14). That
+    asymmetry never reaches a gate compare because the Spark builder
+    runs bpe_learn_merges FIRST and fails loudly before the oracle is
+    consulted — but anyone reusing this SQL standalone should check
+    the corpus supports k merges."""
     wl, wr = "chr(1)", "chr(2)"
     # reuse the merge-derivation stages verbatim (w, s0, p/m/s 1..k):
     # cut the sibling oracle at its final SELECT, keeping only the CTEs
