@@ -1372,13 +1372,45 @@ def _bpe_oracle_sql(k: int) -> str:
     return "WITH " + ",".join(stages) + "\n    " + finals
 
 
+def _bpe_derivation_stages(k: int) -> str:
+    """The unrolled merge-derivation CTEs (w, s0, p/m/s 1..k) shared by
+    every BPE oracle: cut the q_bpe_merges oracle at its final SELECT,
+    keeping only the CTE block, so rules/encode/vocab/ids all derive
+    from ONE definition of the iteration."""
+    derive = _bpe_oracle_sql(k)
+    cut = derive.index("\n    SELECT CAST(1 AS BIGINT) AS merge_rank")
+    return derive[len("WITH "):cut].rstrip()
+
+
+def _bpe_docseg_chain(k: int) -> tuple[str, str]:
+    """(chain, froms) for the per-document segmentation: the k learned
+    merges replayed over each document's word-wise wrapped
+    segmentation as a nested replace chain. The m{i} CTEs are single
+    rows, so the k-way cross join is a scalar broadcast, not a
+    blow-up."""
+    wl, wr = "chr(1)", "chr(2)"
+    # outer coalesce: DuckDB's array_to_string([]) is NULL where
+    # Spark's array_join([]) is '' — a wordless doc must segment to ''
+    chain = f"""coalesce(array_to_string(list_transform(
+                 list_filter(string_split(lower(coalesce(text, '')), ' '),
+                             t -> t <> ''),
+                 w -> array_to_string(list_transform(string_split(w, ''),
+                          c -> {wl} || c || {wr}), '')), ' '), '')"""
+    for i in range(1, k + 1):
+        chain = (
+            f"replace({chain}, {wl} || m{i}.lsym || {wr} || {wl} || "
+            f"m{i}.rsym || {wr}, {wl} || m{i}.lsym || m{i}.rsym || {wr})"
+        )
+    froms = ", ".join(f"m{i}" for i in range(1, k + 1))
+    return chain, froms
+
+
 def _bpe_encode_oracle_sql(k: int) -> str:
     """DuckDB twin of q_bpe_encode: re-derives the k merge rules with
     the SAME unrolled stages as q_bpe_merges' oracle (so learn and
     apply can never disagree), then replays them over each document's
-    word-wise wrapped segmentation as a nested replace chain — the m{i}
-    CTEs are single rows, so the k-way join is a scalar broadcast, not
-    a blow-up.
+    word-wise wrapped segmentation as a nested replace chain (see
+    _bpe_docseg_chain).
 
     The ``FROM documents, m1, …, mk`` cross join PRESUMES every m{i}
     is exactly one row: on a corpus that exhausts pair types before k
@@ -1389,25 +1421,8 @@ def _bpe_encode_oracle_sql(k: int) -> str:
     consulted — but anyone reusing this SQL standalone should check
     the corpus supports k merges."""
     wl, wr = "chr(1)", "chr(2)"
-    # reuse the merge-derivation stages verbatim (w, s0, p/m/s 1..k):
-    # cut the sibling oracle at its final SELECT, keeping only the CTEs
-    derive = _bpe_oracle_sql(k)
-    cut = derive.index("\n    SELECT CAST(1 AS BIGINT) AS merge_rank")
-    stages = derive[len("WITH "):cut].rstrip()
-    # outer coalesce: DuckDB's array_to_string([]) is NULL where
-    # Spark's array_join([]) is '' — a wordless doc must segment to ''
-    seg0 = f"""coalesce(array_to_string(list_transform(
-                 list_filter(string_split(lower(coalesce(text, '')), ' '),
-                             t -> t <> ''),
-                 w -> array_to_string(list_transform(string_split(w, ''),
-                          c -> {wl} || c || {wr}), '')), ' '), '')"""
-    chain = seg0
-    for i in range(1, k + 1):
-        chain = (
-            f"replace({chain}, {wl} || m{i}.lsym || {wr} || {wl} || "
-            f"m{i}.rsym || {wr}, {wl} || m{i}.lsym || m{i}.rsym || {wr})"
-        )
-    froms = ", ".join(f"m{i}" for i in range(1, k + 1))
+    stages = _bpe_derivation_stages(k)
+    chain, froms = _bpe_docseg_chain(k)
     return f"""WITH {stages},
     docseg AS (
         SELECT doc_id, {chain} AS seg
@@ -1515,9 +1530,7 @@ def _bpe_vocab_oracle_sql(k: int) -> str:
     SELECT unnests s{k}'s segmented words and sums word frequencies per
     surviving symbol."""
     wl, wr = "chr(1)", "chr(2)"
-    derive = _bpe_oracle_sql(k)
-    cut = derive.index("\n    SELECT CAST(1 AS BIGINT) AS merge_rank")
-    stages = derive[len("WITH "):cut].rstrip()
+    stages = _bpe_derivation_stages(k)
     return f"""WITH {stages}
     SELECT sym AS symbol, CAST(SUM(freq) AS BIGINT) AS n_occurrences
     FROM (
@@ -1577,4 +1590,178 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.select("freq", F.explode(syms).alias("symbol"))
         .groupBy("symbol")
         .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+    )
+
+
+def _bpe_ids_oracle_sql(k: int) -> str:
+    """DuckDB twin of q_bpe_ids: the shared unrolled derivation, then
+    (a) the final vocabulary ranked to token ids exactly like
+    q_vocab_ids (ROW_NUMBER over count desc, symbol asc, offset past
+    the reserved special ids) and (b) every document's segmentation
+    flattened to its ordered symbol list and mapped through a
+    one-row symbol→id MAP — no per-group ordered aggregation anywhere
+    (the r7 sf10 lesson), so the encode stays row-local.
+
+    The outer coalesce on the CSV mirrors Spark: DuckDB's
+    array_to_string([]) is NULL where Spark's array_join([]) is '',
+    and an empty document must fingerprint as md5('')."""
+    wl, wr = "chr(1)", "chr(2)"
+    stages = _bpe_derivation_stages(k)
+    chain, froms = _bpe_docseg_chain(k)
+    return f"""WITH {stages},
+    vocab AS (
+        SELECT sym AS symbol, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (
+            SELECT freq,
+                   unnest(string_split(trim(seg, {wl} || {wr}),
+                                       {wr} || {wl})) AS sym
+            FROM s{k}
+        ) GROUP BY 1
+    ),
+    ids AS (
+        SELECT symbol,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, symbol ASC)
+                    + {VOCAB_NUM_SPECIAL - 1} AS BIGINT) AS token_id
+        FROM vocab
+    ),
+    idmap AS (
+        SELECT map(list(symbol ORDER BY symbol),
+                   list(token_id ORDER BY symbol)) AS mm
+        FROM ids
+    ),
+    docseg AS (
+        SELECT doc_id, {chain} AS seg
+        FROM documents, {froms}
+    ),
+    docids AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(
+                       flatten(list_transform(string_split(seg, ' '),
+                           w -> string_split(trim(w, {wl} || {wr}),
+                                             {wr} || {wl}))),
+                       s -> s <> ''),
+                   s -> mm[s][1]) AS ids
+        FROM docseg, idmap
+    )
+    SELECT doc_id,
+           CAST(len(ids) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ids)) AS BIGINT) AS n_distinct_ids,
+           md5(coalesce(array_to_string(
+               list_transform(ids, i -> CAST(i AS VARCHAR)), ','), ''))
+               AS ids_fp
+    FROM docids
+    """
+
+
+@query(
+    "q_bpe_ids",
+    oracle=_bpe_ids_oracle_sql(BPE_NUM_MERGES),
+)
+def q_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer loop CLOSED: documents become subword TOKEN-ID
+    SEQUENCES — the artifact an LLM data pipeline actually ships.
+    Learn the corpus's merge rules (q_bpe_merges' operator), assign
+    deterministic ids over the final vocabulary (q_bpe_vocab's symbol
+    counts ranked by count desc, symbol asc — the q_vocab_ids
+    discipline, ids starting at VOCAB_NUM_SPECIAL past the reserved
+    <pad>/<unk>/<bos>/<eos> slots), then encode every document and
+    surface (n_tokens, n_distinct_ids, ids_fp) where ids_fp is the md5
+    of the comma-joined id sequence — the oracle compare proves the
+    EXACT per-document id sequence end-to-end, so merges, vocabulary,
+    id assignment, and encode cannot drift apart (all four derive from
+    the one unrolled definition on the oracle side).
+
+    There is no <unk> path: the vocabulary is learned from the same
+    corpus being encoded, so every symbol is in-vocab by construction
+    (OOV handling lives in q_encode_tokens' whole-word encode).
+
+    Null contract: text coalesces to '' (the funnel rule) — a null doc
+    encodes to 0 tokens with ids_fp = md5('').
+
+    Scale: learning runs on the morphology-bounded word relation (see
+    q_bpe_merges); both the merge rules and the symbol→id table return
+    to the driver as PLAN LITERALS (the vocabulary is chars + K merged
+    symbols — dozens of rows, model-sized like the merge list), so the
+    corpus pass is ONE map-only whole-stage-codegen scan: a K-deep
+    replace chain, an array map through a literal id map, one md5 — no
+    rules-table join, no shuffle, no per-doc ordered aggregation state
+    (the r7 sf10 lesson: fingerprints come from row-local strings, not
+    collect_list). Reference has no tokenizer (north-star E3;
+    cf. DataStreamJob.java:68-83's fixed map-only pipeline)."""
+    from flink_wikipedia_spark.operators.text import (
+        BPE_WRAP_L,
+        BPE_WRAP_R,
+        bpe_apply_merges_expr,
+        bpe_wrap_word_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = [
+        (r.merge_rank, r.lsym, r.rsym, r.merged, r.pair_count)
+        for r in bpe_learn_merges(words, BPE_NUM_MERGES).collect()
+    ]
+
+    # Final vocabulary with exact counts (the q_bpe_vocab derivation),
+    # ranked to ids on the driver — the vocabulary is bounded by
+    # alphabet + K merges, so this is a model-sized collect like the
+    # merge list itself.
+    vseg = bpe_wrap_word_expr("word")
+    for _, a, b, _, _ in sorted(merges, key=lambda m: m[0]):
+        vseg = F.replace(
+            vseg,
+            F.lit(BPE_WRAP_L + a + BPE_WRAP_R + BPE_WRAP_L + b + BPE_WRAP_R),
+            F.lit(BPE_WRAP_L + a + b + BPE_WRAP_R),
+        )
+    vsyms = F.split(F.btrim(vseg, F.lit(BPE_WRAP_L + BPE_WRAP_R)),
+                    BPE_WRAP_R + BPE_WRAP_L)
+    vocab_rows = (
+        words.select("freq", F.explode(vsyms).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("symbol").asc())
+        .collect()
+    )
+    id_map = {
+        r.symbol: VOCAB_NUM_SPECIAL + rank
+        for rank, r in enumerate(vocab_rows)
+    }
+    map_lit = F.create_map(
+        *[x for s in sorted(id_map) for x in (F.lit(s), F.lit(id_map[s]))]
+    )
+
+    seg = bpe_apply_merges_expr("text", merges)
+    syms = F.filter(
+        F.flatten(
+            F.transform(
+                F.split(seg, " "),
+                lambda w: F.split(
+                    F.btrim(w, F.lit(BPE_WRAP_L + BPE_WRAP_R)),
+                    BPE_WRAP_R + BPE_WRAP_L,
+                ),
+            )
+        ),
+        lambda s: s != "",
+    )
+    staged = docs.select(
+        "doc_id",
+        F.transform(syms, lambda s: F.element_at(map_lit, s)).alias("ids"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("ids").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("ids")).cast("long").alias("n_distinct_ids"),
+        F.md5(
+            F.array_join(
+                F.transform("ids", lambda i: i.cast("string")), ","
+            )
+        ).alias("ids_fp"),
     )

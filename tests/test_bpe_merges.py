@@ -272,3 +272,147 @@ def test_bpe_vocab_symbols_and_counts(spark, tmp_path):
         for r in REGISTRY["q_bpe_encode"].fn(spark, str(tmp_path)).collect()
     }
     assert sum(got.values()) == sum(enc.values())
+
+
+def _bpe_fixture(tmp_path, texts):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["unit"] * len(texts),
+            "n_chars": [len(t or "") for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    return con
+
+
+def test_bpe_ids_matches_duckdb_oracle_on_fixture(spark, tmp_path):
+    """q_bpe_ids: per-document token-id sequences pinned against the
+    unrolled oracle on a corpus with nulls and empties — the md5 CSV
+    fingerprint proves the EXACT id sequence, and a null doc must
+    fingerprint as md5('')."""
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    texts = [
+        None,
+        "",
+        "the quick brown fox jumps over the lazy dog the fox",
+        "lower lowest newer newest wider widest low new wide",
+        "streaming streams streamed stream upstream downstream",
+    ]
+    con = _bpe_fixture(tmp_path, texts)
+    qd = REGISTRY["q_bpe_ids"]
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct_ids, r.ids_fp)
+        for r in qd.fn(spark, str(tmp_path)).collect()
+    }
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(qd.oracle).fetchall()}
+    assert got == want
+    # null and empty docs: zero tokens, md5 of the empty CSV
+    assert got[0] == got[1] == (0, 0, "d41d8cd98f00b204e9800998ecf8427e")
+
+
+def test_bpe_ids_exact_sequences_via_python_replay(spark, tmp_path):
+    """Independent Python replay of the WHOLE loop — learn merges,
+    build the final vocabulary, rank it to ids (count desc, symbol
+    asc, offset past the special slots), encode each doc — must
+    reproduce the engine's per-doc id CSV md5 exactly. This pins the
+    id ASSIGNMENT and the sequence order without DuckDB in the loop."""
+    import hashlib
+
+    from flink_wikipedia_spark.operators.text import _bpe_local
+    from flink_wikipedia_spark.plans import REGISTRY
+    from flink_wikipedia_spark.plans.queries_text import VOCAB_NUM_SPECIAL
+
+    texts = [
+        "banana bandana cabana banana",
+        "ban ban cab cab ana ana",
+        "the quick brown fox jumps over the lazy dog the fox",
+    ]
+    con = _bpe_fixture(tmp_path, texts)
+
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    merges = _bpe_local(sorted(freq.items()), 8)
+
+    def seg_word(w: str) -> list[str]:
+        syms = list(w)
+        for _, a, b, _, _ in merges:  # rank order = applied order
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    vocab: dict[str, int] = {}
+    for w, n in freq.items():
+        for s in seg_word(w):
+            vocab[s] = vocab.get(s, 0) + n
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    id_map = {s: VOCAB_NUM_SPECIAL + i for i, (s, _) in enumerate(ranked)}
+
+    def doc_ids(t: str) -> list[int]:
+        return [
+            id_map[s]
+            for w in t.lower().split(" ")
+            if w
+            for s in seg_word(w)
+        ]
+
+    want = {}
+    for i, t in enumerate(texts):
+        ids = doc_ids(t)
+        csv = ",".join(str(x) for x in ids)
+        want[i] = (
+            len(ids),
+            len(set(ids)),
+            hashlib.md5(csv.encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct_ids, r.ids_fp)
+        for r in REGISTRY["q_bpe_ids"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # and the oracle agrees with both
+    ora = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(REGISTRY["q_bpe_ids"].oracle).fetchall()
+    }
+    assert ora == want
+
+
+def test_bpe_ids_token_mass_equals_vocab_mass(spark, tmp_path):
+    """Cross-query invariant: total encoded tokens (Σ n_tokens over
+    docs) equals total vocabulary occurrence mass (Σ n_occurrences in
+    q_bpe_vocab) — ids, vocab, and encode all count the same corpus."""
+    from flink_wikipedia_spark.plans import REGISTRY
+
+    texts = [
+        "banana bandana cabana banana",
+        "ban ban cab cab ana ana",
+        "the quick brown fox jumps over the lazy dog the fox",
+    ]
+    _bpe_fixture(tmp_path, texts)
+    ids_rows = REGISTRY["q_bpe_ids"].fn(spark, str(tmp_path)).collect()
+    vocab_rows = REGISTRY["q_bpe_vocab"].fn(spark, str(tmp_path)).collect()
+    assert sum(r.n_tokens for r in ids_rows) == sum(
+        r.n_occurrences for r in vocab_rows
+    )
+    # ids are dense: every vocab symbol is used somewhere, so the
+    # corpus-wide distinct-id count equals the vocabulary size
+    assert max(r.n_distinct_ids for r in ids_rows) <= len(vocab_rows)
