@@ -32,101 +32,91 @@ from flink_wikipedia_spark.plans import queries_curation  # noqa: E402,F401
 #      below so the verdict can check the gate outcome against a
 #      written prediction.
 #
-# ROUND-14 WINDOW — computed by ``tools/rotate_window.py --changed
-# q_quality_triad_funnel q_lm_perplexity`` (this list is the tool's
-# verbatim output; re-run mid-round if the registry grows — e.g. when
-# q_bpe_merges registers — so new code earns driver evidence in its
-# own round).
-# Composition (re-rotated mid-round as the registry grew — first when
-# q_bpe_merges registered, again for q_bpe_encode and q_bpe_vocab):
-# rule 2 puts the THREE names with no driver record first
-# (q_bpe_encode — the encode half of the learn→apply tokenizer
-# pipeline, per-doc segmentation fingerprint oracle; q_bpe_merges —
-# BPE merge learning, the third iterative-algorithm conquest, full
-# unrolled value oracle; q_bpe_vocab — the final post-merge symbol
-# vocabulary with exact corpus counts); rule 3
-# adds the two ADVICE-r13 touched names (q_quality_triad_funnel:
-# oracle gains coalesce so null text fails the heuristic stage on BOTH
-# sides — the latent stage-attribution divergence ADVICE flagged;
-# q_lm_perplexity: the lm_score_with_table seam's missing-bucket
-# backoff becomes a floor penalty instead of probability-1 — query
-# values unchanged, but the changed-code rule is about evidence, not
-# expected deltas); rule 4 now holds TWELVE family anchors + flagship
-# — the r14 rotation exposed that the six hand-era anchors left the
-# similarity/relational/TPC-H/functions/graph/streaming-twin families
-# with no structural in-window representative, so rotate_window.py
-# gained one canonical anchor per semantic family checked by
-# tests/test_plan_audit.py (the invariant now holds by construction);
-# rule 5 fills the remaining 35 slots with the stalest evidence:
-# q_window_navigation and q_zscore_docs (the last r10-vintage names)
-# then 30 r11-vintage names alphabetically (q_tpch_q2/q3/q5/q6,
-# q_tpch_q10_returned_items, q_tpch_q15_top_supplier,
-# q_tpch_q20_excess_stock_suppliers, q_tpch_q22_dormant_accounts,
-# q_union_all_actions, q_unpivot_metrics and the other r11/r12 tail
-# wait for r15). Expected r14 outcome:
-# **50/50 hash-green, ZERO rows-only in-window** — the second
-# consecutive all-oracle window (the registry's only rows-only names
-# remain the three approx-sketch queries, all out-of-window with
-# oracled exact twins).
+# ROUND-15 WINDOW — computed by ``tools/rotate_window.py --changed
+# q_bpe_merges q_bpe_encode q_bpe_vocab`` (this list is the tool's
+# verbatim output; re-run mid-round if the registry grows so new code
+# earns driver evidence in its own round).
+# Composition: rule 2 puts the ONE name with no driver record first
+# (q_bpe_ids — the tokenizer loop closed: per-document subword
+# token-id sequences with an exact md5-CSV fingerprint oracle); rule 3
+# adds the three BPE names touched by the ADVICE-r14 persist-leak fix
+# in bpe_learn_merges (distributed-path base frame now released after
+# round 1 — values unchanged, but the changed-code rule is about
+# evidence, not expected deltas); rule 4 holds the TWELVE family
+# anchors + flagship; rule 5 fills the remaining 33 slots
+# (50 − 1 flagship − 1 new − 3 changed − 12 anchors) with the stalest
+# evidence: the 10 remaining r11-vintage names (the q_tpch_q2/q3/q5/
+# q6/q8 + q15/q20/q22 TPC-H tail, q_unpivot_event_daily, q_vocab_ids)
+# then 23 r12-vintage names alphabetically (q_ann_ivf …
+# q_pagerank_parts_suppliers; the rest of the r12 band —
+# q_union_all_actions, q_unpivot_metrics et al. — waits for r16).
+# Expected r15 outcome: **47/50 hash-green, THREE rows-only-by-design
+# in-window** — the stalest-evidence rule reached the r12 band, which
+# contains the registry's only no-oracle names
+# (q_ann_ivfpq_refined, q_approx_distinct_users,
+# q_approx_percentile_value — cross-engine sketches, each
+# property-pinned with an oracled exact twin that is ALSO in-window:
+# q_distinct_users, q_median_value, q_ann_ivf).
 #
-# NOTE for the r15 rotation (pre-declared): once CORRECTNESS_r14.json
+# NOTE for the r16 rotation (pre-declared): once CORRECTNESS_r15.json
 # lands it becomes the rotation input — run ``python
-# tools/rotate_window.py --changed <r15-changed-names>``, paste its
+# tools/rotate_window.py --changed <r16-changed-names>``, paste its
 # output here verbatim, and update ROUND_CHANGED + the families pin in
 # tests/test_plan_audit.py in the same commit
 # (test_priority_window_is_rotation_tool_output fails on a stale
 # window by design, forcing the rotation at round start).
 _PRIORITY = [
-    "q_windowed_edit_size",  # r13
-    "q_bpe_encode",  # NEW (no driver row)
-    "q_bpe_merges",  # NEW (no driver row)
-    "q_bpe_vocab",  # NEW (no driver row)
-    "q_lm_perplexity",  # r13
-    "q_quality_triad_funnel",  # r13
-    "q_filter_events",  # r13
-    "q_json_extract",  # r13
-    "q_word_count",  # r13
-    "q_pii_redact",  # r13
-    "q_dedup_docs_exact",  # r13
-    "q_multimodal_decode",  # r13
-    "q_similarity_lsh",  # r13
-    "q_join_orders_customer",  # r13
-    "q_tpch_q1_pricing_summary",  # r13
-    "q_rank_functions",  # r11
-    "q_dedup_components",  # r13
-    "q_keyby_agg_edit_size",  # r11
-    "q_window_navigation",  # r10
-    "q_zscore_docs",  # r10
-    "q_antijoin_quiet_customers",  # r11
-    "q_array_functions",  # r11
-    "q_bigram_counts",  # r11
-    "q_dedup_events",  # r11
-    "q_dedup_pipeline",  # r11
-    "q_edit_distance_kernel",  # r11
-    "q_embedding_neardup_kernel",  # r11
-    "q_encode_tokens",  # r11
-    "q_grouping_sets_lineitem",  # r11
-    "q_map_functions",  # r11
-    "q_minhash_dedup_pairs",  # r11
-    "q_multimodal_frames",  # r11
-    "q_orders_by_month",  # r11
-    "q_regex_extract_props",  # r11
-    "q_repetition_signals",  # r11
-    "q_repetition_stats",  # r11
-    "q_running_total",  # r11
-    "q_semijoin_active_customers",  # r11
-    "q_ship_latency_histogram",  # r11
-    "q_shuffle_shards",  # r11
-    "q_similarity_topk",  # r11
-    "q_source_blocklist",  # r11
-    "q_span_mask_stats",  # r11
-    "q_stratified_sample",  # r11
-    "q_string_functions",  # r11
-    "q_to_json_roundtrip",  # r11
-    "q_top_tokens_per_lang",  # r11
-    "q_topk_docs_per_lang",  # r11
-    "q_tpch_q11_important_stock",  # r11
-    "q_tpch_q12_late_shipments",  # r11
+
+    "q_windowed_edit_size",  # r14
+    "q_bpe_ids",  # NEW (no driver row)
+    "q_bpe_encode",  # r14
+    "q_bpe_merges",  # r14
+    "q_bpe_vocab",  # r14
+    "q_filter_events",  # r14
+    "q_json_extract",  # r14
+    "q_word_count",  # r14
+    "q_pii_redact",  # r14
+    "q_dedup_docs_exact",  # r14
+    "q_multimodal_decode",  # r14
+    "q_similarity_lsh",  # r14
+    "q_join_orders_customer",  # r14
+    "q_tpch_q1_pricing_summary",  # r14
+    "q_rank_functions",  # r14
+    "q_dedup_components",  # r14
+    "q_keyby_agg_edit_size",  # r14
+    "q_tpch_q15_top_supplier",  # r11
+    "q_tpch_q20_excess_stock_suppliers",  # r11
+    "q_tpch_q22_dormant_accounts",  # r11
+    "q_tpch_q2_min_cost_supplier",  # r11
+    "q_tpch_q3_shipping_priority",  # r11
+    "q_tpch_q5_regional_revenue",  # r11
+    "q_tpch_q6_forecast_revenue",  # r11
+    "q_tpch_q8_market_share",  # r11
+    "q_unpivot_event_daily",  # r11
+    "q_vocab_ids",  # r11
+    "q_ann_ivf",  # r12
+    "q_ann_ivfpq_refined",  # r12
+    "q_antijoin_inactive_users",  # r12
+    "q_approx_distinct_users",  # r12
+    "q_approx_percentile_value",  # r12
+    "q_c4_quality",  # r12
+    "q_collect_user_lists",  # r12
+    "q_cube_orders",  # r12
+    "q_distinct_users",  # r12
+    "q_embedding_neardup_lsh",  # r12
+    "q_fingerprint",  # r12
+    "q_gopher_quality",  # r12
+    "q_hash_sample",  # r12
+    "q_having_active_users",  # r12
+    "q_ivfpq_search",  # r12
+    "q_lang_stats",  # r12
+    "q_like_filter_parts",  # r12
+    "q_median_value",  # r12
+    "q_minhash_dedup_clusters",  # r12
+    "q_minhash_signatures",  # r12
+    "q_ngram_jaccard_pairs",  # r12
+    "q_pagerank_converged",  # r12
+    "q_pagerank_parts_suppliers",  # r12
     # --- driver cutoff is 50; everything below is registry tail ---
 ]
 

@@ -67,41 +67,39 @@ def test_driver_window_covers_every_family():
     in-window representative."""
     names = list(REGISTRY)[:50]
     assert names[0] == "q_windowed_edit_size"  # flagship = entry()
-    # Round-14 rotation (tools/rotate_window.py --changed
-    # q_quality_triad_funnel q_lm_perplexity, re-run as the registry
-    # grew: q_bpe_merges, q_bpe_encode, q_bpe_vocab — see
-    # plans/__init__.py): the 3 names with no driver record, the 2
-    # ADVICE-touched changed names, the TWELVE family anchors (rule 4
-    # grew this round so every semantic family below has a structural
-    # anchor), and the 32 stalest names — the last 2 r10-vintage
-    # queries plus 30 of the r11-vintage ones (alphabetical; the r11
-    # TPC-H tail and q_union_all_actions / q_unpivot_metrics wait for
-    # r15).
+    # Round-15 rotation (tools/rotate_window.py --changed
+    # q_bpe_merges q_bpe_encode q_bpe_vocab — see plans/__init__.py):
+    # the 1 name with no driver record (q_bpe_ids), the 3 names touched
+    # by the ADVICE-r14 persist-leak fix, the TWELVE family anchors,
+    # and the 33 stalest names — the 10 remaining r11-vintage queries
+    # plus 23 r12-vintage ones (alphabetical; the rest of the r12 band
+    # waits for r16).
     families = {
-        "new_names": ["q_bpe_encode", "q_bpe_merges", "q_bpe_vocab"],
-        "changed": ["q_quality_triad_funnel", "q_lm_perplexity"],
+        "new_names": ["q_bpe_ids"],
+        "changed": ["q_bpe_encode", "q_bpe_merges", "q_bpe_vocab"],
         "anchors": ["q_filter_events", "q_json_extract", "q_word_count",
                     "q_pii_redact", "q_dedup_docs_exact",
                     "q_multimodal_decode", "q_similarity_lsh",
                     "q_join_orders_customer", "q_tpch_q1_pricing_summary",
                     "q_rank_functions", "q_dedup_components",
                     "q_keyby_agg_edit_size"],
-        "r10_vintage": ["q_window_navigation", "q_zscore_docs"],
         "r11_vintage": [
-            "q_antijoin_quiet_customers", "q_array_functions",
-            "q_bigram_counts", "q_dedup_events", "q_dedup_pipeline",
-            "q_edit_distance_kernel", "q_embedding_neardup_kernel",
-            "q_encode_tokens", "q_grouping_sets_lineitem",
-            "q_map_functions", "q_minhash_dedup_pairs",
-            "q_multimodal_frames", "q_orders_by_month",
-            "q_regex_extract_props", "q_repetition_signals",
-            "q_repetition_stats", "q_running_total",
-            "q_semijoin_active_customers", "q_ship_latency_histogram",
-            "q_shuffle_shards", "q_similarity_topk", "q_source_blocklist",
-            "q_span_mask_stats", "q_stratified_sample",
-            "q_string_functions", "q_to_json_roundtrip",
-            "q_top_tokens_per_lang", "q_topk_docs_per_lang",
-            "q_tpch_q11_important_stock", "q_tpch_q12_late_shipments"
+            "q_tpch_q15_top_supplier", "q_tpch_q20_excess_stock_suppliers",
+            "q_tpch_q22_dormant_accounts", "q_tpch_q2_min_cost_supplier",
+            "q_tpch_q3_shipping_priority", "q_tpch_q5_regional_revenue",
+            "q_tpch_q6_forecast_revenue", "q_tpch_q8_market_share",
+            "q_unpivot_event_daily", "q_vocab_ids",
+        ],
+        "r12_vintage": [
+            "q_ann_ivf", "q_ann_ivfpq_refined", "q_antijoin_inactive_users",
+            "q_approx_distinct_users", "q_approx_percentile_value",
+            "q_c4_quality", "q_collect_user_lists", "q_cube_orders",
+            "q_distinct_users", "q_embedding_neardup_lsh", "q_fingerprint",
+            "q_gopher_quality", "q_hash_sample", "q_having_active_users",
+            "q_ivfpq_search", "q_lang_stats", "q_like_filter_parts",
+            "q_median_value", "q_minhash_dedup_clusters",
+            "q_minhash_signatures", "q_ngram_jaccard_pairs",
+            "q_pagerank_converged", "q_pagerank_parts_suppliers",
         ],
     }
     missing = {
@@ -169,7 +167,7 @@ def test_driver_window_covers_every_family():
 # The names whose builders changed in the CURRENT round — the
 # rotate_window rule-3 input. Updated each rotation, in the same commit
 # as plans/__init__._PRIORITY.
-ROUND_CHANGED = ["q_quality_triad_funnel", "q_lm_perplexity"]
+ROUND_CHANGED = ["q_bpe_merges", "q_bpe_encode", "q_bpe_vocab"]
 
 
 def test_priority_window_is_rotation_tool_output():
