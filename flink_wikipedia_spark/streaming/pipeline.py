@@ -318,9 +318,15 @@ def build_curation_stream(
       transitive chains collapse to their first arrival (parity with a
       replayed Python greedy is pinned in tests). Recall is the LSH
       banding curve (P[caught] = 1-(1-s^r)^B over MINHASH_BANDS=B
-      bands of r rows); state cost is B keys per kept doc per
-      watermark horizon — the gate runs AFTER the exact-dup drop so
-      exact copies never claim band state;
+      bands of r rows) — MEASURED on the labeled r15 fixture
+      (tests/test_neardup_stream.py::
+      test_neardup_gate_measured_recall_and_false_drop):
+      recall 36/40 = 0.900 at true Jaccard 0.90 (bound 0.8817),
+      17/40 = 0.425 at J ≈ 0.714 (curve 0.4529), and ZERO false
+      drops across 120 unique docs — the greedy ANY-band drop paid
+      nothing in good data at these parameters; state cost is B keys
+      per kept doc per watermark horizon — the gate runs AFTER the
+      exact-dup drop so exact copies never claim band state;
     - the benchmark fingerprint set is static and broadcast; ANTI join
       drops contaminated docs without holding stream state;
     - the windowed count is the same partial-aggregate shape as the
