@@ -45,6 +45,12 @@ hold everything and measure nothing but buffer size). Document
 timestamps are synthesized (doc_id-ordered, spread over 24 h) because
 the table has none.
 
+Every leg is bracketed with the /proc/stat hypervisor-steal counter
+(r15, the bench.py r14 protocol): per-leg `load_before` +
+`cpu_steal.stolen_cpu_frac` make a contaminated sample self-evident
+from the artifact alone — loadavg cannot certify a run on this
+overcommitted host (r14 TRIAGE).
+
 State-store numbers come from the final StreamingQueryProgress
 (stateOperators[]: numRowsTotal, memory/customMetrics) plus a du of the
 checkpoint's state dir. Run under the deployment store:
@@ -200,11 +206,21 @@ def state_metrics(query, ck_dir: str) -> dict:
 
 
 def run_leg(name: str, build, ck_dir: str, n_in: int) -> dict:
+    # r15: bracket every leg with the /proc/stat steal counter (the
+    # bench.py r14 protocol) — the r14 TRIAGE proved loadavg cannot
+    # certify a stream sample on this overcommitted host (clean-start
+    # absolutes came out LOWER than a contaminated run's on identical
+    # code); per-leg stolen_cpu_frac is the discriminator.
+    from bench import _steal_payload, _steal_ticks
+
     sink = CountSink()
+    load_before = [round(x, 2) for x in os.getloadavg()[:2]]
+    steal_before = _steal_ticks()
     t0 = time.perf_counter()
     q = build(sink, ck_dir)
     q.awaitTermination()
     wall = time.perf_counter() - t0
+    cpu_steal = _steal_payload(steal_before, t0)
     m = state_metrics(q, ck_dir)
     rec = {
         "input_rows": n_in,
@@ -212,6 +228,8 @@ def run_leg(name: str, build, ck_dir: str, n_in: int) -> dict:
         "batches": sink.batches,
         "wall_sec": round(wall, 1),
         "rows_per_sec": round(n_in / wall, 1),
+        "load_before": load_before,
+        "cpu_steal": cpu_steal,
         "state": m,
     }
     print(f"{name}: {json.dumps(rec)}", flush=True)
