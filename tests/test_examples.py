@@ -16,6 +16,7 @@ EXAMPLES = [
     "examples/corpus_dedup.py",
     "examples/flagship_pipeline.py",
     "examples/training_data_pipeline.py",
+    "examples/training_data_export.py",
 ]
 
 
