@@ -161,6 +161,30 @@ def stable_token_hash(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def arrow_local_df(spark: SparkSession, rows, schema: str, columns: list[str]):
+    """Driver-computed rows → DataFrame over the ARROW path, never the
+    pickled-RDD path.
+
+    ``spark.createDataFrame(list_of_tuples, ...)`` parallelizes the rows
+    into ``defaultParallelism`` pickled partitions, and *every
+    downstream action* then launches that many Python-worker tasks just
+    to unpickle them — measured on q_dedup_components' union-find fast
+    path: one 32-task stage with 8.3 s of task time against 0.22 s of
+    CPU (the rest is Python worker spawn/connect), for 303 rows.
+    Routing the same rows through pandas + Arrow plans them as Arrow
+    batches deserialized JVM-side: no Python workers at execution time,
+    ~one small JVM task per batch (guide §4 — eliminate the Python
+    boundary; this is the *driver-side* instance of it).
+
+    Values are unchanged — same rows, same explicit schema — only the
+    transport differs. Column NAMES must match the schema (pandas
+    carries them; the Arrow path maps by position against the schema).
+    """
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows, columns=columns), schema=schema)
+
+
 # The DuckDB twin of each helper is documented in its docstring; oracle
 # SQL that is structurally complex (MinHash, SimHash, LSH, lang-ID) is
 # generated from shared constants in operators/*.py `sql_*_duckdb`

@@ -133,13 +133,19 @@ def connected_components(
         labeled = _unionfind_components([(r.u, r.v) for r in und.collect()])
         from pyspark.sql.types import StructField, StructType
 
+        from flink_wikipedia_spark.functions.compat import arrow_local_df
+
         schema = StructType(
             [
                 StructField("node", und.schema["u"].dataType),
                 StructField("component", und.schema["u"].dataType),
             ]
         )
-        return spark.createDataFrame(labeled, schema)
+        # Arrow transport, not pickled rows: the labeled list can be
+        # ~10^6 nodes at the guard ceiling, and the pickled-RDD path
+        # additionally spawns a Python worker per downstream task just
+        # to unpickle it (see arrow_local_df).
+        return arrow_local_df(spark, labeled, schema, ["node", "component"])
     if algorithm == "auto":
         # the probe costs one O(|E|) aggregate — ~one round of either
         # loop — and only runs on >small_graph_edges graphs, where

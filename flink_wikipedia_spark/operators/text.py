@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_wikipedia_spark.functions.compat import stable_token_hash
+from flink_wikipedia_spark.functions.compat import (
+    arrow_local_df,
+    stable_token_hash,
+)
 from flink_wikipedia_spark.functions.constants import (
     HM_MOD,
     LANG_STOPWORDS,
@@ -672,6 +675,7 @@ BPE_MERGES_SCHEMA = (
     "merge_rank long, lsym string, rsym string, merged string, "
     "pair_count long"
 )
+_BPE_MERGES_COLS = ["merge_rank", "lsym", "rsym", "merged", "pair_count"]
 
 
 def bpe_learn_merges(
@@ -720,7 +724,9 @@ def bpe_learn_merges(
         merges = _bpe_local(
             list(zip(pdf["word"].tolist(), (int(x) for x in pdf["freq"]))), k
         )
-        return spark.createDataFrame(merges, BPE_MERGES_SCHEMA)
+        return arrow_local_df(
+            spark, merges, BPE_MERGES_SCHEMA, _BPE_MERGES_COLS
+        )
 
     # Keep a handle to the persisted (word, freq) frame: ``cur`` is about
     # to be reassigned to the derived seg projection, and without the
@@ -767,7 +773,7 @@ def bpe_learn_merges(
         if prev is not None:
             prev.unpersist()
         cur.unpersist()
-    return spark.createDataFrame(merges, BPE_MERGES_SCHEMA)
+    return arrow_local_df(spark, merges, BPE_MERGES_SCHEMA, _BPE_MERGES_COLS)
 
 
 def bpe_apply_merges_expr(text_col: str, merges: list[tuple]) -> Column:

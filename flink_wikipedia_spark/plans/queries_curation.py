@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_wikipedia_spark.functions.compat import stable_token_hash
+from flink_wikipedia_spark.functions.compat import (
+    arrow_local_df,
+    stable_token_hash,
+)
 from flink_wikipedia_spark.operators.text import (
     BIGRAMS_EXPR,
     SQL_BIGRAMS,
@@ -166,7 +169,9 @@ def q_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), the filter rides the scan, and the per-language rollup
     collapses map-side to |langs| rows. One pass, one tiny exchange."""
     docs = load_table(spark, sf_dir, "documents")
-    blocked = spark.createDataFrame([(s,) for s in BLOCKED_SOURCES], "source string")
+    blocked = arrow_local_df(
+        spark, [(s,) for s in BLOCKED_SOURCES], "source string", ["source"]
+    )
     return (
         docs.join(F.broadcast(blocked), "source", "left_anti")
         .groupBy("lang")

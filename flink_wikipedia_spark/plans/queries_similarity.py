@@ -9,6 +9,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_wikipedia_spark.functions.compat import arrow_local_df
 from flink_wikipedia_spark.operators.similarity import (
     cosine_expr,
     ivf_assign,
@@ -847,9 +848,11 @@ def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents, cbs = train_ivfpq_index(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    cents_df = spark.createDataFrame(
+    cents_df = arrow_local_df(
+        spark,
         [(int(i), [float(v) for v in row]) for i, row in enumerate(cents)],
         "vec_id long, embedding array<double>",
+        ["vec_id", "embedding"],
     )
     # corpus side: nearest cell + PQ codes, one scan plus ivf_assign's
     # broadcast-join ranking. Measured dead end (round 6, sf10): an
