@@ -643,10 +643,17 @@ def _bpe_pairs_expr(seg: Column) -> Column:
     ).otherwise(F.array().cast("array<struct<lsym:string,rsym:string>>"))
 
 
-def _bpe_local(words: list[tuple[str, int]], k: int) -> list[tuple]:
+def _bpe_local_full(
+    words: list[tuple[str, int]], k: int
+) -> tuple[list[tuple], list[tuple[str, int]]]:
     """Exact driver-side BPE over a bounded (word, freq) list — the
     same wrapped-string replace semantics as the distributed loop and
-    the unrolled DuckDB oracle, so all three are bit-identical."""
+    the unrolled DuckDB oracle, so all three are bit-identical.
+    Returns (merges, final_segs) where final_segs carries each input
+    word's post-merge wrapped segmentation with its frequency — the
+    free by-product the vocabulary derivation needs (see
+    bpe_vocab_from_segs), so callers never re-run the k replace rounds.
+    """
     segs = [
         ("".join(BPE_WRAP_L + ch + BPE_WRAP_R for ch in w), f)
         for w, f in words
@@ -668,7 +675,26 @@ def _bpe_local(words: list[tuple[str, int]], k: int) -> list[tuple]:
         rep = BPE_WRAP_L + a + b + BPE_WRAP_R
         segs = [(seg.replace(pat, rep), f) for seg, f in segs]
         out.append((rank, a, b, a + b, n))
-    return out
+    return out, segs
+
+
+def _bpe_local(words: list[tuple[str, int]], k: int) -> list[tuple]:
+    """Merge list only — see _bpe_local_full."""
+    return _bpe_local_full(words, k)[0]
+
+
+def bpe_vocab_from_segs(segs: list[tuple[str, int]]) -> list[tuple[str, int]]:
+    """Final vocabulary from post-merge word segmentations: every
+    surviving symbol with its exact corpus occurrence count
+    (word frequency × in-word count — the q_bpe_vocab contract),
+    ordered by (count desc, symbol asc), the q_vocab_ids ranking
+    discipline. Pure integer fold, order-independent, so it is
+    bit-identical to the distributed explode+groupBy derivation."""
+    counts: dict[str, int] = {}
+    for seg, f in segs:
+        for sym in seg[1:-1].split(BPE_WRAP_R + BPE_WRAP_L):
+            counts[sym] = counts.get(sym, 0) + f
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
 
 
 BPE_MERGES_SCHEMA = (
@@ -678,20 +704,25 @@ BPE_MERGES_SCHEMA = (
 _BPE_MERGES_COLS = ["merge_rank", "lsym", "rsym", "merged", "pair_count"]
 
 
-def bpe_learn_merges(
+def bpe_train(
     words: DataFrame,
     k: int = BPE_NUM_MERGES,
     *,
     small_vocab_words: int | None = None,
-) -> DataFrame:
+) -> tuple[list[tuple], list[tuple[str, int]] | None]:
     """Learn the first ``k`` BPE merge rules from a (word, freq) table.
 
-    Returns a k-row DataFrame (merge_rank, lsym, rsym, merged,
-    pair_count) — the ordered merge list a tokenizer ships. Pair
-    counts are exact int64 sums of word frequencies, so the
-    argmax-with-lexicographic-tie-break is deterministic and
-    engine-exact (the PageRank/k-means integer-exactness discipline);
-    headroom: counts ≤ corpus token count, far inside int64.
+    Returns ``(merges, final_segs)``: merges is the ordered k-item rule
+    list (merge_rank, lsym, rsym, merged, pair_count); final_segs is
+    each distinct word's post-merge wrapped segmentation with its
+    frequency when the driver-side small-vocab path ran, else None —
+    the free by-product that lets vocabulary/ids queries derive the
+    final vocabulary with ZERO additional corpus or vocabulary jobs
+    (bpe_vocab_from_segs). Pair counts are exact int64 sums of word
+    frequencies, so the argmax-with-lexicographic-tie-break is
+    deterministic and engine-exact (the PageRank/k-means
+    integer-exactness discipline); headroom: counts ≤ corpus token
+    count, far inside int64.
 
     Scale: the caller's corpus-sized work (the word count) has already
     collapsed the input to the DISTINCT-WORD relation, bounded by
@@ -702,30 +733,31 @@ def bpe_learn_merges(
     groupBy(lsym, rsym) → TakeOrdered(1) argmax) plus a map-only
     re-segmentation persisted for the next round (persist rotates —
     the previous round's cache is released as soon as its successor
-    materializes, keeping O(vocab) not O(k·vocab) memory)."""
+    materializes, keeping O(vocab) not O(k·vocab) memory).
+
+    The size probe is a ``limit(small_vocab_words + 1).toPandas()``
+    over the persisted relation, not a count-then-collect: on the
+    small path the probe's single job IS the collection (one job where
+    count+toPandas was two), and on the large path the limit stops
+    scheduling partitions once it has enough rows, the partitions it
+    did compute land in the cache, and the loop's first action
+    materializes the rest — no double compute on either path."""
     from pyspark import StorageLevel
 
     if small_vocab_words is None:
         small_vocab_words = BPE_SMALL_VOCAB_WORDS
-    spark = words.sparkSession
 
-    cur = words.select("word", "freq").persist(StorageLevel.MEMORY_AND_DISK)
+    cached = words.select("word", "freq").persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        n_words = cur.count()
+        pdf = cached.limit(small_vocab_words + 1).toPandas()
     except Exception:
-        cur.unpersist()
+        cached.unpersist()
         raise
 
-    if n_words <= small_vocab_words:
-        try:
-            pdf = cur.toPandas()
-        finally:
-            cur.unpersist()
-        merges = _bpe_local(
+    if len(pdf) <= small_vocab_words:
+        cached.unpersist()
+        return _bpe_local_full(
             list(zip(pdf["word"].tolist(), (int(x) for x in pdf["freq"]))), k
-        )
-        return arrow_local_df(
-            spark, merges, BPE_MERGES_SCHEMA, _BPE_MERGES_COLS
         )
 
     # Keep a handle to the persisted (word, freq) frame: ``cur`` is about
@@ -734,8 +766,8 @@ def bpe_learn_merges(
     # path) would never be unpersisted (ADVICE r14). Round 1 is its last
     # reader, so it is released as soon as round 1's successor
     # materializes (the same rotation discipline as ``prev``).
-    base = cur
-    cur = cur.select("freq", bpe_wrap_word_expr("word").alias("seg"))
+    base = cached
+    cur = cached.select("freq", bpe_wrap_word_expr("word").alias("seg"))
     merges = []
     prev = None
     try:
@@ -773,7 +805,24 @@ def bpe_learn_merges(
         if prev is not None:
             prev.unpersist()
         cur.unpersist()
-    return arrow_local_df(spark, merges, BPE_MERGES_SCHEMA, _BPE_MERGES_COLS)
+    return merges, None
+
+
+def bpe_learn_merges(
+    words: DataFrame,
+    k: int = BPE_NUM_MERGES,
+    *,
+    small_vocab_words: int | None = None,
+) -> DataFrame:
+    """The k learned merge rules as a DataFrame (merge_rank, lsym,
+    rsym, merged, pair_count) — bpe_train's rule list lifted over the
+    Arrow local-DF path (LocalTableScan; see arrow_local_df). Callers
+    that only need the rules as PLAN LITERALS should call bpe_train
+    directly and skip the DataFrame round-trip."""
+    merges, _ = bpe_train(words, k, small_vocab_words=small_vocab_words)
+    return arrow_local_df(
+        words.sparkSession, merges, BPE_MERGES_SCHEMA, _BPE_MERGES_COLS
+    )
 
 
 def bpe_apply_merges_expr(text_col: str, merges: list[tuple]) -> Column:

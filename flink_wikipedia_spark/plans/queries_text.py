@@ -1506,6 +1506,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_wikipedia_spark.operators.text import (
         bpe_apply_merges_expr,
         bpe_encode_cols,
+        bpe_train,
     )
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -1517,10 +1518,9 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    merges = [
-        (r.merge_rank, r.lsym, r.rsym, r.merged, r.pair_count)
-        for r in bpe_learn_merges(words, BPE_NUM_MERGES).collect()
-    ]
+    # bpe_train hands back the rule list directly — no DataFrame
+    # round-trip + collect for rules that only exist as plan literals
+    merges, _ = bpe_train(words, BPE_NUM_MERGES)
     seg = bpe_apply_merges_expr("text", merges)
     return docs.select("doc_id", *bpe_encode_cols(seg))
 
@@ -1560,9 +1560,12 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     word ≤ word length), never the corpus. Oracle reuses the unrolled
     derivation stages, so rules, encode, and vocab all derive from ONE
     definition of the iteration."""
+    from flink_wikipedia_spark.functions.compat import arrow_local_df
     from flink_wikipedia_spark.operators.text import (
         BPE_WRAP_L,
         BPE_WRAP_R,
+        bpe_train,
+        bpe_vocab_from_segs,
         bpe_wrap_word_expr,
     )
 
@@ -1573,10 +1576,21 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    merges = [
-        (r.merge_rank, r.lsym, r.rsym, r.merged, r.pair_count)
-        for r in bpe_learn_merges(words, BPE_NUM_MERGES).collect()
-    ]
+    merges, segs = bpe_train(words, BPE_NUM_MERGES)
+    if segs is not None:
+        # small-vocab driver path: the trainer already holds every
+        # distinct word's FINAL segmentation, so the vocabulary is a
+        # pure integer fold over it — zero additional jobs where the
+        # old form re-ran the corpus word count a second time plus a
+        # distributed explode+groupBy (same values: bit-identical
+        # replace semantics, exact int64 sums; pinned in
+        # tests/test_bpe_merges.py against the distributed derivation)
+        return arrow_local_df(
+            spark,
+            bpe_vocab_from_segs(segs),
+            "symbol string, n_occurrences long",
+            ["symbol", "n_occurrences"],
+        )
     seg = bpe_wrap_word_expr("word")
     for _, a, b, _, _ in sorted(merges, key=lambda m: m[0]):
         seg = F.replace(
@@ -1693,6 +1707,8 @@ def q_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         BPE_WRAP_L,
         BPE_WRAP_R,
         bpe_apply_merges_expr,
+        bpe_train,
+        bpe_vocab_from_segs,
         bpe_wrap_word_expr,
     )
 
@@ -1705,34 +1721,41 @@ def q_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    merges = [
-        (r.merge_rank, r.lsym, r.rsym, r.merged, r.pair_count)
-        for r in bpe_learn_merges(words, BPE_NUM_MERGES).collect()
-    ]
+    merges, segs = bpe_train(words, BPE_NUM_MERGES)
 
     # Final vocabulary with exact counts (the q_bpe_vocab derivation),
     # ranked to ids on the driver — the vocabulary is bounded by
-    # alphabet + K merges, so this is a model-sized collect like the
-    # merge list itself.
-    vseg = bpe_wrap_word_expr("word")
-    for _, a, b, _, _ in sorted(merges, key=lambda m: m[0]):
-        vseg = F.replace(
-            vseg,
-            F.lit(BPE_WRAP_L + a + BPE_WRAP_R + BPE_WRAP_L + b + BPE_WRAP_R),
-            F.lit(BPE_WRAP_L + a + b + BPE_WRAP_R),
-        )
-    vsyms = F.split(F.btrim(vseg, F.lit(BPE_WRAP_L + BPE_WRAP_R)),
-                    BPE_WRAP_R + BPE_WRAP_L)
-    vocab_rows = (
-        words.select("freq", F.explode(vsyms).alias("symbol"))
-        .groupBy("symbol")
-        .agg(F.sum("freq").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("symbol").asc())
-        .collect()
-    )
+    # alphabet + K merges, so this is a model-sized table like the
+    # merge list itself. On the small-vocab driver path the trainer's
+    # final segmentations yield it as a pure fold (bpe_vocab_from_segs,
+    # already (count desc, symbol asc)-ranked) with zero extra jobs;
+    # the distributed fallback re-derives it with the explode+groupBy
+    # collect the small path used to pay too.
+    if segs is not None:
+        ranked = [sym for sym, _ in bpe_vocab_from_segs(segs)]
+    else:
+        vseg = bpe_wrap_word_expr("word")
+        for _, a, b, _, _ in sorted(merges, key=lambda m: m[0]):
+            vseg = F.replace(
+                vseg,
+                F.lit(BPE_WRAP_L + a + BPE_WRAP_R + BPE_WRAP_L + b + BPE_WRAP_R),
+                F.lit(BPE_WRAP_L + a + b + BPE_WRAP_R),
+            )
+        vsyms = F.split(F.btrim(vseg, F.lit(BPE_WRAP_L + BPE_WRAP_R)),
+                        BPE_WRAP_R + BPE_WRAP_L)
+        ranked = [
+            r.symbol
+            for r in (
+                words.select("freq", F.explode(vsyms).alias("symbol"))
+                .groupBy("symbol")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("symbol").asc())
+                .collect()
+            )
+        ]
     id_map = {
-        r.symbol: VOCAB_NUM_SPECIAL + rank
-        for rank, r in enumerate(vocab_rows)
+        symbol: VOCAB_NUM_SPECIAL + rank
+        for rank, symbol in enumerate(ranked)
     }
     map_lit = F.create_map(
         *[x for s in sorted(id_map) for x in (F.lit(s), F.lit(id_map[s]))]

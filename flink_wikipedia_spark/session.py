@@ -165,6 +165,33 @@ def get_spark(
         # at 100 TB fact scale, broadcasting a 50 MB dim beats shuffling
         # the fact side every time.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let AQE re-size exchanges INSIDE cached plans (off by default).
+        # Without it every .persist() compiles at the raw initial
+        # partition count with no runtime coalescing — measured on
+        # q_pagerank_parts_suppliers' cached edge list at sf0.1: five
+        # 512-task stages (~2,560 tasks, 30+ CPU-s of pure per-task
+        # floor) collapse to a handful of right-sized tasks with the
+        # flag on (wall 3.6 s → 2.7 s median, steady-state 2.3 s). The
+        # same map-output statistics AQE uses everywhere size the cache,
+        # so the behavior stays scale-adaptive: big inputs keep hundreds
+        # of partitions, small ones coalesce (guide §2.4 — the exchange
+        # a cache pins is still an exchange worth coalescing).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # Scan-parallelism floor (guide §6): openCostInBytes models the
+        # seek-equivalent cost of opening one file, and its 4 MB default
+        # (tuned for spinning disks) FLOORS maxSplitBytes at 4 MB — a
+        # single-file 11 MB table scans as ~3 tasks no matter how many
+        # cores sit idle, serializing every scan-dominated aggregate
+        # (TPC-H Q1's decimal sums ran on 3 of 32 cores). 128 KB keeps
+        # splits sized by totalBytes/minPartitionNum (i.e. by input size
+        # over available parallelism — scale-adaptive, not a constant):
+        # at 100 TB splits are capped by maxPartitionBytes exactly as
+        # before, and tiny-file packing still charges 128 KB per file so
+        # a million-small-file scan does not explode into tasks.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(128 * 1024)),
+        )
         # --- Python boundary: always Arrow, never row-at-a-time ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.ts unit handling (NANOS vs MICROS) lives in

@@ -416,3 +416,54 @@ def test_bpe_ids_token_mass_equals_vocab_mass(spark, tmp_path):
     # ids are dense: every vocab symbol is used somewhere, so the
     # corpus-wide distinct-id count equals the vocabulary size
     assert max(r.n_distinct_ids for r in ids_rows) <= len(vocab_rows)
+
+
+def test_vocab_fold_matches_distributed_derivation(spark):
+    """bpe_vocab_from_segs (the r15 zero-job vocabulary fold over the
+    trainer's final segmentations) must be value-identical to the
+    distributed wrap→replace-chain→explode→groupBy derivation the
+    q_bpe_vocab fallback runs — the same local/distributed bit-equality
+    pin as the merge loop itself. Also pins the (count desc, symbol
+    asc) ranking q_bpe_ids' id assignment depends on."""
+    from flink_wikipedia_spark.operators.text import (
+        BPE_WRAP_L,
+        BPE_WRAP_R,
+        bpe_train,
+        bpe_vocab_from_segs,
+        bpe_wrap_word_expr,
+    )
+    from flink_wikipedia_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges, segs = bpe_train(words, 8)
+    assert segs is not None  # sf0.001 vocab is far under the guard
+    local = bpe_vocab_from_segs(segs)
+
+    seg = bpe_wrap_word_expr("word")
+    for _, a, b, _, _ in sorted(merges, key=lambda m: m[0]):
+        seg = F.replace(
+            seg,
+            F.lit(BPE_WRAP_L + a + BPE_WRAP_R + BPE_WRAP_L + b + BPE_WRAP_R),
+            F.lit(BPE_WRAP_L + a + b + BPE_WRAP_R),
+        )
+    syms = F.split(
+        F.btrim(seg, F.lit(BPE_WRAP_L + BPE_WRAP_R)), BPE_WRAP_R + BPE_WRAP_L
+    )
+    dist = {
+        r.symbol: r.n
+        for r in (
+            words.select("freq", F.explode(syms).alias("symbol"))
+            .groupBy("symbol")
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .collect()
+        )
+    }
+    assert dict(local) == dist
+    # ranking is exactly (count desc, symbol asc)
+    assert local == sorted(local, key=lambda kv: (-kv[1], kv[0]))
