@@ -128,9 +128,16 @@ def connected_components(
     # and an unmaterialized plan would re-run the (possibly expensive)
     # upstream candidate-generation pipeline per iteration
     und = und.localCheckpoint()
-    if und.count() <= small_graph_edges:
+    # Size probe and small-graph collect in ONE job: a bounded
+    # limit(guard+1) over the checkpointed blocks either returns the
+    # whole edge list (≤ guard ⇒ it IS the collect the union-find
+    # needs) or proves the graph is large while moving at most guard+1
+    # rows — where count-then-collect paid two scheduler round-trips
+    # for the same information. Driver memory stays bounded either way.
+    probe = und.limit(small_graph_edges + 1).collect()
+    if len(probe) <= small_graph_edges:
         spark = und.sparkSession
-        labeled = _unionfind_components([(r.u, r.v) for r in und.collect()])
+        labeled = _unionfind_components([(r.u, r.v) for r in probe])
         from pyspark.sql.types import StructField, StructType
 
         from flink_wikipedia_spark.functions.compat import arrow_local_df
@@ -146,6 +153,7 @@ def connected_components(
         # additionally spawns a Python worker per downstream task just
         # to unpickle it (see arrow_local_df).
         return arrow_local_df(spark, labeled, schema, ["node", "component"])
+    del probe
     if algorithm == "auto":
         # the probe costs one O(|E|) aggregate — ~one round of either
         # loop — and only runs on >small_graph_edges graphs, where

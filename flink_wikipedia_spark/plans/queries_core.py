@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from flink_wikipedia_spark.functions.compat import dec_sum, ts_bucket, sql_dec_sum_duckdb
 from flink_wikipedia_spark.plans.registry import query
-from flink_wikipedia_spark.schemas import load_table
+from flink_wikipedia_spark.schemas import load_table, load_table_spread
 
 WINDOW_SEC = 300  # the reference's 5-minute tumble (DataStreamJob.java:85)
 
@@ -274,7 +274,7 @@ def q_edit_event_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JsonNodeDeserializationSchema.java:27) happens inside from_json."""
     from flink_wikipedia_spark.operators.core import decode_edit_events
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table_spread(spark, sf_dir, "events")
     payload = ev.select(
         F.to_json(
             F.struct(

@@ -22,7 +22,7 @@ from flink_wikipedia_spark.operators.dedup import (
 from flink_wikipedia_spark.operators.graph import sql_components_duckdb
 from flink_wikipedia_spark.operators.text import fingerprint_cols
 from flink_wikipedia_spark.plans.registry import query
-from flink_wikipedia_spark.schemas import load_table
+from flink_wikipedia_spark.schemas import load_table, load_table_spread
 
 
 @query(
@@ -98,7 +98,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 (SimHash): 16-bit frequency-weighted fingerprint per doc;
     equal fingerprints ⇒ near-dup candidates
     (operators/dedup.simhash_fingerprints)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     return simhash_fingerprints(docs)
 
 
@@ -354,7 +354,7 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inferred-filter re-inlining trap (see q_contamination_check)."""
     from flink_wikipedia_spark.functions.compat import stable_token_hash
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     tcol = F.col("toks")
     grams_arr = F.transform(
         F.sequence(F.lit(0).cast("long"), F.size(tcol).cast("long") - DUP_SPAN_N),
@@ -434,7 +434,7 @@ def q_span_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_wikipedia_spark.functions.compat import stable_token_hash
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     tcol = F.col("toks")
     grams_arr = F.transform(
         F.sequence(F.lit(0).cast("long"), F.size(tcol).cast("long") - DUP_SPAN_N),

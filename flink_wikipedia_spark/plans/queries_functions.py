@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from flink_wikipedia_spark.functions.compat import DEC, dec_sum, sql_dec_sum_duckdb
 from flink_wikipedia_spark.plans.registry import query
-from flink_wikipedia_spark.schemas import load_table
+from flink_wikipedia_spark.schemas import load_table, load_table_spread
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -531,7 +531,7 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     number from '$.k' — sum_k == sum_all_values doubles as a built-in
     consistency check between element_at and the fold. Multi-key fold
     correctness is pinned separately in tests/test_operators.py."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    ev = load_table_spread(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     m = F.from_json("props", "map<string,bigint>")
     rows = ev.select(
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("map_keys_csv"),
@@ -586,7 +586,7 @@ def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-rounds (int / 10^scale), while Spark's BigDecimal path is
     correctly rounded — the oracle casts through VARCHAR, whose parse
     is correctly rounded in both engines."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_spread(spark, sf_dir, "lineitem")
     D2 = "decimal(18,2)"
     q, p = F.col("l_quantity").cast(D2), F.col("l_extendedprice").cast(D2)
     s = li.groupBy("l_returnflag").agg(

@@ -27,7 +27,7 @@ from flink_wikipedia_spark.operators.relational import (
     topk_per_group,
 )
 from flink_wikipedia_spark.plans.registry import query
-from flink_wikipedia_spark.schemas import load_table
+from flink_wikipedia_spark.schemas import load_table, load_table_spread
 
 
 @query(
@@ -81,7 +81,7 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     only partials. Per-row products (price×(1-disc)×(1+tax)) are
     left-associated identically in Spark and the oracle, so the
     decimal-cast of each product is bit-identical."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_spread(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -36,7 +36,7 @@ from flink_wikipedia_spark.operators.text import (
     word_counts,
 )
 from flink_wikipedia_spark.plans.registry import query
-from flink_wikipedia_spark.schemas import load_table
+from flink_wikipedia_spark.schemas import load_table, load_table_spread
 
 
 @query(
@@ -442,7 +442,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (doc_id, token) pairs."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     ).filter(F.col("token") != "")
@@ -605,7 +605,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id), which is uniform by construction."""
     from flink_wikipedia_spark.functions.compat import stable_token_hash
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     # materialize the token array FIRST (same lesson as q_bigram_counts:
     # a split() tree referenced inside the lambda re-evaluates per access)
     tcol = F.col("toks")
@@ -681,7 +681,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     both keyed on doc_id(+token), uniform by construction; partial
     aggregation collapses repeated tokens map-side, so the heavy hitter
     that makes a doc repetitive never amplifies its shuffle size."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     cnt = (
         docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
         .filter(F.col("t") != "")
@@ -809,7 +809,7 @@ def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint aggregate carries 16-byte decimal partials. This is the
     canonical encode shape: one explode, one broadcast join, one keyed
     shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     tf = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .filter(F.col("token") != "")
@@ -882,7 +882,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     each fraction is one IEEE double division of exact integers, so
     both engines produce bit-identical values — full oracle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id",
         F.split(F.lower("text"), " ").alias("toks"),
@@ -1116,7 +1116,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan family as q_gopher_quality / q_quality_classifier). A learned
     table drops in as a ~12 MB broadcast exactly like
     classifier_score_with_table."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     return lm_perplexity_frame(docs.select("doc_id", "text"))
 
 
@@ -1186,7 +1186,7 @@ def q_quality_triad_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw null would make h_keep NULL, skip the 'quality' when-arm, and
     mis-attribute the doc to 'classifier' (the classifier and LM gates
     already coalesce internally, so their flags are unaffected)."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = load_table_spread(spark, sf_dir, "documents").withColumn(
         "text", F.coalesce("text", F.lit(""))
     )
     staged = docs.select(
@@ -1468,7 +1468,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in tests/test_bpe_merges.py by forcing the guard to
     0. Reference has no tokenizer training (north-star E3 extension;
     cf. DataStreamJob.java:68-83's fixed map-only pipeline)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -1509,7 +1509,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train,
     )
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = load_table_spread(spark, sf_dir, "documents").withColumn(
         "text", F.coalesce("text", F.lit(""))
     )
     words = (
@@ -1569,7 +1569,7 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_wrap_word_expr,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -1712,7 +1712,7 @@ def q_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_wrap_word_expr,
     )
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = load_table_spread(spark, sf_dir, "documents").withColumn(
         "text", F.coalesce("text", F.lit(""))
     )
     words = (

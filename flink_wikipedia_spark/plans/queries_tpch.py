@@ -31,7 +31,7 @@ from flink_wikipedia_spark.functions.compat import (
     sql_dec_to_double_duckdb,
 )
 from flink_wikipedia_spark.plans.registry import query
-from flink_wikipedia_spark.schemas import load_table
+from flink_wikipedia_spark.schemas import load_table, load_table_spread
 
 
 @query(
@@ -239,7 +239,7 @@ def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     set layouts in one pass — Spark expands rows once, aggregates once.
     Expressed via spark.sql over registered views (the engine's SQL
     entry point, SURVEY.md §2.2 'SQL parser / catalog: free')."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table_spread(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,

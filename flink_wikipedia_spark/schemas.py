@@ -300,6 +300,75 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(table_schema(name)).parquet(path)
 
 
+# Scan-splittability cache: (path, mtime_ns, size) -> row-group count,
+# capped (see _scan_row_groups_capped). Same driver-side-footer-only
+# posture as _TS_UNIT_CACHE.
+_ROW_GROUPS_CACHE: dict[tuple[str, int, int], int] = {}
+
+
+def _scan_row_groups_capped(path: str, cap: int) -> int:
+    """Number of parquet row groups under ``path``, probing at most
+    enough files to reach ``cap`` (a scan with ≥cap row groups is
+    splittable enough — stop counting). Driver-side footer metadata
+    only, cached per (path, stat)."""
+    import pyarrow.parquet as pq
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    cached = _ROW_GROUPS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    files = []
+    if os.path.isdir(path):
+        for root, dirs, fs in os.walk(path):
+            dirs.sort()
+            files.extend(os.path.join(root, f) for f in sorted(fs)
+                         if f.endswith(".parquet"))
+    else:
+        files = [path]
+    total = 0
+    for f in files:
+        total += pq.ParquetFile(f).metadata.num_row_groups
+        if total >= cap:
+            break
+    _ROW_GROUPS_CACHE[key] = total
+    return total
+
+
+def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table plus a scan-parallelism floor for effectively
+    UNSPLITTABLE inputs (optimization guide §2.5: "one huge
+    unsplittable file … repartition immediately after the read").
+
+    A parquet scan parallelizes at most one task per ROW GROUP — split
+    configs cannot help a single-row-group file (every split whose range
+    misses the row-group midpoint is empty), so any per-row-heavy
+    operator over such a file runs on one core while the rest idle
+    (measured: TPC-H Q1's decimal partial aggregate, 1.75 s → 1.08 s
+    with the spread at sf0.1 on 32 cores). When the footer probe shows
+    fewer row groups than half the default parallelism, insert one
+    round-robin ``repartition(defaultParallelism)`` right after the
+    read; otherwise return the plain scan.
+
+    Scale posture: the condition derives from the INPUT's layout and the
+    session's core count, never a constant — at production SFs files
+    carry hundreds of row groups, the condition is false, and the plan
+    is bit-identical to load_table's (no exchange added). Deterministic
+    under retries: round-robin repartition sorts before partitioning
+    (spark.sql.execution.sortBeforeRepartition, default on), and every
+    downstream value in this engine is order-independent by the
+    compat.py discipline. Use for queries whose dominant cost is
+    per-row compute in the scan stage; leave payload-heavy scans
+    (multimodal blobs) on load_table so bytes never shuffle (guide §8).
+    """
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if _scan_row_groups_capped(path, cap=target) < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (mirrors the DuckDB
     oracle's pre-registered views, so ``spark.sql`` text can name the
