@@ -24,7 +24,7 @@ from flink_wikipedia_spark.operators.text import (
     sql_repetition_ok_duckdb,
 )
 from flink_wikipedia_spark.plans.registry import query
-from flink_wikipedia_spark.schemas import load_table
+from flink_wikipedia_spark.schemas import load_table, load_table_spread
 
 # Token budget of one packed training sequence, and the shard fan-out
 # that keeps packing parallel (at 100 TB this is thousands, not 8).
@@ -225,7 +225,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row codegen expressions — map-only, zero shuffle;
     a 100 TB redaction pass is embarrassingly parallel and this plan
     keeps it that way (no UDF, no Python)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     raw = F.concat(
         F.lit("contact user"),
         F.col("doc_id").cast("string"),

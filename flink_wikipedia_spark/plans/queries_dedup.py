@@ -68,7 +68,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 (MinHash): 8-slot signature per doc from md5-derived token
     hashes — the corpus compressed to 64 bytes/doc before any pairwise
     work (operators/dedup.minhash_signatures)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     return minhash_signatures(docs)
 
 

@@ -20,7 +20,7 @@ from flink_wikipedia_spark.operators.similarity import (
     topk_cosine,
 )
 from flink_wikipedia_spark.plans.registry import query
-from flink_wikipedia_spark.schemas import load_table
+from flink_wikipedia_spark.schemas import load_table, load_table_spread
 
 TOPK_K = 5
 N_QUERY_VECS = 5  # vec_id < 5 are the query vectors in the demo queries
@@ -279,7 +279,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator LINEAR in corpus size; the cap binds only when a bucket
     holds a boilerplate-scale duplicate cluster, never on the
     correctness fixtures)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings")
     bucketed = emb.select(
         "vec_id", "embedding", lsh_bucket_expr("embedding").alias("bucket")
     )
@@ -995,7 +995,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine per corpus vector, map-only. Nothing here is quadratic in
     the corpus, which is the entire point of the cluster-then-compare
     design at 100 TB."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < IVF_NC)
     assign = ivf_assign(emb, centroids, n_probe=1)
     # representative id AND embedding via one centroid_id window

@@ -145,7 +145,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star (fingerprinting): md5-of-normalized-text exact-dup key
     + left-fold polynomial rolling hash over md5-derived token hashes —
     both engine-portable (operators/text.fingerprint_cols)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     return docs.select("doc_id", *fingerprint_cols())
 
 
@@ -952,7 +952,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen shape as the other text folds; ratios are
     single IEEE double divisions of exact integers so both engines
     produce bit-identical values — full oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id",
         F.filter(
@@ -1053,7 +1053,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold, all whole-stage codegen. The learned-table variant broadcasts
     the model (2^20 buckets ≈ 12 MB — model-sized, corpus-independent)
     and shuffles only (doc_id, weight) longs for its groupBy."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     return docs.select("doc_id", *classifier_score_cols("text"))
 
 
@@ -1270,7 +1270,7 @@ def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     full oracle. On corpora without line structure the flags are
     honest constants (1 line, 0 sentences) while n_words /
     max_line_words still exercise the split machinery."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id",
         F.split("text", "\n").alias("lines"),
