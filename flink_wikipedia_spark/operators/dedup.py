@@ -269,26 +269,33 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = 
     array is materialized in its own projection; with 16 downstream
     references CollapseProject keeps it shared instead of re-inlining
     the md5 per bit."""
-    toks_arr = F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    # Whole expression as ONE Spark-SQL string parsed JVM-side: the DSL
+    # form built 16 aggregate folds in a Python loop — ~1,300 py4j round
+    # trips ≈ 0.5 s of driver wall per plan build (the lsh_bucket_expr
+    # string-branch rationale; identical Catalyst tree, bit-identical
+    # results — pinned by the oracle gate and tests/test_operators.py).
+    hms_sql = (
+        f"transform(filter(split(lower({text_col}), ' '), t -> t != ''), "
+        f"t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) "
+        f"% {HM_MOD})"
     )
-    hms = F.transform(toks_arr, lambda t: stable_token_hash(t) % HM_MOD)
     # token-less docs emit nothing (parity with the groupBy form); the
     # guard is a cheap string predicate — a size(_hms) > 0 filter gets
     # predicate-pushed below the projection and recomputes the whole
     # md5 transform per row (the explode-filter trap, see memory)
     with_hms = df.filter(F.trim(F.col(text_col)) != "").select(
-        F.col(id_col), hms.alias("_hms")
+        F.col(id_col), F.expr(hms_sql).alias("_hms")
     )
-    fp: Column = F.lit(0).cast("long")
+    fp_terms = ["CAST(0 AS BIGINT)"]
     for j in range(SIMHASH_BITS):
-        s_j = F.aggregate(
-            F.col("_hms"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        s_j = (
+            f"aggregate(_hms, CAST(0 AS BIGINT), "
+            f"(acc, h) -> acc + (shiftright(h, {j}) & 1) * 2 - 1)"
         )
-        fp = fp + F.when(s_j > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return with_hms.select(F.col(id_col), fp.alias("simhash"))
+        fp_terms.append(f"(CASE WHEN {s_j} > 0 THEN {2 ** j} ELSE 0 END)")
+    return with_hms.select(
+        F.col(id_col), F.expr(" + ".join(fp_terms)).alias("simhash")
+    )
 
 
 def sql_simhash_duckdb(table: str = "documents", id_col: str = "doc_id",

@@ -32,13 +32,49 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def dot_expr(a: Column, b: Column) -> Column:
+# String (Spark-SQL) twins of the vector folds below. Same rationale as
+# lsh_bucket_expr's string branch: the DSL form pays a py4j round trip
+# per node and per lambda (~0.4 ms each — cProfile on q_ann_ivfpq_refined
+# showed 2,315 round trips ≈ 0.9 s of DRIVER wall per plan build), while
+# the string form is ONE JVM-side parse into the identical Catalyst tree,
+# so results are bit-identical. Pass column NAMES (or any SQL fragment)
+# where available; the Column overloads stay for derived expressions.
+
+def sql_dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def sql_dist2_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def sql_cosine_spark(a: str, b: str) -> str:
+    return (
+        f"{sql_dot_spark(a, b)} / "
+        f"(sqrt({sql_dot_spark(a, a)}) * sqrt({sql_dot_spark(b, b)}))"
+    )
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(sql_dot_spark(a, b))
     return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b))) — exact expression
     mirrored in SQL by the sql_cosine_duckdb template."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(sql_cosine_spark(a, b))
     return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
 
 
@@ -117,8 +153,10 @@ def sql_lsh_bucket_duckdb(vec: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def dist2_expr(a: Column, b: Column) -> Column:
+def dist2_expr(a: Column | str, b: Column | str) -> Column:
     """Squared L2 distance, same deterministic fold as dot_expr."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(sql_dist2_spark(a, b))
     return _fold_sum(
         F.zip_with(
             a, b, lambda x, y: (x.cast("double") - y.cast("double"))
@@ -175,7 +213,9 @@ def ivf_assign(
         id_col,
         vec_col,
         "centroid_id",
-        F.round(dist2_expr(F.col(vec_col), F.col("_cent")), 6).alias("_d2"),
+        # string-form fold: one JVM parse, not ~300 py4j round trips
+        # (see sql_dot_spark block) — identical Catalyst tree
+        F.round(dist2_expr(vec_col, "_cent"), 6).alias("_d2"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("centroid_id").asc())
     return (
@@ -211,7 +251,7 @@ def topk_cosine(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+            F.round(cosine_expr("_qv", "_cv"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

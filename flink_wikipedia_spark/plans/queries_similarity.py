@@ -101,7 +101,7 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+            F.round(cosine_expr("_qv", "_cv"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -188,7 +188,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+            F.round(cosine_expr("_qv", "_cv"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -226,7 +226,7 @@ def q_embedding_neardup_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+            F.round(cosine_expr("_va", "_vb"), 6).alias("sim"),
         )
         .filter(F.col("sim") >= 0.8)
     )
@@ -926,7 +926,7 @@ def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+            F.round(cosine_expr("_qv", "_cv"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1011,7 +1011,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").over(cw).alias("rep_id"),
         F.expr("min_by(embedding, vec_id)").over(cw).alias("_rv"),
     )
-    sim = F.round(cosine_expr(F.col("_rv"), F.col("embedding")), 6)
+    sim = F.round(cosine_expr("_rv", "embedding"), 6)
     return (
         withrep.filter(F.col("vec_id") != F.col("rep_id"))
         .select(
