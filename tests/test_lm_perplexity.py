@@ -132,9 +132,19 @@ def test_all_three_buckets_reachable_on_real_corpus(spark):
 
 
 def test_plan_is_one_scan_zero_exchanges(result):
+    """The perplexity FOLD itself is exchange-free: the only exchange
+    permitted in the plan is the unsplittable-input scan spread's
+    round-robin repartition (load_table_spread, r15 — fires only on
+    few-row-group inputs like the test files; at production row-group
+    counts the plan has no exchange at all). Any hash/range exchange
+    would mean the fold regressed to a shuffling formulation."""
     df, _ = result
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
     assert plan.count("Scan parquet") == 1
 
 
