@@ -394,6 +394,15 @@ def main() -> None:
         "load_avg_1m_5m": load_avg,
         "load_avg_before": load_before,
         "cpu_steal": _steal_payload(steal_before, wall_t0),
+        # Scaling evidence (r15 verdict item 2): prove $SPARK_GRAFT_CPUS
+        # reached the session — the driver's low-core probe compares
+        # 8- vs 32-core walls, and at sf0.1 the suite is scheduling-
+        # latency-bound (~1.2 executor-CPU-s/query), so a ratio ≈ 1 is
+        # expected; these fields let the artifact show the core count
+        # was honored rather than being suspected as ignored.
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "host_cpus": os.cpu_count(),
         "stream_events": stream_rows,
         "stream_events_per_sec": stream_eps,
         "skew_join": skew,

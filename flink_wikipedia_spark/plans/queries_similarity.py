@@ -279,7 +279,11 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator LINEAR in corpus size; the cap binds only when a bucket
     holds a boilerplate-scale duplicate cluster, never on the
     correctness fixtures)."""
-    emb = load_table_spread(spark, sf_dir, "embeddings")
+    # Plain load_table on purpose (r16): the r15 spread shuffled the
+    # full embedding arrays through the round-robin exchange (shuffle
+    # 1.04 → 1.74 MB, executor CPU 1.9×) and the driver bench regressed
+    # 22 % — wrong side of the trade.
+    emb = load_table(spark, sf_dir, "embeddings")
     bucketed = emb.select(
         "vec_id", "embedding", lsh_bucket_expr("embedding").alias("bucket")
     )

@@ -442,7 +442,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (doc_id, token) pairs."""
     from pyspark.sql import Window
 
-    docs = load_table_spread(spark, sf_dir, "documents")
+    # Plain load_table on purpose (r16): the r15 spread shuffled full
+    # document text through the round-robin exchange (shuffle 4.87 →
+    # 7.46 MB, executor CPU 8×) for ~0.1 s same-session wall, and the
+    # driver bench regressed 11 % — wrong side of the trade.
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     ).filter(F.col("token") != "")

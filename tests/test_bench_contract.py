@@ -28,6 +28,10 @@ def _full_payload(per_query: dict[str, float]) -> dict:
         "runs": 3,
         "load_avg_1m_5m": [1.23, 4.56],
         "load_avg_before": [7.89, 10.11],
+        "cpu_steal": {"ticks_delta": 2559, "stolen_cpu_frac": 0.0024},
+        "master": "local[32]",
+        "default_parallelism": 32,
+        "host_cpus": 32,
         "stream_events": 10000,
         "stream_events_per_sec": 39000.0,
         "skew_join": {
@@ -79,6 +83,12 @@ def test_compact_line_is_selfcontained_json_with_headline_fields():
         assert banned not in d
     # small fixed dicts (skew evidence) DO ride stdout
     assert d["skew_join"]["sortmerge_salted_sec"] == 8.901
+    # scaling evidence (r16): the compact line must prove the core
+    # count reached the session, or the driver's low-core probe flags
+    # suspect_cpus_ignored on every latency-bound suite
+    assert d["master"] == "local[32]"
+    assert d["default_parallelism"] == 32
+    assert d["host_cpus"] == 32
 
 
 def test_compact_line_shows_a_useful_number_of_queries():

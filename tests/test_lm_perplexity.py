@@ -145,7 +145,11 @@ def test_plan_is_one_scan_zero_exchanges(result):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "RoundRobinPartitioning" in line, line
-    assert plan.count("Scan parquet") == 1
+    # With AQE query stages (the spread's exchange), toString() prints both
+    # the Final Plan and the Initial Plan sections — count scans only in the
+    # final-plan half or the same scan is double-counted.
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Scan parquet") == 1
 
 
 def test_table_variant_matches_fold(spark, sf_dir):
