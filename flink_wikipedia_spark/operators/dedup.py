@@ -92,14 +92,22 @@ def minhash_sig_cols(text_col: str = "text") -> list[Column]:
 
     A doc with no tokens yields null sigs (array_min of empty) — the
     batch operator emits NO row for such docs; callers must filter or
-    gate empties first (the curation stream's quality gate does)."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    gate empties first (the curation stream's quality gate does).
+
+    Each sig is ONE Spark-SQL string parsed JVM-side (the
+    simhash_fingerprints rationale above: the DSL form paid a py4j
+    round trip per lambda/plumbing node — hundreds per plan build; the
+    string parses to the identical Catalyst tree, bit-equality pinned
+    by test_rowlocal_sigs_match_batch_operator)."""
+    hms_sql = (
+        f"transform(filter(split(lower({text_col}), ' '), t -> t != ''), "
+        f"t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) "
+        f"% {HM_MOD})"
     )
-    hm = F.transform(toks, lambda t: stable_token_hash(t) % HM_MOD)
     return [
-        F.array_min(
-            F.transform(hm, lambda h: (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P)
+        F.expr(
+            f"array_min(transform({hms_sql}, "
+            f"h -> (h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}))"
         ).alias(f"sig_{i}")
         for i in range(MINHASH_NUM_HASHES)
     ]

@@ -39,6 +39,11 @@ def _fold_sum(arr: Column) -> Column:
 # the string form is ONE JVM-side parse into the identical Catalyst tree,
 # so results are bit-identical. Pass column NAMES (or any SQL fragment)
 # where available; the Column overloads stay for derived expressions.
+#
+# CONTRACT (ADVICE r15): arguments are spliced VERBATIM as raw SQL
+# fragments — a name that is not a bare identifier (spaces, dashes,
+# reserved words) must be backquoted by the CALLER (`a b`), exactly as
+# in any spark.sql text; the Column overload handles arbitrary names.
 
 def sql_dot_spark(a: str, b: str) -> str:
     return (
@@ -209,13 +214,13 @@ def ivf_assign(
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
     )
-    scored = vectors.crossJoin(F.broadcast(c)).select(
+    scored = vectors.crossJoin(F.broadcast(c)).selectExpr(
         id_col,
         vec_col,
         "centroid_id",
         # string-form fold: one JVM parse, not ~300 py4j round trips
         # (see sql_dot_spark block) — identical Catalyst tree
-        F.round(dist2_expr(vec_col, "_cent"), 6).alias("_d2"),
+        f"round({sql_dist2_spark(vec_col, '_cent')}, 6) AS _d2",
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("centroid_id").asc())
     return (

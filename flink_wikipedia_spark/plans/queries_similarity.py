@@ -592,14 +592,16 @@ def _pq_d2_frame(emb: DataFrame) -> DataFrame:
 def _pq_code_frame(emb: DataFrame) -> DataFrame:
     """Spark code layer: argmin (first-position-of-min = lowest-centroid
     tie-break, same as the oracle's list_position(list_min)) over each
-    d2 array → ``vec_id, code_0..code_{PQ_M-1}``."""
-    code_cols = [F.col("vec_id")] + [
-        (F.array_position(F.col(f"d2_{m}"), F.array_min(F.col(f"d2_{m}"))) - 1)
-        .cast("long")
-        .alias(f"code_{m}")
+    d2 array → ``vec_id, code_0..code_{PQ_M-1}``. One selectExpr of SQL
+    strings, not a DSL loop (the _pq_d2_frame rationale: each DSL column
+    paid ~6 py4j round trips; the strings parse JVM-side to the same
+    Catalyst tree)."""
+    code_cols = ["vec_id"] + [
+        f"CAST(array_position(d2_{m}, array_min(d2_{m})) - 1 AS BIGINT)"
+        f" AS code_{m}"
         for m in range(PQ_M)
     ]
-    return _pq_d2_frame(emb).select(*code_cols)
+    return _pq_d2_frame(emb).selectExpr(*code_cols)
 
 
 def _pq_d2_sql_cols() -> list[str]:
@@ -679,12 +681,11 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's list_reduce fold order."""
     emb = load_table(spark, sf_dir, "embeddings")
     coded = _pq_code_frame(emb)
-    packed = None
-    for m in range(PQ_M):
-        term = F.col(f"code_{m}") * (4 ** m)
-        packed = term if packed is None else packed + term
-    return coded.select(
-        "vec_id", *[f"code_{m}" for m in range(PQ_M)], packed.cast("long").alias("pq_code")
+    packed = " + ".join(f"code_{m} * {4 ** m}" for m in range(PQ_M))
+    return coded.selectExpr(
+        "vec_id",
+        *[f"code_{m}" for m in range(PQ_M)],
+        f"CAST({packed} AS BIGINT) AS pq_code",
     )
 
 
@@ -776,16 +777,17 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
         )
     )
-    adc = None
-    for m in range(PQ_M):
-        term = F.element_at(
-            F.col(f"d2_{m}"), (F.col(f"code_{m}") + 1).cast("int")
-        )
-        adc = term if adc is None else adc + term
+    # ADC sum as ONE SQL string (the _pq_d2_frame rationale): 8 DSL
+    # element_at/add nodes paid ~40 py4j round trips per build.
+    adc_sql = " + ".join(
+        f"element_at(d2_{m}, CAST(code_{m} + 1 AS INT))" for m in range(PQ_M)
+    )
     scored = (
         probes.join(cands, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(adc, 6).alias("adc_d2"))
+        .selectExpr(
+            "query_id", "neighbor_id", f"round({adc_sql}, 6) AS adc_d2"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_d2").asc(), F.col("neighbor_id").asc()
@@ -897,14 +899,17 @@ def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
         )
     )
-    adc = None
-    for m in range(pq_m):
-        term = F.element_at(F.col(f"d2_{m}"), F.col(f"code_{m}") + 1)
-        adc = term if adc is None else adc + term
+    # ADC sum as ONE SQL string (the _pq_d2_frame rationale; code_m is
+    # INT here — pq_code_cols/pq_encode_pandas emit int — so no cast).
+    adc_sql = " + ".join(
+        f"element_at(d2_{m}, code_{m} + 1)" for m in range(pq_m)
+    )
     scored = (
         cands.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(adc, 6).alias("adc_d2"))
+        .selectExpr(
+            "query_id", "neighbor_id", f"round({adc_sql}, 6) AS adc_d2"
+        )
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_d2").asc(), F.col("neighbor_id").asc()

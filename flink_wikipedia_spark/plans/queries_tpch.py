@@ -462,12 +462,22 @@ def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: how many suppliers can serve each part profile —
     lineitem's distinct (part, supplier) pairs stand in for partsupp;
-    negated predicates on the dim + COUNT(DISTINCT) over the join."""
+    negated predicates on the dim + COUNT(DISTINCT) over the join.
+
+    No ``.distinct()`` on the (partkey, suppkey) pairs (r16, guide
+    §2.4): COUNT(DISTINCT l_suppkey) already collapses duplicates, so
+    pre-distincting the pairs only changed the plan, not the result —
+    and it cost a FULL extra shuffle of every pair (the widest exchange
+    in the query: 3 exchanges → 2, and the removed one carried
+    |lineitem| rows at production scale; the countDistinct partial
+    aggregate dedups (brand, type, size, suppkey) map-side BELOW its
+    exchange instead). The oracle keeps its DISTINCT-pair form —
+    result-identical by COUNT(DISTINCT) semantics, hash-checked."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
     )
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ps = li.select("l_partkey", "l_suppkey")
     return (
         ps.join(p, ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")

@@ -300,10 +300,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(table_schema(name)).parquet(path)
 
 
-# Scan-splittability cache: (path, mtime_ns, size) -> row-group count,
+# Scan-splittability cache: (path, stat-aggregate) -> row-group count,
 # capped (see _scan_row_groups_capped). Same driver-side-footer-only
 # posture as _TS_UNIT_CACHE.
-_ROW_GROUPS_CACHE: dict[tuple[str, int, int], int] = {}
+_ROW_GROUPS_CACHE: dict[tuple[str, int, int, int], int] = {}
 
 
 def _scan_row_groups_capped(path: str, cap: int) -> int:
@@ -313,19 +313,30 @@ def _scan_row_groups_capped(path: str, cap: int) -> int:
     only, cached per (path, stat)."""
     import pyarrow.parquet as pq
 
-    st = os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
-    cached = _ROW_GROUPS_CACHE.get(key)
-    if cached is not None:
-        return cached
     files = []
     if os.path.isdir(path):
         for root, dirs, fs in os.walk(path):
             dirs.sort()
             files.extend(os.path.join(root, f) for f in sorted(fs)
                          if f.endswith(".parquet"))
+        # Key the cache on the aggregate of per-file stats, not the
+        # directory's own stat: rewriting a nested part file in place
+        # does not change the directory's mtime/size, and a stale
+        # row-group count makes a wrong spread decision (ADVICE r15).
+        stats = [os.stat(f) for f in files]
+        key = (
+            path,
+            max((s.st_mtime_ns for s in stats), default=0),
+            sum(s.st_size for s in stats),
+            len(files),
+        )
     else:
         files = [path]
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size, 1)
+    cached = _ROW_GROUPS_CACHE.get(key)
+    if cached is not None:
+        return cached
     total = 0
     for f in files:
         total += pq.ParquetFile(f).metadata.num_row_groups
@@ -364,7 +375,16 @@ def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = load_table(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if _scan_row_groups_capped(path, cap=target) < max(2, target // 2):
+    try:
+        row_groups = _scan_row_groups_capped(path, cap=target)
+    except OSError:
+        # The probe stats the driver's LOCAL filesystem; a remote
+        # sf_dir (s3://, hdfs://) that Spark reads fine is not locally
+        # statable — fall back to the plain scan rather than raising
+        # (ADVICE r15). Remote inputs at production scale carry enough
+        # row groups that the spread would be gated off anyway.
+        return df
+    if row_groups < max(2, target // 2):
         return df.repartition(target)
     return df
 
